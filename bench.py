@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline query set (lower = better).
+Additional context fields (throughput, scaling) are included when
+SPARK_GRAFT_SCALING=1 runs the index build at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tf_top",
+    "doc_stats",
+    "collection_stats",
+    "postings_top",
+    "bm25_topk",
+    "numfound",
+    "terms_browse",
+    "facet_lang",
+    "dedup_exact",
+    "text_profile",
+    "minhash_sig",
+    "simhash",
+    "knn_cosine",
+    "merge_upsert",
+    "term_vectors",
+    "lang_id",
+    "ngram_jaccard",
+    "facet_event_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from marc_solr_profiling_spark.queries import QUERIES
+    from marc_solr_profiling_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm the JVM + parquet footers once (not timed)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

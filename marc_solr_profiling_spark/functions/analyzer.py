@@ -1,0 +1,201 @@
+"""Text analysis chains — the heart of the fulltext mapping.
+
+Re-expresses the reference's three Solr analyzer chains
+(``profiling/solr/conf/schema.xml:59-92``) as one pure-Python core shared by:
+  * the index-time Spark pandas UDF,
+  * the query-time tokenizer,
+  * the pure-Python pytest oracle,
+so index/query/oracle tokenization is byte-identical by construction
+(north-rule invariant).
+
+Chains:
+  * ``text``       WhitespaceTokenizer -> ICUFolding (NFKC + casefold +
+                   strip diacritics) -> WordDelimiter (splitOnCaseChange,
+                   generate+catenate words/numbers, stemEnglishPossessive)
+                   -> Porter stem -> RemoveDuplicates
+                   (schema.xml:60-71)
+  * ``textNoStem`` same chain minus stemming (schema.xml:74-83)
+  * ``alphaSort``  whole value = one token: ICUFolding + trim
+                   (schema.xml:86-92)
+  * ``simple``     lower + split on non-alphanumeric — the SQL-replicable
+                   chain used for the DuckDB-oracle-checked queries (both
+                   Spark and DuckDB can express it natively, so the
+                   correctness gate can value-hash it).
+
+Performance note: analysis is Python-side by necessity, but always entered
+through Arrow-batched pandas UDFs (`tokenize_udf`), never row-at-a-time
+Spark UDFs. At 100 TB this stage is embarrassingly parallel (per-row), so
+it scales linearly with executors; no shuffle is involved.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, Iterable, List
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .stemmer import porter_stem
+
+# --------------------------------------------------------------------------
+# pure-Python core (shared with the oracle)
+# --------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+# runs of letters or digits (post-folding); everything else is a delimiter
+_ALNUM_RUN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_CASE_OR_CLASS_SPLIT_RE = re.compile(
+    r"(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])"
+)
+_SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def icu_fold(s: str) -> str:
+    """NFKC-normalize, strip combining marks (diacritics), casefold.
+
+    The analog of ``ICUFoldingFilterFactory`` (schema.xml:62): unicode
+    normalization + diacritic removal + case folding in one deterministic
+    pass.
+    """
+    # NFKD first so combining marks become separable, drop them, then NFKC
+    # to recompose compatibility forms deterministically.
+    decomposed = unicodedata.normalize("NFKD", s)
+    stripped = "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+    return unicodedata.normalize("NFKC", stripped).casefold()
+
+
+def _word_delimit(token: str) -> List[str]:
+    """WordDelimiterFilter semantics (schema.xml:64-67):
+    stemEnglishPossessive, splitOnCaseChange + alpha<->num transitions,
+    generateWordParts/NumberParts, catenateWords/Numbers.
+
+    Operates on the *raw* (pre-folding) token because case-change splitting
+    needs original case — mirroring Solr, where WordDelimiter runs on the
+    token stream and folding is a separate stage. Here folding runs after
+    delimiting so case information survives until the split.
+    """
+    # stemEnglishPossessive: strip trailing 's / ’s
+    if token.endswith(("'s", "’s", "'S", "’S")):
+        token = token[:-2]
+    # split into alphanumeric runs (drops intra-word punctuation like hyphens)
+    runs: List[str] = []
+    for run in _ALNUM_RUN_RE.findall(token):
+        runs.extend(p for p in _CASE_OR_CLASS_SPLIT_RE.split(run) if p)
+    if not runs:
+        return []
+    out = list(runs)
+    if len(runs) > 1:
+        alpha = [r for r in runs if not r.isdigit()]
+        digit = [r for r in runs if r.isdigit()]
+        if len(alpha) > 1:
+            out.append("".join(alpha))  # catenateWords
+        if len(digit) > 1:
+            out.append("".join(digit))  # catenateNumbers
+    return out
+
+
+def analyze_text(s: str | None, stem: bool = True) -> List[str]:
+    """The full ``text`` chain: one string -> ordered token list."""
+    if not s:
+        return []
+    tokens: List[str] = []
+    for ws_tok in _WS_RE.split(s):
+        if not ws_tok:
+            continue
+        # Pre-compose (NFKC) so combining marks don't split alnum runs; case
+        # is preserved here — folding/casefold happens after delimiting.
+        ws_tok = unicodedata.normalize("NFKC", ws_tok)
+        seen_here: set[str] = set()  # RemoveDuplicates within one position
+        for part in _word_delimit(ws_tok):
+            folded = icu_fold(part)
+            if not folded:
+                continue
+            final = porter_stem(folded) if stem else folded
+            if final and final not in seen_here:
+                seen_here.add(final)
+                tokens.append(final)
+    return tokens
+
+
+def analyze_text_nostem(s: str | None) -> List[str]:
+    """The ``textNoStem`` chain (schema.xml:74-83)."""
+    return analyze_text(s, stem=False)
+
+
+def alpha_sort_key(s: str | None) -> str:
+    """``alphaSort`` chain: whole value -> one folded, trimmed token
+    (schema.xml:86-92). Used for sort-key columns."""
+    if s is None:
+        return ""
+    return icu_fold(s).strip()
+
+
+def analyze_simple(s: str | None) -> List[str]:
+    """SQL-replicable chain: lower + ``[a-z0-9]+`` runs.
+
+    DuckDB equivalent (used verbatim in oracle_sql):
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+    """
+    if not s:
+        return []
+    return _SIMPLE_TOKEN_RE.findall(s.lower())
+
+
+ANALYZERS: dict[str, Callable[[str | None], List[str]]] = {
+    "text": analyze_text,
+    "textNoStem": analyze_text_nostem,
+    "simple": analyze_simple,
+}
+
+# --------------------------------------------------------------------------
+# Spark surface: Arrow-batched pandas UDFs + native-expression variants
+# --------------------------------------------------------------------------
+
+
+def tokenize_udf(chain: str = "text"):
+    """pandas UDF ``string -> array<string>`` for the given chain.
+
+    Arrow-batched (no per-row Python UDF). The inner loop is Python but runs
+    over a whole Arrow batch at a time; this is the standard Spark shape for
+    tokenization (no JVM-side stemmer is available to a PySpark-only repo).
+    """
+    analyze = ANALYZERS[chain]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(col: pd.Series) -> pd.Series:
+        return col.map(analyze)
+
+    return _tok
+
+
+def alpha_sort_udf():
+    """pandas UDF for the alphaSort chain (sort keys)."""
+
+    @F.pandas_udf(T.StringType())
+    def _key(col: pd.Series) -> pd.Series:
+        return col.map(alpha_sort_key)
+
+    return _key
+
+
+def simple_tokens_expr(col):
+    """Native-expression (JVM-side, codegen'd) version of the ``simple``
+    chain — identical output to :func:`analyze_simple`, zero Python cost.
+    Used in all oracle-checked queries so the hot path stays inside
+    whole-stage codegen.
+    """
+    # regexp_extract_all keeps exactly the [a-z0-9]+ runs, like DuckDB's.
+    return F.expr(
+        f"filter(regexp_extract_all(lower({col}), '[a-z0-9]+', 0), x -> x != '')"
+    )
+
+
+def tokenize_queries(queries: Iterable[str], chain: str = "text") -> List[List[str]]:
+    """Driver-side helper: tokenize a batch of query strings with the SAME
+    chain as the index (the index/query symmetry the reference gets from
+    sharing schema.xml)."""
+    analyze = ANALYZERS[chain]
+    return [analyze(q) for q in queries]

@@ -1,0 +1,100 @@
+"""Text-analysis scalar operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are expressed as native Spark SQL expressions (JVM-side, whole-stage
+codegen) so they run at scan speed with zero Python in the hot path —
+and each has an exact ANSI-SQL twin for the DuckDB oracle.
+
+The reference's analog is its per-record scalar derivation layer
+(``Utils.cleanData``, ``DateUtils.getYearFromString``, format
+classification — SURVEY.md §2.9); these are the web-text equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists (language-ID heuristic)
+EN_STOPWORDS = ["the", "of", "and", "to", "in", "is", "that", "for", "it", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "nicht", "ist", "ich", "ein", "mit", "zu"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"]
+
+
+def tokens_simple(col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
+
+
+def token_count(col: str) -> Column:
+    """Whitespace-ish token count via the simple chain."""
+    return F.size(tokens_simple(col))
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_expr(col: str) -> Column:
+    """n-gram/stopword-heuristic language ID: argmax of per-language
+    stopword hit counts; 'und' (undetermined) when all are zero."""
+    toks = tokens_simple(col)
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    de = _stopword_hits(toks, DE_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score_expr(col: str) -> Column:
+    """Composite quality score in [0,1]:
+    0.4 * length_score (tokens/100 capped at 1)
+    + 0.3 * (1 - punct_ratio)
+    + 0.3 * stopword_ratio (capped at 3x a 0.1 target).
+
+    Deterministic float64 arithmetic; rounded to 6 decimals so the DuckDB
+    twin hashes identically.
+    """
+    toks = tokens_simple(col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(F.col(col)).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(col), r"[^a-zA-Z0-9\s]", ""))
+    ).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    sw = _stopword_hits(toks, EN_STOPWORDS).cast("double")
+    sw_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(F.lit(0.0))
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * sw_score,
+        6,
+    )
+
+
+def fingerprint_expr(col: str) -> Column:
+    """Document fingerprint: md5 of the normalized token stream (sorted
+    distinct simple tokens joined by space) — near-dup-insensitive to token
+    order and repetition, the classic 'fingerprint' key for clustering.
+    md5 is identical in Spark and DuckDB, so oracle-checkable."""
+    normalized = F.array_join(F.array_sort(F.array_distinct(tokens_simple(col))), " ")
+    return F.md5(normalized)
+
+
+def text_profile(docs: DataFrame, key_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One row per doc: token_count, n_chars, lang_guess, quality, fingerprint."""
+    return docs.select(
+        F.col(key_col),
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars"),
+        lang_id_expr(text_col).alias("lang_guess"),
+        quality_score_expr(text_col).alias("quality"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    )

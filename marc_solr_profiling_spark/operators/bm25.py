@@ -1,0 +1,199 @@
+"""BM25 top-k scoring over the logical index (DataFrame path).
+
+Re-expresses the reference's relevance query
+(``profiling/solr/conf/solrconfig.xml:64-83``: edismax, ``sort=score desc``,
+``rows=20`` top-k) as a broadcast-join scoring plan. BM25 parameters are the
+north-rule's k1=1.2, b=0.75, Lucene idf form:
+
+    idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    s(t, d) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Plan shape (and why it scales):
+- query terms (a handful) are broadcast — the posting scan is a broadcast
+  hash semi-join, so only matching postings survive the scan; with the
+  physical index (segments.py) the term predicate additionally prunes
+  parquet row groups via min/max on the sorted ``term`` column.
+- per-term scores are summed by doc: one shuffle keyed on doc, bounded by
+  the matching postings (≪ corpus).
+- top-k = TakeOrderedAndProject (per-partition heaps + driver merge of k
+  rows per partition — Spark's physical operator for orderBy+limit), NOT a
+  global sort.
+
+Determinism: scores are float64; ranking ties are broken by doc key
+ascending (the reference breaks score ties by internal docid). For
+cross-engine comparisons scores are rounded to 6 decimals before ranking.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import ANALYZERS
+from ..oracle import K1, B, bm25_idf
+
+
+def query_term_weights(
+    spark: SparkSession,
+    query: str,
+    df_map: dict[str, int],
+    n_docs: int,
+    chain: str = "text",
+) -> List[tuple[str, float]]:
+    """Tokenize a query with the SAME chain as the index and attach idf.
+    Duplicate query terms collapse to one (summed once, like the oracle)."""
+    terms: List[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in terms:
+            terms.append(t)
+    return [(t, bm25_idf(n_docs, df_map.get(t, 0))) for t in terms if t in df_map]
+
+
+def bm25_topk(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms_idf: Sequence[tuple[str, float]],
+    key_col: str = "url",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k docs for one query. Returns (key, score) ordered by
+    (score desc, key asc), k rows.
+
+    ``query_terms_idf``: [(term, idf)] from :func:`query_term_weights`.
+    """
+    spark = tf.sparkSession
+    if not query_terms_idf:
+        return (
+            tf.select(key_col).limit(0)
+            .withColumn("score", F.lit(0.0))
+        )
+    qdf = spark.createDataFrame(
+        list(query_terms_idf), schema="term string, idf double"
+    )
+    matched = tf.join(F.broadcast(qdf), "term")  # semi-scan of postings
+    scored = (
+        matched.join(doc_stats, key_col)
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+            ),
+        )
+        .groupBy(key_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(key_col)).limit(k)
+
+
+def bm25_topk_sql_plan(
+    docs: DataFrame,
+    query: str,
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Self-contained single-DataFrame BM25 top-k over a raw docs table —
+    the oracle-checkable form (entire plan is Catalyst-visible; collection
+    stats computed via broadcast-joined single-row aggregates, never
+    collected to the driver).
+
+    Query tokenization uses the same chain as the docs. Ties after rounding
+    break by key ascending.
+    """
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    spark = docs.sparkSession
+    qterms: List[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in qterms:
+            qterms.append(t)
+    if not qterms:
+        return docs.select(key_col).limit(0).withColumn("score", F.lit(0.0))
+
+    toks = with_tokens(docs, chain=chain)
+    tf = term_freqs(toks, key_col=key_col)
+    ds = _doc_stats(toks, key_col=key_col)
+    cs = collection_stats(ds)  # 1 row: n_docs, avgdl
+
+    qdf = spark.createDataFrame([(t,) for t in qterms], schema="term string")
+    dfreq = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(ds, key_col)
+        .crossJoin(F.broadcast(cs))
+    )
+    score_expr = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        matched.withColumn("term_score", score_expr)
+        .groupBy(key_col)
+        .agg(F.round(F.sum("term_score"), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "score")
+    )
+
+
+def bm25_score_all(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms_idf: Sequence[tuple[str, float]],
+    key_col: str = "url",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Full (unlimited) score set for one query — used by rank-identity
+    tests to compare every matching doc against the oracle."""
+    spark = tf.sparkSession
+    if not query_terms_idf:
+        return tf.select(key_col).limit(0).withColumn("score", F.lit(0.0))
+    qdf = spark.createDataFrame(
+        list(query_terms_idf), schema="term string, idf double"
+    )
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(doc_stats, key_col)
+        .withColumn(
+            "term_score",
+            F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+            ),
+        )
+        .groupBy(key_col)
+        .agg(F.sum("term_score").alias("score"))
+    )

@@ -1,0 +1,220 @@
+"""Deduplication operators for a large-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a digest column (never on the raw text —
+  shuffle rows carry a 32-byte key, not the document).
+- MinHash/LSH: per-row signature (shuffle-free) -> band buckets -> join
+  within buckets only. Candidate verification (exact Jaccard) runs on the
+  candidate pairs, which LSH keeps ≪ n².
+- hot-bucket guard: buckets above a size cap are dropped with a logged
+  count (boilerplate pages collapse into mega-buckets at web scale; pairing
+  inside them is O(cap²) per bucket otherwise).
+
+Portability: hashes are md5-based (identical bytes in Spark and DuckDB), so
+every stage up to banding is oracle-checkable; pair generation is checked
+against an equivalent SQL self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens_simple
+
+
+def exact_dup_groups(docs: DataFrame, key_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_dups, min_key).
+    Only groups with >1 member. Shuffle key is the 32-char digest."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(key_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min(key_col).alias("min_key"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_expr(text_col: str, n: int = 3):
+    """Distinct n-gram token shingles of the simple-chain token stream,
+    as 'tok1 tok2 tok3' strings. Pure JVM (transform over sequence)."""
+    toks = tokens_simple(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(
+            # short docs: single shingle = whole token stream (non-empty only)
+            F.when(F.size(toks) > 0,
+                   F.array(F.array_join(toks, " "))).otherwise(F.array())
+        )
+    )
+
+
+def minhash_signature_expr(shingle_col, n_hashes: int = 16):
+    """MinHash signature as array<string>: for hash i, min over shingles of
+    md5(i || ':' || shingle). String-min over md5 hex IS a valid min-hash
+    (uniform over a totally ordered space) and is bit-identical in DuckDB.
+    Empty shingle sets -> nulls (excluded from banding)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows = bands of n_hashes/bands each; docs sharing any full band land in
+    one bucket; pairs are generated within buckets with a bucket-size cap
+    (skew guard). Output: (key_a, key_b) with key_a < key_b, distinct.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(key_col),
+        minhash_signature_expr(shingles_expr(text_col, shingle_n), n_hashes).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+
+    band_rows = sig.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r]
+                                   for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, F.col("bb.band"), F.col("bb.bucket"))
+
+    # skew guard: drop mega-buckets (boilerplate collapse)
+    bucket_sizes = band_rows.groupBy("band", "bucket").agg(
+        F.count("*").alias("bsize")
+    )
+    bounded = band_rows.join(
+        bucket_sizes.filter(F.col("bsize") <= max_bucket), ["band", "bucket"]
+    )
+
+    a = bounded.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("key_a"))
+    b = bounded.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("key_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join on shingles: |A∩B| = co-occurring shingle count,
+    |A∪B| = |A|+|B|-|A∩B|. Shingles occurring in > max_shingle_df docs are
+    dropped before pairing (stopword-shingle skew guard; exactness for
+    high-sim pairs is preserved in practice since near-dups share rare
+    shingles too — documented approximation).
+    Output: (key_a, key_b, jaccard) rounded to 6 decimals.
+    """
+    sh = docs.select(
+        F.col(key_col), F.explode(shingles_expr(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
+    shingle_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    rare = sh.join(shingle_df.filter(F.col("sdf") <= max_shingle_df), "shingle")
+
+    a = rare.select(F.col("shingle"), F.col(key_col).alias("key_a"))
+    b = rare.select(F.col("shingle"), F.col(key_col).alias("key_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(key_col).alias("key_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(key_col).alias("key_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def simhash_expr(text_col: str, bits: int = 16):
+    """SimHash over simple tokens using md5-derived bit planes.
+
+    For bit i, a token votes +1 if hex digit i of md5(token) >= '8'
+    (top bit of that nibble), else -1; the simhash bit is 1 iff the vote sum
+    is positive. bits <= 32 (md5 hex length). Bit-identical in DuckDB
+    (same md5, same substr/threshold logic) — oracle-checkable.
+    Returns an int column (bit i = 2^i).
+    """
+    toks = tokens_simple(text_col)
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("long")
+
+
+def simhash_buckets(docs: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(key, simhash) — Hamming-near docs collide on equal simhash for
+    small corpora; at scale, candidate search splits the hash into bands
+    (same LSH pattern as minhash_lsh_candidates)."""
+    return docs.select(
+        F.col(key_col), simhash_expr(text_col, bits).alias("simhash")
+    )

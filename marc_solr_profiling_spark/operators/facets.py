@@ -1,0 +1,101 @@
+"""Profiling aggregations — the reference's actual product surface.
+
+The reference's search handler requests ~150 ``facet.field`` entries with
+``facet.limit=21, facet.mincount=1`` (``profiling/solr/conf/
+solrconfig.xml:85-280``), plus a TermsComponent for sorted term browsing
+(``solrconfig.xml:293-304``), numFound counting
+(``RemoteSolrSearcher.java:275-327``) and a TermVectorComponent
+(``solrconfig.xml:513-524``).
+
+All of these are single-key grouped aggregations / sorted scans — pure
+Catalyst territory: partial aggregation bounds shuffles, top-21 is
+TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_counts(df: DataFrame, field: str, limit: int = 21,
+                 mincount: int = 1, explode_arrays: bool = True) -> DataFrame:
+    """Top-``limit`` values of one field by doc count — the flagship
+    profiling aggregation (facet.limit=21, facet.mincount=1,
+    solrconfig.xml:85-280). Multi-valued (array) fields are exploded first,
+    mirroring Solr's per-value faceting of multiValued fields.
+
+    Deterministic output: ties broken by value ascending.
+    """
+    col = df.schema[field].dataType.typeName() if field in df.columns else None
+    work = df
+    if explode_arrays and col == "array":
+        work = df.select(F.explode_outer(field).alias(field))
+    return (
+        work.filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= mincount)
+        .orderBy(F.desc("count"), F.asc(field))
+        .limit(limit)
+    )
+
+
+def facet_multi(df: DataFrame, fields: Sequence[str], limit: int = 21) -> DataFrame:
+    """Many facet fields in one pass (the reference sends ~150 per request):
+    unpivot via stack() then one grouped agg + per-field rank — one shuffle
+    for all fields instead of one scan per field."""
+    pairs = ", ".join(f"'{f}', cast({f} as string)" for f in fields)
+    stacked = df.selectExpr(
+        f"stack({len(fields)}, {pairs}) as (facet_field, facet_value)"
+    ).filter(F.col("facet_value").isNotNull())
+    counted = stacked.groupBy("facet_field", "facet_value").agg(
+        F.count("*").alias("count")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("facet_field")
+        .orderBy(F.desc("count"), F.asc("facet_value"))
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .orderBy("facet_field", "rank")
+    )
+
+
+def num_found(df: DataFrame, predicate) -> int:
+    """numFound for an arbitrary predicate (two-phase count of the
+    reference collapsed to a single count aggregate)."""
+    return df.filter(predicate).count()
+
+
+def terms_browse(tf_or_tokens: DataFrame, lower_bound: str = "",
+                 limit: int = 50, term_col: str = "term") -> DataFrame:
+    """Sorted distinct terms from a lower bound (TermsComponent,
+    ``terms.lower.incl``, solrconfig.xml:293-304). Served straight from the
+    term column — with the physical index this is a metadata-only range scan
+    on the sorted term key."""
+    return (
+        tf_or_tokens.select(term_col)
+        .filter(F.col(term_col) >= lower_bound)
+        .distinct()
+        .orderBy(term_col)
+        .limit(limit)
+    )
+
+
+def term_vectors(docs_with_tokens: DataFrame, key_col: str = "url",
+                 tokens_col: str = "tokens") -> DataFrame:
+    """Per-doc (term, tf, first_pos) — TermVectorComponent semantics
+    (solrconfig.xml:513-524). Positions are 1-based token positions."""
+    pos = docs_with_tokens.select(
+        key_col, F.posexplode(tokens_col).alias("pos0", "term")
+    )
+    return pos.groupBy(key_col, "term").agg(
+        F.count("*").cast("int").alias("tf"),
+        (F.min("pos0") + 1).cast("int").alias("first_pos"),
+    )

@@ -1,0 +1,51 @@
+"""Incremental maintenance: upsert + delete merge (batch-incremental shape).
+
+Re-expresses the reference's 3-way sorted merge
+(``MarcMerger.processMergeRecords``, ``core/src/org/solrmarc/marc/
+MarcMerger.java:251-364``: mods win over base, new ids inserted, deleted ids
+dropped) and delete-list application (``MarcImporter.deleteRecords``,
+``MarcImporter.java:348-416``) as declarative joins — on Iceberg this is
+literally ``MERGE INTO``; expressed here engine-agnostically so it also runs
+on plain parquet-backed tables:
+
+    result = (base ANTI-JOIN mods-keys ANTI-JOIN deletes)
+             UNION ALL (mods ANTI-JOIN deletes)
+
+Spark picks sort-merge joins for the big sides; delete/mod key sets are
+usually small -> broadcast hash anti-joins (the reference's sorted-stream
+assumption replaced by hash semantics, no pre-sort required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert_delete(
+    base: DataFrame,
+    mods: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    key_col: str = "url",
+) -> DataFrame:
+    """Apply mods (upsert: replace matching keys, insert new keys) and
+    deletes (drop keys; deleting a missing key is a no-op, matching
+    ``MarcMerger.java:366-444`` set semantics)."""
+    result = base
+    if mods is not None:
+        mod_keys = mods.select(key_col).distinct()
+        result = result.join(F.broadcast(mod_keys), key_col, "left_anti")
+        result = result.unionByName(mods)
+    if deletes is not None:
+        del_keys = deletes.select(key_col).distinct()
+        result = result.join(F.broadcast(del_keys), key_col, "left_anti")
+    return result
+
+
+def delete_by_keys(df: DataFrame, delete_keys: DataFrame,
+                   key_col: str = "url") -> DataFrame:
+    """Delete-list application: left-anti semi-join (the ``.del`` file path,
+    ``MarcImporter.java:348-416``)."""
+    return df.join(
+        F.broadcast(delete_keys.select(key_col).distinct()), key_col, "left_anti"
+    )

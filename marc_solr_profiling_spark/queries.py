@@ -1,0 +1,477 @@
+"""Driver-facing query catalog: each entry is a (Spark DataFrame builder,
+DuckDB oracle SQL) pair over the driver's parquet tables
+(``/root/testdata/sf*/``). This is the correctness-gate surface consumed by
+``__spark_entry__.py``.
+
+Naming contract: every computed column is aliased identically in the Spark
+plan and the SQL so the driver's order-insensitive value-hash matches.
+Floats are rounded on BOTH sides before hashing; ordered/limited results
+use total sort keys (ties broken by a unique column).
+
+Tokenization for these oracle-checked queries is the ``simple`` chain —
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` — which Spark executes
+JVM-side (whole-stage codegen) and DuckDB reproduces bit-identically.
+The full analyzer chain (fold/delimit/stem — schema.xml:60-71 semantics) is
+exercised by the pytest oracle instead (tests/test_end_to_end.py), because a
+Porter stemmer is not expressible in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.textstats import (
+    EN_STOPWORDS, fingerprint_expr, lang_id_expr, quality_score_expr,
+    text_profile, token_count, tokens_simple,
+)
+from .operators.bm25 import bm25_topk_sql_plan
+from .operators.dedup import exact_dup_groups, ngram_jaccard_pairs, simhash_expr
+from .operators.facets import facet_counts, term_vectors, terms_browse
+from .operators.merge import merge_upsert_delete
+from .operators.postings import (
+    collection_stats, doc_stats, term_freqs, with_tokens,
+)
+from .operators.similarity import cosine_topk
+
+# The fixed flagship query (terms present in the synthetic doc vocabulary)
+FLAGSHIP_QUERY = "spark merge window stream"
+_QTERMS = ["spark", "merge", "window", "stream"]
+
+# DuckDB CTE fragments shared by several oracles
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+    " '[a-z0-9]+')) AS term FROM documents)"
+)
+_DL_CTE = (
+    "dl AS (SELECT doc_id, len(regexp_extract_all(lower(text),"
+    " '[a-z0-9]+')) AS doc_len FROM documents)"
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_tokens(_load(spark, sf_dir, "documents"), chain="simple")
+
+
+# ---------------------------------------------------------------------------
+# queries — each fn: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q_tf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = term_freqs(_docs_tokens(spark, sf_dir), key_col="doc_id")
+    return (
+        tf.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_stats(_docs_tokens(spark, sf_dir), key_col="doc_id")
+    return ds.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs_tokens(spark, sf_dir)
+    ds = doc_stats(toks, key_col="doc_id")
+    tf = term_freqs(toks, key_col="doc_id")
+    base = collection_stats(ds).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 6).alias("avgdl"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+    extra = tf.agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("n_postings"),
+    )
+    return base.crossJoin(extra)
+
+
+def q_postings_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = term_freqs(_docs_tokens(spark, sf_dir), key_col="doc_id")
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple", round_to=4
+    )
+
+
+def q_numfound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs_tokens(spark, sf_dir)
+    return toks.agg(
+        F.sum(F.when(F.array_contains("tokens", "spark"), 1).otherwise(0))
+        .cast("long")
+        .alias("numfound")
+    )
+
+
+def q_terms_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = term_freqs(_docs_tokens(spark, sf_dir), key_col="doc_id")
+    return terms_browse(tf, lower_bound="m", limit=50)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs_tokens(spark, sf_dir).filter(F.col("doc_id") < 20)
+    tv = term_vectors(toks, key_col="doc_id")
+    return tv.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return facet_counts(_load(spark, sf_dir, "documents"), "lang", limit=21)
+
+
+def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return facet_counts(_load(spark, sf_dir, "documents"), "source", limit=21)
+
+
+def q_facet_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return facet_counts(_load(spark, sf_dir, "events"), "event_type", limit=21)
+
+
+def q_facet_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return facet_counts(_load(spark, sf_dir, "orders"), "o_orderpriority", limit=21)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = exact_dup_groups(_load(spark, sf_dir, "documents"), key_col="doc_id")
+    return groups.select(
+        "text_md5",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("min_key").cast("long").alias("min_key"),
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    prof = text_profile(docs, key_col="doc_id")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang_guess", "quality", "fingerprint",
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(
+        docs, key_col="doc_id", shingle_n=3, threshold=0.2
+    ).select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        "jaccard",
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature_expr, shingles_expr
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signature_expr(shingles_expr("text", 3), n_hashes=16)
+    return (
+        docs.select(F.col("doc_id"), F.array_join(sig, "|").alias("sig_str"))
+        .filter(F.col("sig_str").isNotNull() & (F.col("sig_str") != ""))
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (token_count("text") > 0)
+    )
+    return docs.select("doc_id", simhash_expr("text", bits=16).alias("simhash"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk(emb, qvec, key_col="vec_id", k=10, round_to=4)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    mods = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.lit("updated: "), F.col("text")).alias("text")
+    )
+    dels = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    merged = merge_upsert_delete(docs, mods, dels, key_col="doc_id")
+    return merged.select("doc_id", "text")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id_expr("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — MUST alias columns identically to the Spark plans
+# ---------------------------------------------------------------------------
+
+_BM25_SQL = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4) AS score
+FROM tf JOIN q USING (term) JOIN dfq USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+_TEXT_PROFILE_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 500
+), m AS (
+  SELECT doc_id, text, toks,
+         len(toks)::DOUBLE AS n_tok,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE AS n_punct,
+         len(list_filter(toks, t -> t IN ('the','of','and','to','in','is','that','for','it','with')))::DOUBLE AS sw_en,
+         len(list_filter(toks, t -> t IN ('der','die','das','und','nicht','ist','ich','ein','mit','zu')))::DOUBLE AS sw_de,
+         len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','une','des','dans','que')))::DOUBLE AS sw_fr
+  FROM base
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       CASE WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en > 0 THEN 'en'
+            WHEN sw_de >= sw_fr AND sw_de > 0 THEN 'de'
+            WHEN sw_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n_tok > 0 THEN sw_en / n_tok ELSE 0.0 END) / 0.1, 1.0),
+             6) AS quality,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM m
+"""
+
+_SHINGLE_CTE = """
+sh0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < {max_id}
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(0, len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE [] END)) AS shingle
+  FROM sh0
+)
+"""
+
+_NGRAM_JACCARD_SQL = (
+    "WITH " + _SHINGLE_CTE.format(max_id=1000) + """,
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY 1),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE sdf <= 1000),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.2
+"""
+)
+
+_MINHASH_SQL = (
+    "WITH " + _SHINGLE_CTE.format(max_id=200) + """
+SELECT doc_id,
+       """
+    + "||'|'||".join(f"min(md5('{i}:' || shingle))" for i in range(16))
+    + """ AS sig_str
+FROM sh GROUP BY doc_id
+"""
+)
+
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+  WHERE doc_id < 200 AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+)
+SELECT doc_id, (
+""" + " + ".join(
+    f"(CASE WHEN sum(CASE WHEN substr(md5(term), {i + 1}, 1) >= '8'"
+    f" THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+) + """
+)::BIGINT AS simhash
+FROM tok GROUP BY doc_id
+"""
+
+_KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM pairs GROUP BY vec_id
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+_MERGE_SQL = """
+WITH mods AS (SELECT doc_id, 'updated: ' || text AS text FROM documents WHERE doc_id % 10 = 0),
+dels AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM mods)
+  AND d.doc_id NOT IN (SELECT doc_id FROM dels)
+UNION ALL
+SELECT doc_id, text FROM mods WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+"""
+
+ORACLE_SQL: Dict[str, str] = {
+    "tf_top": f"""
+WITH {_TOK_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+ORDER BY tf DESC, term ASC, doc_id ASC LIMIT 100
+""",
+    "doc_stats": """
+SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS doc_len
+FROM documents
+""",
+    "collection_stats": f"""
+WITH {_DL_CTE},
+{_TOK_CTE},
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT round(avg(doc_len), 6) FROM dl) AS avgdl,
+       (SELECT sum(doc_len) FROM dl)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings
+""",
+    "postings_top": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+""",
+    "bm25_topk": _BM25_SQL,
+    "numfound": f"""
+WITH {_TOK_CTE}
+SELECT count(DISTINCT doc_id)::BIGINT AS numfound FROM tok WHERE term = 'spark'
+""",
+    "terms_browse": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT term FROM tok WHERE term >= 'm' ORDER BY term ASC LIMIT 50
+""",
+    "term_vectors": """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, term, count(*) AS tf, min(pos)::BIGINT AS first_pos
+FROM t GROUP BY 1, 2
+""",
+    "facet_lang": """
+SELECT lang, count(*) AS count FROM documents WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 21
+""",
+    "facet_source": """
+SELECT source, count(*) AS count FROM documents WHERE source IS NOT NULL
+GROUP BY source ORDER BY count DESC, source ASC LIMIT 21
+""",
+    "facet_event_type": """
+SELECT event_type, count(*) AS count FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 21
+""",
+    "facet_order_priority": """
+SELECT o_orderpriority, count(*) AS count FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority ASC LIMIT 21
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id)::BIGINT AS min_key
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    "text_profile": _TEXT_PROFILE_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "minhash_sig": _MINHASH_SQL,
+    "simhash": _SIMHASH_SQL,
+    "knn_cosine": _KNN_SQL,
+    "merge_upsert": _MERGE_SQL,
+    "lang_id": """
+WITH m AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), c AS (
+  SELECT len(list_filter(toks, t -> t IN ('the','of','and','to','in','is','that','for','it','with'))) AS sw_en,
+         len(list_filter(toks, t -> t IN ('der','die','das','und','nicht','ist','ich','ein','mit','zu'))) AS sw_de,
+         len(list_filter(toks, t -> t IN ('le','la','les','et','est','pas','une','des','dans','que'))) AS sw_fr
+  FROM m
+)
+SELECT CASE WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en > 0 THEN 'en'
+            WHEN sw_de >= sw_fr AND sw_de > 0 THEN 'de'
+            WHEN sw_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       count(*) AS n
+FROM c GROUP BY 1
+""",
+}
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tf_top": q_tf_top,
+    "doc_stats": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "postings_top": q_postings_top,
+    "bm25_topk": q_bm25_topk,
+    "numfound": q_numfound,
+    "terms_browse": q_terms_browse,
+    "term_vectors": q_term_vectors,
+    "facet_lang": q_facet_lang,
+    "facet_source": q_facet_source,
+    "facet_event_type": q_facet_event_type,
+    "facet_order_priority": q_facet_order_priority,
+    "dedup_exact": q_dedup_exact,
+    "text_profile": q_text_profile,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_sig": q_minhash_sig,
+    "simhash": q_simhash,
+    "knn_cosine": q_knn_cosine,
+    "merge_upsert": q_merge_upsert,
+    "lang_id": q_lang_id,
+}

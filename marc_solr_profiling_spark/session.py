@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference achieves parallelism by running one JVM per id-range file slice
+(``profiling/scripts/index_sirsi_0000_0099.sh:31-33``); here parallelism is
+Spark-native partitioning and the knobs below are the ones that matter at
+cluster scale (shuffle partition sizing, AQE incl. skew-join handling, Arrow
+for the pandas-UDF analyzer path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "marc_solr_profiling_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    the sandbox; on a real cluster pass ``None`` master via spark-submit.
+    ``shuffle_partitions`` defaults to the parallelism level so local runs
+    don't pay for 200 tiny shuffle files; at 100 TB this should be sized so a
+    shuffle partition is ~128-512 MB (set explicitly via extra_conf).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*]/cluster → leave a sane floor
+        shuffle_partitions = cpus
+        if master.startswith("local["):
+            inner = master[6:-1]
+            if inner.isdigit():
+                shuffle_partitions = int(inner)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
