@@ -65,6 +65,45 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
+    # physical-index throughput: fresh build (docs/sec) + batch BM25 top-10
+    # (queries/sec) over the salted varbyte segment index
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.operators.wand import wand_topk_batch
+    from marc_solr_profiling_spark.plans.build import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    idx_path = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.time()
+        idx = build_index(
+            spark, docs, idx_path, key_col="doc_id", id_col="doc_id",
+            chain="simple", n_salts=16, block_size=128,
+        )
+        build_sec = time.time() - t0
+        per_query["index_build"] = round(build_sec, 3)
+        total += build_sec
+
+        terms = [
+            r["term"]
+            for r in idx.dictionary.orderBy(F.desc("df")).limit(60).collect()
+        ]
+        batch = [
+            " ".join(terms[(3 * i + j) % len(terms)] for j in range(1 + i % 4))
+            for i in range(50)
+        ]
+        t0 = time.time()
+        wand_topk_batch(idx, batch, k=10).count()
+        query_sec = time.time() - t0
+        per_query["wand_batch_50"] = round(query_sec, 3)
+        total += query_sec
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 3),
@@ -72,6 +111,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "index_build_docs_per_sec": round(n_docs / build_sec, 1),
+        "bm25_topk_queries_per_sec": round(50 / query_sec, 2),
     }
     print(json.dumps(out))
 

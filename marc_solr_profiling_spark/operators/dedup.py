@@ -61,7 +61,11 @@ def minhash_signature_expr(shingle_col, n_hashes: int = 16):
     """MinHash signature as array<string>: for hash i, min over shingles of
     md5(i || ':' || shingle). String-min over md5 hex IS a valid min-hash
     (uniform over a totally ordered space) and is bit-identical in DuckDB.
-    Empty shingle sets -> nulls (excluded from banding)."""
+    Empty shingle sets -> nulls (excluded from banding).
+
+    NOTE: evaluates ``shingle_col`` n_hashes times — fine for one-off
+    expressions over small projections; for corpus-scale signatures use
+    :func:`minhash_signatures` (explode + one grouped pass)."""
     return F.array(
         *[
             F.array_min(
@@ -73,6 +77,29 @@ def minhash_signature_expr(shingle_col, n_hashes: int = 16):
             for i in range(n_hashes)
         ]
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(key, h0..h{n-1}) signatures via ONE shingle pass: explode distinct
+    shingles (computed once per row) then a grouped min per hash function.
+    Partial aggregation makes the shuffle n_hashes mins per doc, not the
+    shingle stream. Docs with zero shingles (empty text) are absent —
+    matching the SQL twin's GROUP BY semantics."""
+    sh = docs.select(
+        F.col(key_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(key_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -151,7 +178,7 @@ def ngram_jaccard_pairs(
     """
     sh = docs.select(
         F.col(key_col), F.explode(shingles_expr(text_col, shingle_n)).alias("shingle")
-    )
+    ).persist()  # scanned 3x (sizes, df, pairing); shingling runs once
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
     shingle_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     rare = sh.join(shingle_df.filter(F.col("sdf") <= max_shingle_df), "shingle")

@@ -183,13 +183,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_signature_expr, shingles_expr
+    from .operators.dedup import minhash_signatures
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signature_expr(shingles_expr("text", 3), n_hashes=16)
-    return (
-        docs.select(F.col("doc_id"), F.array_join(sig, "|").alias("sig_str"))
-        .filter(F.col("sig_str").isNotNull() & (F.col("sig_str") != ""))
+    sig = minhash_signatures(docs, key_col="doc_id", n_hashes=16, shingle_n=3)
+    return sig.select(
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"h{i}") for i in range(16)]).alias("sig_str"),
     )
 
 
@@ -215,6 +215,28 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
     merged = merge_upsert_delete(docs, mods, dels, key_col="doc_id")
     return merged.select("doc_id", "text")
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship BM25 top-10, but through the PHYSICAL path: salted
+    varbyte segment index + block-max mapInPandas scorer (wand.py). The
+    DuckDB oracle is the same analytic BM25 SQL — proving the compressed
+    path is value-identical to the logical one."""
+    import hashlib
+    import os
+
+    from .operators.wand import wand_topk
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"msps_index_{tag}")
+    idx = build_index(
+        spark, docs, path, key_col="doc_id", id_col="doc_id",
+        text_col="text", chain="simple", n_salts=8, block_size=64,
+    )
+    out = wand_topk(idx, FLAGSHIP_QUERY, k=10, with_url=False)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +413,7 @@ SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
 """,
     "bm25_topk": _BM25_SQL,
+    "bm25_wand_topk": _BM25_SQL,
     "numfound": f"""
 WITH {_TOK_CTE}
 SELECT count(DISTINCT doc_id)::BIGINT AS numfound FROM tok WHERE term = 'spark'
@@ -459,6 +482,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_stats": q_collection_stats,
     "postings_top": q_postings_top,
     "bm25_topk": q_bm25_topk,
+    "bm25_wand_topk": q_bm25_wand_topk,
     "numfound": q_numfound,
     "terms_browse": q_terms_browse,
     "term_vectors": q_term_vectors,

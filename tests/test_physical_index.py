@@ -1,0 +1,132 @@
+"""M2/M3: physical index build (salted varbyte segments, lineage/resume)
+and WAND query path — rank-identical to the oracle on the reference query
+set (north-rule gate)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.corpus import generate_query_set, generate_web_pages
+from marc_solr_profiling_spark.operators.wand import wand_topk, wand_topk_batch
+from marc_solr_profiling_spark.oracle import OracleIndex
+from marc_solr_profiling_spark.plans.build import assign_doc_ids, build_index
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_web_pages(spark, N_DOCS, seed=42, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def index(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "index")
+    return build_index(spark, pages, path, n_salts=4, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def oracle_index(pages):
+    rows = pages.select("url", "text").collect()
+    return OracleIndex([(r["url"], r["text"]) for r in rows], chain="text")
+
+
+def test_doc_ids_dense_and_url_ordered(spark, pages):
+    ids = assign_doc_ids(pages, partitions=4).select("doc_id", "url").collect()
+    by_id = sorted(ids, key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in by_id] == list(range(len(ids)))
+    urls = [r["url"] for r in by_id]
+    assert urls == sorted(urls)  # docid order == url order (tie-break parity)
+
+
+def test_index_stats_match_oracle(index, oracle_index):
+    assert index.n_docs == oracle_index.n_docs
+    assert index.avgdl == pytest.approx(oracle_index.avgdl, rel=1e-12)
+
+
+def test_segments_roundtrip_counts(index, oracle_index):
+    seg = index.segments
+    # total postings across blocks == oracle posting count
+    n_postings = seg.agg(F.sum("n_postings")).collect()[0][0]
+    oracle_postings = sum(len(p) for p in oracle_index.postings.values())
+    assert n_postings == oracle_postings
+    # per-term df matches
+    seg_df = {
+        r["term"]: r["n"]
+        for r in seg.groupBy("term").agg(F.sum("n_postings").alias("n")).collect()
+    }
+    assert seg_df == {t: len(p) for t, p in oracle_index.postings.items()}
+
+
+def test_wand_single_query_rank_identical(index, oracle_index):
+    queries = generate_query_set(50, seed=42)
+    for q in queries[:10]:
+        got = [
+            (r["url"], r["score"])
+            for r in wand_topk(index, q, k=10).collect()
+        ]
+        want = oracle_index.topk(q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in want], f"rank mismatch q={q!r}"
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_wand_batch_rank_identical(index, oracle_index):
+    queries = generate_query_set(50, seed=42)
+    url_by_id = {
+        r["doc_id"]: r["url"] for r in index.docs.select("doc_id", "url").collect()
+    }
+    res = wand_topk_batch(index, queries, k=10).collect()
+    by_qid: dict[int, list] = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        want = oracle_index.topk(q, k=10)
+        got = sorted(by_qid.get(qid, []))
+        assert len(got) == len(want), f"qid={qid} q={q!r}"
+        for (rank, doc_id, score), (wurl, wscore) in zip(got, want):
+            assert url_by_id[doc_id] == wurl, f"qid={qid} rank={rank}"
+            assert score == pytest.approx(wscore, rel=1e-9)
+
+
+def test_duplicate_docs_tie_break(index, oracle_index):
+    # edge docs 0 and 1 are NFC/NFD variants of the same text -> equal
+    # scores; ranking must break ties by url/doc_id identically to oracle
+    got = [r["url"] for r in wand_topk(index, "voyage", k=10).collect()]
+    want = [u for u, _ in oracle_index.topk("voyage", k=10)]
+    assert got == want
+
+
+def test_resume_skips_completed_stages(spark, tmp_path_factory):
+    pages = generate_web_pages(spark, 60, seed=7, partitions=2)
+    path = str(tmp_path_factory.mktemp("idx2") / "index")
+    idx1 = build_index(spark, pages, path, n_salts=4, block_size=32)
+    manifest1 = idx1.store.lineage()
+    t1 = {s: m["committed_at"] for s, m in manifest1["stages"].items()}
+    # second build over the same path: every stage must be skipped
+    idx2 = build_index(spark, pages, path, n_salts=4, block_size=32)
+    t2 = {s: m["committed_at"] for s, m in idx2.store.lineage()["stages"].items()}
+    assert t1 == t2  # timestamps unchanged -> nothing recomputed
+    assert set(t1) == {"docs", "tf", "stats", "dictionary", "segments"}
+    # lineage rows present for every stage
+    for s, m in manifest1["stages"].items():
+        assert m["rows"] > 0 and len(m["partitions"]) >= 1
+
+
+def test_config_change_invalidates(spark, tmp_path_factory):
+    pages = generate_web_pages(spark, 60, seed=7, partitions=2)
+    path = str(tmp_path_factory.mktemp("idx3") / "index")
+    build_index(spark, pages, path, n_salts=4, block_size=32)
+    with open(os.path.join(path, "manifest.json")) as f:
+        fp1 = json.load(f)["fingerprint"]
+    idx = build_index(spark, pages, path, n_salts=8, block_size=32)
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["fingerprint"] != fp1
+    assert idx.segments.agg(F.max("salt")).collect()[0][0] <= 7
