@@ -36,6 +36,10 @@ HEADLINE = [
     "lang_id",
     "ngram_jaccard",
     "facet_event_type",
+    "bm25_and_topk",
+    "search_facet_lang",
+    "lsh_candidates",
+    "knn_ivf",
 ]
 
 

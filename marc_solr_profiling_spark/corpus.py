@@ -81,16 +81,29 @@ def _zipf_cdf(size: int, s: float = 1.07) -> np.ndarray:
     return np.cumsum(weights / weights.sum())
 
 
-def make_html(text: str, title: str) -> bytes:
-    """Wrap known text in boilerplate HTML (entities + script noise) so the
-    extractor has real work; extraction must return ``text`` exactly."""
+_NAV_ITEM = '<li><a href="/cat/x">menu item one</a></li>'
+_SCRIPT_PAD = "var p=document.querySelectorAll('.x');for(var i=0;i<p.length;i++){p[i].d=i;}"
+
+
+def make_html(text: str, title: str, n_boiler: int = 2) -> bytes:
+    """Wrap known text in boilerplate HTML (entities + nav/script/style
+    noise) so the extractor has real work; extraction must return ``text``
+    exactly — all boilerplate lives inside dropped containers
+    (head/script/style/nav/footer), mirroring real page chrome.
+
+    ``n_boiler`` scales the chrome weight: real Common-Crawl pages average
+    tens of kilobytes of markup around a few kilobytes of visible text, and
+    the extractor's cost is proportional to total markup."""
     body = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    nav = "<nav><ul>" + _NAV_ITEM * (24 * n_boiler) + "</ul></nav>"
+    script = "<script>" + _SCRIPT_PAD * (12 * n_boiler) + "</script>"
+    style = "<style>" + ".c{margin:0;padding:0}" * (10 * n_boiler) + "</style>"
     return (
-        "<html><head><title>{t}</title>"
-        "<script>var x=1;</script><style>p{{}}</style></head>"
-        "<body><nav>home &raquo; page</nav><p>{b}</p>"
-        "<footer>&copy; 2023</footer></body></html>"
-    ).format(t=title, b=body).encode("utf-8")
+        "<html><head><title>{t}</title>{sc}{st}</head>"
+        "<body>{nv}<p>{b}</p>"
+        "<footer>&copy; 2023 <ul>" + _NAV_ITEM * (8 * n_boiler) + "</ul></footer>"
+        "</body></html>"
+    ).format(t=title, sc=script, st=style, nv=nav, b=body).encode("utf-8")
 
 
 def generate_web_pages(
@@ -120,16 +133,27 @@ def generate_web_pages(
                 if i < n_edge:
                     text = _EDGE_TEXTS[int(i)]
                 else:
-                    n_tok = int(rng.integers(20, 400))
+                    # Common-Crawl-shaped body: Zipfian common vocabulary
+                    # plus a long tail of near-unique tokens (ids, typos,
+                    # codes) — the tail is what keeps the analyzer's
+                    # stem/fold path genuinely hot at scale.
+                    n_tok = int(rng.integers(80, 700))
                     picks = np.searchsorted(cdf, rng.random(n_tok))
-                    text = " ".join(vocab[picks])
+                    words = vocab[picks].copy()
+                    n_rare = n_tok // 16
+                    if n_rare:
+                        pos = rng.integers(0, n_tok, n_rare)
+                        rare_ids = rng.integers(0, 2_000_000, n_rare)
+                        for p, rid in zip(pos, rare_ids):
+                            words[p] = f"Ref{rid:07d}x"
+                    text = " ".join(words)
                 lang = "en" if (i % 20) else ("de" if (i % 40) else "fr")
                 title = f"Page {i}"
                 rows.append(
                     (
                         f"https://site{i % 997}.example/p/{i}",
                         _EPOCH + timedelta(seconds=int(i) * 137),
-                        make_html(text, title),
+                        make_html(text, title, n_boiler=1 + int(i) % 4),
                         text,
                         lang,
                     )

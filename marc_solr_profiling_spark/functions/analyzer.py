@@ -97,26 +97,48 @@ def _word_delimit(token: str) -> List[str]:
     return out
 
 
+# Memoization of the per-whitespace-token sub-chain. Web text is Zipfian, so
+# a worker-local cache hits ~always after warmup; this turns the Python
+# normalize/delimit/fold/stem pipeline into a dict lookup without changing a
+# single output byte (the cache key is the raw whitespace token; the cached
+# value is the final deduped token tuple). Bounded so adversarial corpora
+# can't exhaust executor memory.
+_TOKEN_CACHE_MAX = 1_000_000
+_tok_cache: dict[bool, dict[str, tuple]] = {True: {}, False: {}}
+
+
+def _analyze_ws_token(ws_tok: str, stem: bool) -> tuple:
+    cache = _tok_cache[stem]
+    hit = cache.get(ws_tok)
+    if hit is not None:
+        return hit
+    # Pre-compose (NFKC) so combining marks don't split alnum runs; case
+    # is preserved here — folding/casefold happens after delimiting.
+    norm = unicodedata.normalize("NFKC", ws_tok)
+    out: List[str] = []
+    seen_here: set[str] = set()  # RemoveDuplicates within one position
+    for part in _word_delimit(norm):
+        folded = icu_fold(part)
+        if not folded:
+            continue
+        final = porter_stem(folded) if stem else folded
+        if final and final not in seen_here:
+            seen_here.add(final)
+            out.append(final)
+    res = tuple(out)
+    if len(cache) < _TOKEN_CACHE_MAX:
+        cache[ws_tok] = res
+    return res
+
+
 def analyze_text(s: str | None, stem: bool = True) -> List[str]:
     """The full ``text`` chain: one string -> ordered token list."""
     if not s:
         return []
     tokens: List[str] = []
     for ws_tok in _WS_RE.split(s):
-        if not ws_tok:
-            continue
-        # Pre-compose (NFKC) so combining marks don't split alnum runs; case
-        # is preserved here — folding/casefold happens after delimiting.
-        ws_tok = unicodedata.normalize("NFKC", ws_tok)
-        seen_here: set[str] = set()  # RemoveDuplicates within one position
-        for part in _word_delimit(ws_tok):
-            folded = icu_fold(part)
-            if not folded:
-                continue
-            final = porter_stem(folded) if stem else folded
-            if final and final not in seen_here:
-                seen_here.add(final)
-                tokens.append(final)
+        if ws_tok:
+            tokens.extend(_analyze_ws_token(ws_tok, stem))
     return tokens
 
 

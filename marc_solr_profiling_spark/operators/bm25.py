@@ -106,6 +106,7 @@ def bm25_topk_sql_plan(
     k1: float = K1,
     b: float = B,
     round_to: int = 4,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
     the oracle-checkable form (entire plan is Catalyst-visible; collection
@@ -114,6 +115,14 @@ def bm25_topk_sql_plan(
 
     Query tokenization uses the same chain as the docs. Ties after rounding
     break by key ascending.
+
+    ``min_match`` is the edismax minimum-should-match analog
+    (``solrconfig.xml:68`` ``mm=6<-1 6<90%``; default ``q.op=AND``
+    ``solrconfig.xml:76``): a doc must match at least ``min_match`` distinct
+    query terms to score. ``min_match=len(terms)`` is pure conjunction (the
+    reference's AND default); ``None`` is pure disjunction. The gate is a
+    HAVING on the per-doc score aggregation — matched postings are already
+    grouped by doc there, so it adds no extra shuffle.
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -155,8 +164,13 @@ def bm25_topk_sql_plan(
     scored = (
         matched.withColumn("term_score", score_expr)
         .groupBy(key_col)
-        .agg(F.round(F.sum("term_score"), round_to).alias("score"))
+        .agg(
+            F.round(F.sum("term_score"), round_to).alias("score"),
+            F.countDistinct("term").alias("_n_matched"),
+        )
     )
+    if min_match is not None:
+        scored = scored.filter(F.col("_n_matched") >= int(min_match))
     return (
         scored.orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)

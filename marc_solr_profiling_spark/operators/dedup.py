@@ -118,10 +118,12 @@ def minhash_lsh_candidates(
     (skew guard). Output: (key_a, key_b) with key_a < key_b, distinct.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(key_col),
-        minhash_signature_expr(shingles_expr(text_col, shingle_n), n_hashes).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+    # single shingle pass (explode + grouped mins) — docs with zero shingles
+    # are naturally absent, matching the SQL twin's GROUP BY semantics
+    sig = minhash_signatures(
+        docs, key_col=key_col, text_col=text_col,
+        n_hashes=n_hashes, shingle_n=shingle_n,
+    )
 
     band_rows = sig.select(
         key_col,
@@ -131,7 +133,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "|", *[F.col("sig")[b * rows_per_band + r]
+                            "|", *[F.col(f"h{b * rows_per_band + r}")
                                    for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )

@@ -56,6 +56,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("max_wnorm", T.DoubleType(), False),
+        T.StructField("tf_sum", T.LongType(), False),
     ]
 )
 
@@ -78,51 +79,71 @@ def build_segments(
     """
 
     def make_blocks(batches) -> "pd.DataFrame":
-        # One call per PARTITION (mapInPandas), not per group: with a web
-        # vocabulary most (term, salt) groups are tiny, and per-group
-        # applyInPandas overhead (~1 ms of Arrow/pandas setup per group)
-        # dominates the build. Rows arrive sorted by (term, salt, doc_id);
-        # group boundaries are numpy change-point detection, encode loops
-        # touch only numpy slices.
+        # One call per PARTITION (mapInPandas), not per group, and ONE
+        # vectorized encode pass per partition, not per block: with a web
+        # vocabulary most (term, salt) groups are tiny, so per-group/-block
+        # numpy dispatch (~µs each × millions) would dominate the build.
+        # Rows arrive sorted by (term, salt, doc_id); group boundaries are
+        # numpy change-point detection; block boundaries, delta gaps and
+        # varbyte bytes are all computed partition-wide and sliced.
+        from .varbyte import delta_gaps_blocked, varbyte_encode_sliced
+
         lst = list(batches)
         if not lst:
             return
         pdf = pd.concat(lst, ignore_index=True)
+        n = len(pdf)
+        if n == 0:
+            return
         terms = pdf["term"].to_numpy()
         salts = pdf["salt"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
         tfs = pdf["tf"].to_numpy().astype(np.float64)
         dls = pdf["doc_len"].to_numpy().astype(np.float64)
         wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        n = len(pdf)
         change = np.ones(n, dtype=bool)
         if n > 1:
             change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        rows = []
-        for gs, ge in zip(starts, ends):
-            term = terms[gs]
-            salt = int(salts[gs])
-            for blk, s in enumerate(range(gs, ge, block_size)):
-                e = min(s + block_size, ge)
-                ids = doc_ids[s:e]
-                rows.append(
-                    (
-                        term,
-                        salt,
-                        blk,
-                        int(e - s),
-                        int(ids[0]),
-                        int(ids[-1]),
-                        delta_encode(ids),
-                        varbyte_encode(tfs[s:e].astype(np.uint64)),
-                        varbyte_encode(dls[s:e].astype(np.uint64)),
-                        float(wnorm[s:e].max()),
-                    )
-                )
-        yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        g_starts = np.flatnonzero(change)
+        g_ends = np.append(g_starts[1:], n)
+        # vectorized block layout: groups split into ceil(size/block_size)
+        # blocks; per-block group index + within-group block_id via repeat
+        sizes = g_ends - g_starts
+        nblk = -(-sizes // block_size)  # ceil
+        grp_of_blk = np.repeat(np.arange(g_starts.size), nblk)
+        blk_offsets = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+        block_id = np.arange(grp_of_blk.size) - blk_offsets[grp_of_blk]
+        b_starts = g_starts[grp_of_blk] + block_id * block_size
+        b_ends = np.minimum(b_starts + block_size, g_ends[grp_of_blk])
 
+        tf_cum = np.concatenate(([0.0], np.cumsum(tfs)))
+        tf_sum = (tf_cum[b_ends] - tf_cum[b_starts]).astype(np.int64)
+        gaps = delta_gaps_blocked(doc_ids, b_starts)
+        doc_gaps = varbyte_encode_sliced(gaps, b_starts, b_ends)
+        tf_bytes = varbyte_encode_sliced(tfs.astype(np.uint64), b_starts, b_ends)
+        dl_bytes = varbyte_encode_sliced(dls.astype(np.uint64), b_starts, b_ends)
+        max_w = np.maximum.reduceat(wnorm, b_starts)
+
+        yield pd.DataFrame(
+            {
+                "term": terms[b_starts],
+                "salt": salts[b_starts].astype(np.int32),
+                "block_id": block_id.astype(np.int32),
+                "n_postings": (b_ends - b_starts).astype(np.int32),
+                "first_doc": doc_ids[b_starts].astype(np.int64),
+                "last_doc": doc_ids[b_ends - 1].astype(np.int64),
+                "doc_gaps": doc_gaps,
+                "tfs": tf_bytes,
+                "dls": dl_bytes,
+                "max_wnorm": max_w,
+                "tf_sum": tf_sum,
+            }
+        )
+
+    # drop zero-token sentinel rows emitted by the fused tokenize+count pass
+    tf_with_dl = tf_with_dl.filter(
+        F.col("term").isNotNull() & (F.col("tf") > 0)
+    )
     salted = tf_with_dl.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int")
     )

@@ -130,6 +130,94 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by cosine. ``centroids`` is a SMALL DataFrame (cid, cvec) — broadcast;
+    the assignment is one scan + per-row argmax (window over the broadcast
+    product, partitioned by vector key so no global shuffle of the corpus).
+
+    Determinism: cosine rounded to ``round_to`` before the argmax, ties
+    break by cid ascending — the exact rule the SQL oracle applies.
+    Output: (key, cid, ccos).
+    """
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(key_col),
+        F.col("cid"),
+        F.round(
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+            round_to,
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate NN: centroids are the first ``n_centroids`` corpus
+    vectors by key (deterministic, oracle-replicable — at real scale these
+    come from a k-means sample, which only changes the centroid table).
+    The query probes its ``n_probe`` nearest centroids and brute-forces only
+    those clusters.
+
+    Scale shape: the assignment is one broadcast-product scan (the inverted
+    lists would be written once as a bucketed table); the probe filters the
+    corpus to ~n_probe/n_centroids of its rows before exact scoring.
+    """
+    import math as _math
+
+    centroids = embeddings.orderBy(F.asc(key_col)).limit(n_centroids).select(
+        F.col(key_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assign = ivf_assignments(
+        embeddings, centroids, key_col=key_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+    # query-side probe list: tiny (n_centroids rows) — computed in Spark for
+    # one plan, but it is a driver-sized problem
+    qn = _math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            "cid",
+            F.round(
+                _dot(F.col("cvec"), q) / (_norm(F.col("cvec")) * F.lit(qn)),
+                round_to,
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand_keys = assign.join(F.broadcast(probe), "cid").select(key_col)
+    candidates = embeddings.join(cand_keys, key_col)
+    return cosine_topk(
+        candidates, query_vec, key_col=key_col, vec_col=vec_col, k=k,
+        round_to=round_to,
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

@@ -57,6 +57,49 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def varbyte_encode_sliced(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode ``values`` ONCE (one vectorized pass over the whole partition)
+    and return one bytes object per [start, end) value-slice. This is the
+    batch form used by the segment builder: with web vocabularies most
+    (term, salt) groups are tiny, so per-block encode calls would pay ~µs of
+    numpy dispatch per block × millions of blocks; here the dispatch cost is
+    paid once per partition."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(starts))]
+    nbytes = 1 + np.searchsorted(_LIMITS, v, side="right").astype(np.int64)
+    byte_ends = np.cumsum(nbytes)
+    byte_starts = byte_ends - nbytes
+    out = np.zeros(int(byte_ends[-1]), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    for k in range(max_len):
+        mask = nbytes > k
+        chunk = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[byte_starts[mask] + k] = chunk | cont
+    buf = out.tobytes()
+    # value-slice [s, e) -> byte-slice [byte_starts[s], byte_ends[e-1])
+    bs = byte_starts[starts]
+    be = np.where(ends > starts, byte_ends[np.maximum(ends - 1, 0)], bs)
+    return [buf[s:e] for s, e in zip(bs.tolist(), be.tolist())]
+
+
+def delta_gaps_blocked(ids: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
+    """Per-block delta transform in one pass: gap[i] = ids[i] - ids[i-1],
+    except at each block start where the full id is kept (blocks decode
+    independently). ``ids`` must be sorted ascending within each block."""
+    v = np.ascontiguousarray(ids, dtype=np.uint64)
+    gaps = np.empty_like(v)
+    if v.size == 0:
+        return gaps
+    gaps[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=gaps[1:])
+    gaps[block_starts] = v[block_starts]
+    return gaps
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """first value + gaps, varbyte coded. Input MUST be sorted ascending."""
     ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)

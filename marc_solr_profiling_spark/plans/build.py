@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZERS
-from ..operators.postings import with_tokens
+from ..operators.postings import tokenize_and_count, with_tokens
 from ..operators.segments import build_segments
 from .lineage import IndexStore, config_fingerprint
 
@@ -120,7 +120,7 @@ def build_index(
                 "block_size": block_size,
                 "key_col": key_col,
                 "id_col": id_col,
-                "version": 1,
+                "version": 2,
             }
         )
     )
@@ -130,29 +130,40 @@ def build_index(
             with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
         else:
             with_ids = assign_doc_ids(docs, key_col=key_col, partitions=partitions)
-        toks = with_tokens(with_ids, text_col=text_col, chain=chain)
-        toks = toks.withColumn(
-            "doc_len", F.size(F.coalesce(F.col("tokens"), F.array()))
+        # column pruning before the analyzer stage: the build needs only
+        # (doc_id, text) here — never carry html payloads into the Python
+        # worker (RawRecordReader's project-then-parse discipline,
+        # SURVEY.md §4). Tokenize + per-doc tf counting are FUSED into one
+        # mapInPandas pass (tokenize_and_count): token arrays never cross
+        # the Arrow boundary, and the pass is shuffle-free — the only real
+        # shuffle of the whole build is the salted (term, salt)
+        # repartition inside build_segments.
+        tf = tokenize_and_count(
+            with_ids, key_col="doc_id", text_col=text_col, chain=chain
         )
-        # tokenization (the pandas-UDF stage) feeds two sinks — persist so
-        # the analyzer runs once per doc, not once per downstream action
-        toks = toks.persist()
-        doc_cols = ["doc_id", "doc_len"] if key_col == "doc_id" else [
-            "doc_id", key_col, "doc_len"
-        ]
-        doc_tbl = toks.select(*doc_cols)
+        store.commit_stage("tf", tf)
+
+    tf = store.read_stage(spark, "tf")
+
+    if not store.stage_complete("docs"):
+        # derived from the committed tf snapshot (compact rows), joined back
+        # to the (pruned) key column of the input — no re-tokenization
+        doc_lens = tf.select("doc_id", "doc_len").dropDuplicates(["doc_id"])
+        if key_col != "doc_id":
+            if id_col is not None:
+                keys = docs.select(
+                    F.col(id_col).cast("long").alias("doc_id"), key_col
+                )
+            else:
+                keys = assign_doc_ids(
+                    docs, key_col=key_col, partitions=partitions
+                ).select("doc_id", key_col)
+            doc_tbl = doc_lens.join(keys, "doc_id")
+        else:
+            doc_tbl = doc_lens
         store.commit_stage("docs", doc_tbl,
                            repartition_range=["doc_id"],
                            partition_sort=["doc_id"])
-        tf = (
-            toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "doc_len")
-            .agg(F.count("*").cast("int").alias("tf"))
-        )
-        store.commit_stage("tf", tf)
-        toks.unpersist()
-
-    tf = store.read_stage(spark, "tf")
 
     if not store.stage_complete("stats"):
         ds = store.read_stage(spark, "docs")
@@ -163,14 +174,6 @@ def build_index(
         )
         store.commit_stage("stats", stats)
 
-    if not store.stage_complete("dictionary"):
-        dictionary = tf.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        store.commit_stage("dictionary", dictionary,
-                           repartition_range=["term"],
-                           partition_sort=["term"])
-
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
         segs = build_segments(
@@ -179,11 +182,133 @@ def build_index(
             n_salts=n_salts,
             block_size=block_size,
         )
-        # range-partition + sort by term: parquet row-group min/max on term
-        # turns query-term filters into row-group pruning (the Iceberg
-        # sort-order analog).
-        store.commit_stage("segments", segs,
-                           repartition_range=["term"],
-                           partition_sort=["term", "salt", "block_id"])
+        # make_blocks emits rows already sorted by (term, salt, block) —
+        # parquet row-group min/max on term therefore prunes query-term
+        # scans (the Iceberg sort-order analog) with NO extra shuffle: a
+        # repartitionByRange here would re-run the whole segment build just
+        # to sample range bounds.
+        store.commit_stage("segments", segs)
+
+    if not store.stage_complete("dictionary"):
+        # derived from the (compact) segment blocks instead of a second full
+        # tf scan: df = Σ n_postings, cf = Σ tf_sum per term
+        segs_tbl = store.read_stage(spark, "segments")
+        dictionary = segs_tbl.groupBy("term").agg(
+            F.sum("n_postings").alias("df"), F.sum("tf_sum").alias("cf")
+        )
+        # groupBy already hash-partitions by term; a within-partition sort
+        # gives sorted parquet row groups (term pruning) without an extra
+        # range-sampling pass
+        store.commit_stage("dictionary", dictionary, partition_sort=["term"])
 
     return InvertedIndex(store, spark, chain)
+
+
+def incremental_update(
+    spark: SparkSession,
+    index: InvertedIndex,
+    out_path: str,
+    delta_docs: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+    block_size: int = 128,
+) -> InvertedIndex:
+    """Apply a delta (new/updated docs + deletes) to a built index, producing
+    a NEW index snapshot at ``out_path`` — the Spark restatement of the
+    reference's nightly incremental cycle (``MarcMerger.processMergeRecords``
+    ``core/src/org/solrmarc/marc/MarcMerger.java:251-364``: base ⋈ mods ⋈
+    deletes, mod wins, deletes drop; plus the ``.del``-file application of
+    ``MarcImporter.deleteRecords`` ``MarcImporter.java:348-416``).
+
+    Efficiency contract: old documents are NOT re-tokenized — the committed
+    ``tf`` stage (compact (term, doc_id, tf, doc_len) rows) is reused; only
+    the delta runs the analyzer UDF. Stats/dictionary/segments are
+    recomputed from the merged postings — a shuffle of compact rows, not a
+    re-analysis (Lucene's segment merge makes the same trade). The output is
+    a fresh snapshot directory, so a crash mid-update leaves the base index
+    intact (Iceberg-snapshot semantics).
+
+    ``delta_docs`` rows REPLACE base docs with the same id (upsert).
+    """
+    old_tf = index.store.read_stage(spark, "tf")
+    old_docs = index.store.read_stage(spark, "docs")
+
+    drop_ids = None
+    if deleted_ids is not None:
+        drop_ids = deleted_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+    if delta_docs is not None:
+        upd = delta_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        drop_ids = upd if drop_ids is None else drop_ids.union(upd).distinct()
+
+    if drop_ids is not None:
+        # left-anti = the DELETE FROM ... WHERE id IN (...) semi-join
+        old_tf = old_tf.join(drop_ids, "doc_id", "left_anti")
+        old_docs = old_docs.join(drop_ids, "doc_id", "left_anti")
+
+    if delta_docs is not None:
+        with_ids = delta_docs.withColumn("doc_id", F.col(id_col).cast("long"))
+        doc_keys = [c for c in old_docs.columns if c != "doc_len"]
+        with_ids = with_ids.select(*dict.fromkeys(doc_keys + [text_col]))
+        # fused analyze+count for the delta (same pass as the full build);
+        # persist: it feeds both the doc-side derivation and the tf union
+        delta_tf = tokenize_and_count(
+            with_ids, key_col="doc_id", text_col=text_col, chain=index.chain
+        ).persist()
+        delta_doc_lens = delta_tf.select("doc_id", "doc_len").dropDuplicates(
+            ["doc_id"]
+        )
+        if doc_keys != ["doc_id"]:
+            delta_doc_lens = delta_doc_lens.join(
+                with_ids.select(*doc_keys), "doc_id"
+            )
+        delta_doc_tbl = delta_doc_lens.select(*old_docs.columns)
+        merged_tf = old_tf.union(delta_tf.select(*old_tf.columns))
+        merged_docs = old_docs.union(delta_doc_tbl)
+    else:
+        merged_tf, merged_docs = old_tf, old_docs
+
+    store = IndexStore(out_path)
+    store.set_fingerprint(
+        config_fingerprint(
+            {
+                "base": index.store.path,
+                "chain": index.chain,
+                "n_salts": n_salts,
+                "block_size": block_size,
+                "version": 2,
+            }
+        )
+    )
+    store.commit_stage("docs", merged_docs,
+                       repartition_range=["doc_id"], partition_sort=["doc_id"])
+    store.commit_stage("tf", merged_tf)
+    tf = store.read_stage(spark, "tf")
+    if not store.stage_complete("stats"):
+        ds = store.read_stage(spark, "docs")
+        store.commit_stage(
+            "stats",
+            ds.agg(
+                F.count("*").alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total_tokens"),
+            ),
+        )
+    if not store.stage_complete("segments"):
+        avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
+        segs = build_segments(
+            tf.select("term", "doc_id", "tf", "doc_len"),
+            avgdl=avgdl, n_salts=n_salts, block_size=block_size,
+        )
+        store.commit_stage("segments", segs)
+    if not store.stage_complete("dictionary"):
+        segs_tbl = store.read_stage(spark, "segments")
+        store.commit_stage(
+            "dictionary",
+            segs_tbl.groupBy("term").agg(
+                F.sum("n_postings").alias("df"), F.sum("tf_sum").alias("cf")
+            ),
+            partition_sort=["term"],
+        )
+    return InvertedIndex(store, spark, index.chain)

@@ -51,6 +51,16 @@ _DL_CTE = (
 )
 
 
+
+def _scratch(name: str) -> str:
+    """Scratch dir for built indexes: tmpfs when available (the sandbox's
+    virtio disk kernel-serializes concurrent writers; a real deployment
+    writes Iceberg to object storage / local SSD)."""
+    import os
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return os.path.join(root, name)
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -108,6 +118,41 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return bm25_topk_sql_plan(
         docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple", round_to=4
+    )
+
+
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BM25 (the reference's edismax default ``q.op=AND``,
+    solrconfig.xml:76): docs must match ALL query terms."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, min_match=len(_QTERMS),
+    )
+
+
+def q_bm25_mm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match BM25 (edismax ``mm``, solrconfig.xml:68):
+    at least 3 of the 4 query terms must match."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, min_match=3,
+    )
+
+
+def q_search_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual /select shape: query + facet component in one
+    request (solrconfig.xml:64-280) — facet counts over the MATCHING doc
+    set, not the whole collection."""
+    toks = _docs_tokens(spark, sf_dir)
+    matched = toks.filter(F.array_contains("tokens", "spark"))
+    return (
+        matched.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(21)
     )
 
 
@@ -200,6 +245,65 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash_expr("text", bits=16).alias("simhash"))
 
 
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-duplicate candidate pairs (16 hashes, 4
+    bands of 4 rows, bucket cap 200)."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = minhash_lsh_candidates(
+        docs, key_col="doc_id", n_hashes=16, bands=4, shingle_n=3,
+        max_bucket=200,
+    )
+    return pairs.select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (8 deterministic centroids, probe 2):
+    the scale path next to the brute-force baseline ``knn_cosine``."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ann_ivf_topk(
+        emb, qvec, n_centroids=8, n_probe=2, k=10, key_col="vec_id",
+        round_to=6,
+    )
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
+
+def q_bm25_incr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 over an INCREMENTALLY built physical index: base index
+    on doc_id<250, then incremental_update() with the remaining docs (no
+    re-tokenization of the base — MarcMerger.java:251-364 semantics). The
+    oracle is the same analytic BM25 over the full table, proving the
+    snapshot-merged index is value-identical to a from-scratch build."""
+    import hashlib
+    import os
+
+    from .operators.wand import wand_topk
+    from .plans.build import build_index, incremental_update
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base_idx = build_index(
+        spark, docs.filter(F.col("doc_id") < 250),
+        _scratch(f"msps_incrbase_{tag}"),
+        key_col="doc_id", id_col="doc_id", text_col="text",
+        chain="simple", n_salts=8, block_size=64,
+    )
+    idx = incremental_update(
+        spark, base_idx, _scratch(f"msps_incrfull_{tag}"),
+        delta_docs=docs.filter(F.col("doc_id") >= 250),
+        n_salts=8, block_size=64,
+    )
+    out = wand_topk(idx, FLAGSHIP_QUERY, k=10, with_url=False)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -230,7 +334,7 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"msps_index_{tag}")
+    path = _scratch(f"msps_index_{tag}")
     idx = build_index(
         spark, docs, path, key_col="doc_id", id_col="doc_id",
         text_col="text", chain="simple", n_salts=8, block_size=64,
@@ -252,7 +356,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — MUST alias columns identically to the Spark plans
 # ---------------------------------------------------------------------------
 
-_BM25_SQL = f"""
+def _bm25_sql(having: str = "") -> str:
+    return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 {_DL_CTE},
@@ -266,9 +371,13 @@ SELECT doc_id,
 FROM tf JOIN q USING (term) JOIN dfq USING (term)
      JOIN dl USING (doc_id) CROSS JOIN cs
 GROUP BY doc_id
+{having}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+_BM25_SQL = _bm25_sql()
 
 _TEXT_PROFILE_SQL = """
 WITH base AS (
@@ -361,6 +470,70 @@ SELECT doc_id, (
 FROM tok GROUP BY doc_id
 """
 
+_LSH_BANDS = 4
+_LSH_ROWS = 4  # 16 hashes / 4 bands
+
+
+def _band_select(b: int) -> str:
+    cols = "||'|'||".join(f"h{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+    return f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sig"
+
+
+_LSH_SQL = (
+    "WITH " + _SHINGLE_CTE.format(max_id=1000) + """,
+sig AS (SELECT doc_id,
+       """
+    + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    + """
+  FROM sh GROUP BY doc_id),
+bands AS (
+  """
+    + "\n  UNION ALL ".join(_band_select(b) for b in range(_LSH_BANDS))
+    + """
+),
+ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+bb AS (SELECT bands.* FROM bands JOIN ok USING (band, bucket))
+SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+FROM bb a JOIN bb b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+)
+
+_IVF_SQL = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT e.vec_id, c.cid,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(c.cvec)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN c
+),
+cc AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS ccos
+  FROM pairs GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid ASC) AS r
+    FROM cc) WHERE r = 1
+),
+probe AS (SELECT cid FROM cc WHERE vec_id = 0
+          ORDER BY ccos DESC, cid ASC LIMIT 2),
+cand AS (SELECT vec_id FROM assign JOIN probe USING (cid)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qpairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cosine
+FROM qpairs GROUP BY vec_id
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
 _KNN_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -414,6 +587,18 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
 """,
     "bm25_topk": _BM25_SQL,
     "bm25_wand_topk": _BM25_SQL,
+    "bm25_incr_topk": _BM25_SQL,
+    "bm25_and_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
+    "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
+    "search_facet_lang": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT lang, count(*) AS count FROM documents JOIN m USING (doc_id)
+WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 21
+""",
+    "lsh_candidates": _LSH_SQL,
+    "knn_ivf": _IVF_SQL,
     "numfound": f"""
 WITH {_TOK_CTE}
 SELECT count(DISTINCT doc_id)::BIGINT AS numfound FROM tok WHERE term = 'spark'
@@ -483,6 +668,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings_top": q_postings_top,
     "bm25_topk": q_bm25_topk,
     "bm25_wand_topk": q_bm25_wand_topk,
+    "bm25_incr_topk": q_bm25_incr_topk,
+    "bm25_and_topk": q_bm25_and_topk,
+    "bm25_mm_topk": q_bm25_mm_topk,
+    "search_facet_lang": q_search_facet_lang,
+    "lsh_candidates": q_lsh_candidates,
+    "knn_ivf": q_knn_ivf,
     "numfound": q_numfound,
     "terms_browse": q_terms_browse,
     "term_vectors": q_term_vectors,

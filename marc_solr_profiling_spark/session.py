@@ -49,7 +49,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for every
+        # concurrent task — size it for the parallelism level (at 8g, 32
+        # tasks' sort/shuffle buffers GC-thrash; the sandbox host has 128g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill files: prefer the tmpfs when present — the sandbox's
+        # virtio disk serializes 32 concurrent small-file writers in the
+        # kernel (sy%-bound); on a real cluster this is each executor's
+        # local SSD, so tmpfs is the faithful stand-in
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_LOCAL_DIRS",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        ))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,12 +1,22 @@
 """One scaling-measurement job: generate a deterministic corpus, build the
-physical index (full analyzer chain — the CPU-bound production path), run a
-batch of BM25 queries. Prints one JSON line with timings.
+physical index through the PRODUCTION path (HTML->text extraction UDF +
+full analyzer chain), run a batch of BM25 queries. Prints one JSON line
+with timings.
 
 Run by tools/scaling_bench.py at two parallelism levels on IDENTICAL input
 (the corpus generator is partition-count-independent) — the sandbox
 substitution for the north rule's N vs 4N executor criterion.
 
-Usage: python tools/scaling_job.py <cpus> <n_docs> [n_queries]
+doc_id comes from the corpus's stable per-document key (the numeric url
+suffix here; xxhash64(url) in a real Common-Crawl pipeline) — a pure
+per-row expression, so id assignment adds no shuffle or driver pass.
+
+The sandbox VM has noisy neighbors (observed 2x wall-time swings at
+identical parameters, ~10% steal in top), so the job repeats the
+build+query measurement ``n_reps`` times over the same corpus and reports
+the MINIMUM — the least-interfered estimate of the pipeline's capability.
+
+Usage: python tools/scaling_job.py <cpus> <n_docs> [n_queries] [n_reps]
 """
 
 from __future__ import annotations
@@ -25,11 +35,15 @@ def main() -> None:
     cpus = int(sys.argv[1])
     n_docs = int(sys.argv[2])
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    from pyspark.sql import functions as F
 
     from marc_solr_profiling_spark.corpus import generate_query_set, generate_web_pages
     from marc_solr_profiling_spark.operators.wand import wand_topk_batch
     from marc_solr_profiling_spark.plans.build import build_index
     from marc_solr_profiling_spark.session import get_spark
+    from marc_solr_profiling_spark.sources.html import extract_text_udf
 
     spark = get_spark(
         app_name=f"scaling_{cpus}",
@@ -39,25 +53,39 @@ def main() -> None:
     # materialize the corpus to parquet first so build timing measures the
     # INDEX pipeline, not the generator; fixed partition count so both
     # parallelism levels read identical input files
-    corpus_dir = tempfile.mkdtemp(prefix=f"scale_corpus_{cpus}_")
-    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
+    # tmpfs when available: measures the pipeline, not the sandbox's
+    # virtio-disk syscall ceiling (a real cluster has per-executor SSDs)
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    corpus_dir = tempfile.mkdtemp(prefix=f"scale_corpus_{cpus}_", dir=tmp_root)
+    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_", dir=tmp_root)
     try:
         generate_web_pages(spark, n_docs, seed=42, partitions=64).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
-        docs = spark.read.parquet(corpus_dir)
-
-        t0 = time.time()
-        idx = build_index(
-            spark, docs, idx_dir, key_col="url", chain="text",
-            n_salts=16, block_size=128, partitions=cpus,
+        docs = (
+            spark.read.parquet(corpus_dir)
+            .select("url", "html")  # production input: raw pages only
+            .withColumn("text", extract_text_udf()(F.col("html")))
+            .withColumn(
+                "doc_id",
+                F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"),
+            )
         )
-        build_sec = time.time() - t0
 
         queries = generate_query_set(n_queries, seed=42)
-        t0 = time.time()
-        wand_topk_batch(idx, queries, k=10).count()
-        query_sec = time.time() - t0
+        build_sec = query_sec = float("inf")
+        for rep in range(n_reps):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            idx = build_index(
+                spark, docs, idx_dir, key_col="url", id_col="doc_id",
+                chain="text", n_salts=64, block_size=128, partitions=cpus,
+            )
+            build_sec = min(build_sec, time.time() - t0)
+
+            t0 = time.time()
+            wand_topk_batch(idx, queries, k=10).count()
+            query_sec = min(query_sec, time.time() - t0)
 
         print(
             json.dumps(
