@@ -1,0 +1,308 @@
+"""The reference's field-spec extraction DSL (its core "SELECT"), as native
+Spark array expressions over MARC-shaped rows.
+
+The reference drives every indexed field from a declarative spec
+``solr_field = tagspec, handling, map`` parsed by
+``SolrIndexer.fillMapFromProperties`` (core/src/org/solrmarc/index/
+SolrIndexer.java:152-324) and evaluated per record by ``getFieldList``
+(core/src/org/solrmarc/tools/MarcUtils.java:1280-1345). This module
+re-expresses that DSL over a DataFrame whose rows carry the SURVEY.md §1.1
+record shape:
+
+    leader        string
+    controlfields array<struct<tag:string, data:string>>
+    datafields    array<struct<tag:string, ind1:string, ind2:string,
+                      subfields:array<struct<code:string, value:string>>>>
+
+Everything here is a pure Column expression (transform/filter/aggregate —
+whole-stage codegen, no Python), so Catalyst prunes and pushes down around
+it; specs are parsed driver-side once (the analog of the reference parsing
+its .properties once at startup).
+
+Spec grammar supported (the subset exercised by profiling/prof_index.properties):
+  245ab          data field tag + subfield codes to concat (space-sep)
+  245a:100b      colon-separated alternatives -> ordered union w/ dedup
+                 (LinkedHashSet semantics, MarcUtils.java:1282-1344)
+  008[35-37]     control-field byte range      (MarcUtils.java:699-754)
+  000[6]         leader byte(s) via pseudo-tag 000 (MarcUtils.java:655-660)
+  100[a-cf-z]    subfield regex char-class     (MarcUtils.java:1310-1317)
+  245ab'sep'     custom separator              (MarcUtils.java:1300-1309)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MARC_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType(), False),
+        T.StructField("leader", T.StringType(), True),
+        T.StructField(
+            "controlfields",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType(), False),
+                        T.StructField("data", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField(
+            "datafields",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType(), False),
+                        T.StructField("ind1", T.StringType(), True),
+                        T.StructField("ind2", T.StringType(), True),
+                        T.StructField(
+                            "subfields",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("code", T.StringType(), False),
+                                        T.StructField("value", T.StringType(), True),
+                                    ]
+                                )
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+_SPEC_RE = re.compile(
+    r"^(?P<tag>\d{3}|LNK\d{3})"
+    r"(?:\[(?P<range>[0-9]+(?:-[0-9]+)?|[a-z0-9\-]+)\])?"
+    r"(?P<codes>[a-z0-9]*)"
+    r"(?:'(?P<sep>[^']*)')?$"
+)
+
+
+class _OneSpec:
+    def __init__(self, tag: str, byte_range, codes: str, sep: str, linked: bool):
+        self.tag = tag
+        self.byte_range = byte_range  # (lo, hi) inclusive char idx or None
+        self.codes = codes            # subfield code set/class ('' = all)
+        self.sep = sep
+        self.linked = linked          # LNK prefix -> resolve via 880 $6
+
+
+def parse_spec(spec: str) -> List[_OneSpec]:
+    """Parse a colon-separated tagspec (SolrIndexer.java:188-210 splits on
+    ':' outside quotes; each piece per MarcUtils.java:1286-1330)."""
+    out: List[_OneSpec] = []
+    for piece in spec.split(":"):
+        m = _SPEC_RE.match(piece.strip())
+        if not m:
+            raise ValueError(f"unsupported fieldspec piece: {piece!r}")
+        tag = m.group("tag")
+        linked = tag.startswith("LNK")
+        if linked:
+            tag = tag[3:]
+        rng = None
+        codes = m.group("codes") or ""
+        grp = m.group("range")
+        if grp:
+            is_control = tag.isdigit() and int(tag) < 10
+            if is_control and re.fullmatch(r"[0-9]+(-[0-9]+)?", grp):
+                lo, _, hi = grp.partition("-")
+                rng = (int(lo), int(hi or lo))
+            else:
+                # char-class like a-cf-z (MarcUtils.java:1310-1317)
+                codes = grp
+        out.append(_OneSpec(tag, rng, codes, m.group("sep") or " ", linked))
+    return out
+
+
+def _code_matches(code: Column, codes: str) -> Column:
+    if not codes:
+        return F.lit(True)
+    if "-" in codes:
+        return code.rlike(f"^[{codes}]$")
+    return code.isin(list(codes))
+
+
+def _datafield_values(
+    fields: Column, spec: _OneSpec
+) -> Column:
+    """Per matching field instance: concat of selected subfield values with
+    the spec separator (getSubfieldDataAsSet, MarcUtils.java:633-685)."""
+    matching = F.filter(fields, lambda f: f["tag"] == spec.tag)
+    return F.transform(
+        matching,
+        lambda f: F.array_join(
+            F.transform(
+                F.filter(
+                    f["subfields"],
+                    lambda s: _code_matches(s["code"], spec.codes)
+                    & s["value"].isNotNull(),
+                ),
+                lambda s: s["value"],
+            ),
+            spec.sep,
+        ),
+    )
+
+
+def _linked_880_values(fields: Column, spec: _OneSpec) -> Column:
+    """Vernacular parallels: 880 fields whose $6 starts with the host tag
+    (getLinkedVariableFields, MarcUtils.java:217-233)."""
+    matching = F.filter(
+        fields,
+        lambda f: (f["tag"] == "880")
+        & F.exists(
+            f["subfields"],
+            lambda s: (s["code"] == "6")
+            & s["value"].startswith(spec.tag + "-"),
+        ),
+    )
+    return F.transform(
+        matching,
+        lambda f: F.array_join(
+            F.transform(
+                F.filter(
+                    f["subfields"],
+                    lambda s: _code_matches(s["code"], spec.codes)
+                    & (s["code"] != "6")
+                    & s["value"].isNotNull(),
+                ),
+                lambda s: s["value"],
+            ),
+            spec.sep,
+        ),
+    )
+
+
+def _control_values(control: Column, leader: Column, spec: _OneSpec) -> Column:
+    """Control-field payload (tag 000 = leader, MarcUtils.java:655-660),
+    optionally a byte range [lo-hi] INCLUSIVE (MarcUtils.java:699-754)."""
+    if spec.tag == "000":
+        vals = F.array(leader)
+    else:
+        vals = F.transform(
+            F.filter(control, lambda c: c["tag"] == spec.tag),
+            lambda c: c["data"],
+        )
+    if spec.byte_range is not None:
+        lo, hi = spec.byte_range
+        vals = F.transform(
+            vals, lambda v: v.substr(F.lit(lo + 1), F.lit(hi - lo + 1))
+        )
+    return F.filter(vals, lambda v: v.isNotNull() & (v != ""))
+
+
+def field_list_expr(spec: str,
+                    datafields: str = "datafields",
+                    controlfields: str = "controlfields",
+                    leader: str = "leader") -> Column:
+    """``getFieldList(record, tagStr)`` (MarcUtils.java:1280-1345) as one
+    Column: ordered union of all colon-separated pieces, deduplicated
+    (LinkedHashSet -> array_distinct preserves first-occurrence order)."""
+    pieces = []
+    for one in parse_spec(spec):
+        if one.linked:
+            pieces.append(_linked_880_values(F.col(datafields), one))
+        elif one.tag == "000" or int(one.tag) < 10:
+            pieces.append(
+                _control_values(F.col(controlfields), F.col(leader), one)
+            )
+        else:
+            pieces.append(_datafield_values(F.col(datafields), one))
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = F.concat(merged, p)
+    return F.array_distinct(
+        F.filter(merged, lambda v: v.isNotNull() & (v != ""))
+    )
+
+
+def all_alpha_subfields_expr(tag: str, mode: str = "all",
+                             datafields: str = "datafields") -> Column:
+    """``getAllAlphaSubfields`` (MarcUtils.java:881-918, 938-967): only
+    alphabetic subfield codes, one result per field instance; multi-
+    occurrence modes first/join/all (MarcUtils.java:938-967)."""
+    per_field = F.transform(
+        F.filter(F.col(datafields), lambda f: f["tag"] == tag),
+        lambda f: F.array_join(
+            F.transform(
+                F.filter(
+                    f["subfields"],
+                    lambda s: s["code"].rlike("^[a-z]$") & s["value"].isNotNull(),
+                ),
+                lambda s: s["value"],
+            ),
+            " ",
+        ),
+    )
+    per_field = F.filter(per_field, lambda v: v != "")
+    if mode == "first":
+        return F.element_at(per_field, 1)
+    if mode == "join":
+        return F.array_join(per_field, " ")
+    return per_field
+
+
+def all_searchable_expr(lo: int, hi: int,
+                        datafields: str = "datafields") -> Column:
+    """``getAllSearchableFields(rec, lo, hi)`` (MarcUtils.java:178-202):
+    concat of ALL subfields of data fields with lo <= tag < hi — the
+    catch-all search text (the analog of the web page's ``text`` column)."""
+    fields = F.filter(
+        F.col(datafields),
+        lambda f: (f["tag"].cast("int") >= lo) & (f["tag"].cast("int") < hi),
+    )
+    return F.array_join(
+        F.flatten(
+            F.transform(
+                fields,
+                lambda f: F.transform(
+                    F.filter(f["subfields"], lambda s: s["value"].isNotNull()),
+                    lambda s: s["value"],
+                ),
+            )
+        ),
+        " ",
+    )
+
+
+def remove_fields_expr(tag_pattern: str,
+                       datafields: str = "datafields") -> Column:
+    """Negative projection (MarcUtils.removeFields, MarcUtils.java:67-77;
+    MarcFilteredReader delete-subfields, MarcFilteredReader.java:126-160)."""
+    return F.filter(
+        F.col(datafields), lambda f: ~f["tag"].rlike(tag_pattern)
+    )
+
+
+def include_if_present(df: DataFrame, spec: str,
+                       contains: Optional[str] = None) -> DataFrame:
+    """``marc.include_if_present`` / ``…contains`` record filter
+    (MarcFilteredReader.java:59-79, 161-171): keep a record iff the spec
+    yields values (optionally one matching a regex)."""
+    vals = field_list_expr(spec)
+    cond = F.size(vals) > 0
+    if contains is not None:
+        cond = F.exists(vals, lambda v: v.rlike(contains))
+    return df.filter(cond)
+
+
+def include_if_missing(df: DataFrame, spec: str) -> DataFrame:
+    """Inverse gate (MarcFilteredReader.java:173-181)."""
+    return df.filter(F.size(field_list_expr(spec)) == 0)
+
+
+def first_field_expr(spec: str, **kw) -> Column:
+    """'first' handling (SolrIndexer.java:645-646): first value only."""
+    return F.element_at(field_list_expr(spec, **kw), 1)

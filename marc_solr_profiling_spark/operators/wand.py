@@ -136,6 +136,7 @@ def wand_topk(
     if not qterms:
         return empty
     drows = index.dictionary.filter(F.col("term").isin(qterms)).collect()
+    # (few terms: a literal In is fine here; the batch path broadcast-joins)
     if not drows:
         return empty
     idf_by_term = {
@@ -188,7 +189,11 @@ def wand_topk_batch(
         return spark.createDataFrame(
             [], "qid int, doc_id long, score double, rank int"
         )
-    drows = index.dictionary.filter(F.col("term").isin(all_terms)).collect()
+    # broadcast-join, NOT isin: a literal In over thousands of query terms
+    # generates enormous codegen (multi-second compile); a broadcast hash
+    # join keeps the probe per-row and the plan small
+    qterms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    drows = index.dictionary.join(F.broadcast(qterms_df), "term").collect()
     idf_by_term = {r["term"]: bm25_idf(index.n_docs, int(r["df"])) for r in drows}
     avgdl = index.avgdl
     kk = int(k)
@@ -246,7 +251,10 @@ def wand_topk_batch(
             }
         )
 
-    matched = index.segments.filter(F.col("term").isin(list(idf_by_term)))
+    hit_df = spark.createDataFrame(
+        [(t,) for t in idf_by_term], "term string"
+    )
+    matched = index.segments.join(F.broadcast(hit_df), "term")
     candidates = matched.repartition("salt").mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )

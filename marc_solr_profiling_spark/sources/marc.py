@@ -1,0 +1,268 @@
+"""MARC21 binary (ISO 2709) source/sink — the reference's primary input
+format, re-expressed for Spark.
+
+Reference surfaces covered (SURVEY.md §2.1/§2.2):
+  * binary stream scan  — ``MarcPermissiveStreamReader`` call site,
+    core/src/org/solrmarc/marc/MarcHandler.java:425-431 (permissive:
+    malformed records are skipped with an error note, never fatal)
+  * raw-record scan     — ``RawRecordReader`` lazy split into (id, bytes)
+    without full parse, core/src/org/solrmarc/marc/RawRecordReader.java:24-35,
+    core/src/org/solrmarc/tools/RawRecord.java:26-131 (project-then-parse:
+    the id comes from the directory alone)
+  * serializer sinks    — ``MarcUtils.getRecordAsBinaryStr/JsonStr``
+    core/src/org/solrmarc/tools/MarcUtils.java:1619-1691
+
+Wire format (public ISO 2709 / MARC21): 24-byte leader (bytes 0-4 record
+length, 12-16 base address), directory of 12-byte entries
+(tag:3 len:4 start:5) terminated by 0x1E, then fields — data fields are
+ind1 ind2 (0x1F code value)* 0x1E — and a 0x1D record terminator.
+
+Spark shape: ``spark.read.format("binaryFile")`` (or any (path, content)
+table) -> ``mapInPandas`` record splitter -> MARC_SCHEMA rows. Splitting is
+per-file and order-preserving (``seq`` column), so the combining operators
+(operators/marc_merge.py) see the reference's "consecutive records" notion.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.fieldspec import MARC_SCHEMA
+
+FT = b"\x1e"   # field terminator
+RT = b"\x1d"   # record terminator
+SF = b"\x1f"   # subfield delimiter
+
+RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+    + list(MARC_SCHEMA.fields)
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python codec (shared by UDFs and tests)
+# ---------------------------------------------------------------------------
+
+
+def encode_record(leader: str, controlfields: List[Tuple[str, str]],
+                  datafields) -> bytes:
+    """Record -> ISO 2709 bytes. ``datafields`` rows are
+    (tag, ind1, ind2, [(code, value), ...])."""
+    parts: List[bytes] = []
+    directory = b""
+    start = 0
+    for tag, data in controlfields:
+        body = data.encode("utf-8") + FT
+        directory += f"{tag:>03}{len(body):04d}{start:05d}".encode()
+        parts.append(body)
+        start += len(body)
+    for tag, ind1, ind2, subs in datafields:
+        body = (ind1 or " ").encode() + (ind2 or " ").encode()
+        for code, value in subs:
+            body += SF + code.encode() + (value or "").encode("utf-8")
+        body += FT
+        directory += f"{tag:>03}{len(body):04d}{start:05d}".encode()
+        parts.append(body)
+        start += len(body)
+    directory += FT
+    base = 24 + len(directory)
+    payload = b"".join(parts) + RT
+    total = base + len(payload)
+    lead = (f"{total:05d}" + leader[5:12] + f"{base:05d}" + leader[17:24])
+    lead = lead[:24].ljust(24)
+    return lead.encode("utf-8")[:24] + directory + payload
+
+
+def decode_record(buf: bytes):
+    """ISO 2709 bytes -> (leader, controlfields, datafields). Permissive:
+    raises ValueError with a reason on structural corruption (the caller
+    quarantines, mirroring MarcImporter's error triage,
+    MarcImporter.java:202-257)."""
+    if len(buf) < 24:
+        raise ValueError("record shorter than leader")
+    leader = buf[:24].decode("utf-8", errors="replace")
+    try:
+        base = int(leader[12:17])
+    except ValueError as e:
+        raise ValueError(f"bad base address: {leader[12:17]!r}") from e
+    dir_end = buf.find(FT)
+    if dir_end < 0 or dir_end > base:
+        raise ValueError("missing directory terminator")
+    directory = buf[24:dir_end]
+    if len(directory) % 12:
+        raise ValueError("directory not a multiple of 12")
+    control, data = [], []
+    for i in range(0, len(directory), 12):
+        entry = directory[i:i + 12]
+        tag = entry[:3].decode("ascii", errors="replace")
+        try:
+            ln = int(entry[3:7])
+            st = int(entry[7:12])
+        except ValueError as e:
+            raise ValueError(f"bad directory entry {entry!r}") from e
+        body = buf[base + st: base + st + ln]
+        if body.endswith(FT):
+            body = body[:-1]
+        if tag < "010":
+            control.append((tag, body.decode("utf-8", errors="replace")))
+        else:
+            ind1 = body[0:1].decode("utf-8", errors="replace") or " "
+            ind2 = body[1:2].decode("utf-8", errors="replace") or " "
+            subs = []
+            for piece in body[2:].split(SF):
+                if not piece:
+                    continue
+                subs.append(
+                    (piece[:1].decode("utf-8", errors="replace"),
+                     piece[1:].decode("utf-8", errors="replace"))
+                )
+            data.append((tag, ind1, ind2, subs))
+    return leader, control, data
+
+
+def split_records(stream: bytes) -> List[bytes]:
+    """Split a concatenated MARC file into per-record byte slices using the
+    leader's record-length bytes, falling back to the record terminator when
+    the length field is corrupt (the permissive-reader recovery)."""
+    out, pos, n = [], 0, len(stream)
+    while pos < n:
+        if n - pos < 24:
+            break
+        try:
+            ln = int(stream[pos:pos + 5])
+        except ValueError:
+            nxt = stream.find(RT, pos)
+            if nxt < 0:
+                break
+            ln = nxt - pos + 1
+        if ln <= 0:
+            break
+        out.append(stream[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def raw_record_id(buf: bytes) -> Optional[str]:
+    """Cheap 001 extraction from directory + payload WITHOUT a full parse —
+    the RawRecord.getRecordId project-then-parse discipline
+    (RawRecord.java:124-160): read only the first directory entry's slice."""
+    try:
+        base = int(buf[12:17])
+        directory = buf[24:buf.find(FT)]
+        for i in range(0, len(directory) - 11, 12):
+            if directory[i:i + 3] == b"001":
+                ln = int(directory[i + 3:i + 7])
+                st = int(directory[i + 7:i + 12])
+                return (
+                    buf[base + st: base + st + ln]
+                    .rstrip(FT).decode("utf-8", errors="replace")
+                )
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# DataFrame surfaces
+# ---------------------------------------------------------------------------
+
+
+def read_marc_binary(binary_df: DataFrame,
+                     path_col: str = "path",
+                     content_col: str = "content") -> DataFrame:
+    """(path, content) rows (e.g. ``spark.read.format('binaryFile')``) ->
+    one MARC_SCHEMA row per record (+ path, per-file seq, parse_error).
+    Malformed records become quarantine rows with ``parse_error`` set and
+    null leader — never an exception (permissive semantics)."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                for seq, raw in enumerate(split_records(bytes(content))):
+                    rid = raw_record_id(raw)
+                    try:
+                        leader, control, data = decode_record(raw)
+                        rows.append(
+                            (path, seq, None, rid or "", leader, control, data)
+                        )
+                    except ValueError as e:
+                        rows.append(
+                            (path, seq, str(e), rid or "", None, None, None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "seq", "parse_error", "record_id",
+                         "leader", "controlfields", "datafields"],
+            )
+
+    return binary_df.select(path_col, content_col).mapInPandas(
+        parse, schema=RECORDS_SCHEMA
+    )
+
+
+def raw_record_ids(binary_df: DataFrame,
+                   path_col: str = "path",
+                   content_col: str = "content") -> DataFrame:
+    """(path, seq, record_id, n_bytes) without full parse — the lazy
+    RawRecordReader projection (column pruning for binary payloads)."""
+    import pandas as pd
+
+    def ids(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                for seq, raw in enumerate(split_records(bytes(content))):
+                    rows.append((path, seq, raw_record_id(raw), len(raw)))
+            yield pd.DataFrame(
+                rows, columns=["path", "seq", "record_id", "n_bytes"]
+            )
+
+    return binary_df.select(path_col, content_col).mapInPandas(
+        ids, schema="path string, seq int, record_id string, n_bytes long"
+    )
+
+
+def record_to_json(leader: str, controlfields, datafields) -> str:
+    """MARC-in-JSON rendering (MarcUtils.getRecordAsJsonStr,
+    MarcUtils.java:1619-1691 family)."""
+    return json.dumps(
+        {
+            "leader": leader,
+            "fields": [
+                {t: d} for t, d in (controlfields or [])
+            ] + [
+                {
+                    t: {
+                        "ind1": i1,
+                        "ind2": i2,
+                        "subfields": [{c: v} for c, v in subs],
+                    }
+                }
+                for t, i1, i2, subs in (datafields or [])
+            ],
+        },
+        ensure_ascii=False,
+        sort_keys=False,
+    )
+
+
+def records_to_marc_json(df: DataFrame) -> DataFrame:
+    """MARC_SCHEMA rows -> (record_id, marc_json string) via native
+    to_json on the struct (the JSON export sink)."""
+    return df.select(
+        "record_id",
+        F.to_json(
+            F.struct("leader", "controlfields", "datafields")
+        ).alias("marc_json"),
+    )

@@ -1,0 +1,175 @@
+"""Mapping-test tier for the field-spec DSL and domain functions — the
+analog of the reference's SolrFieldMappingTest harness
+(core/test/src/org/solrmarc/testUtils/SolrFieldMappingTest.java:61-123:
+build a synthetic record, run only the extraction, assert values)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.functions.domain import (
+    era_expr, expand_era, format_expr, is_mhld_expr, sortable_title_expr,
+    split_lang_codes_expr, url_class_expr,
+)
+from marc_solr_profiling_spark.operators.fieldspec import (
+    MARC_SCHEMA, all_alpha_subfields_expr, all_searchable_expr,
+    field_list_expr, first_field_expr, include_if_missing,
+    include_if_present, parse_spec, remove_fields_expr,
+)
+
+
+def _rec(record_id="u1", leader="01234cam a2200000 a 4500",
+         control=None, data=None):
+    return (record_id, leader, control or [], data or [])
+
+
+@pytest.fixture(scope="module")
+def marc_df(spark):
+    rows = [
+        _rec(
+            "u1",
+            control=[("001", "u1"), ("008", "920403s1992    caua     b    000 0 eng  ")],
+            data=[
+                ("245", "1", "4", [("a", "The title"), ("b", "a subtitle"),
+                                   ("c", "by Someone")]),
+                ("100", "1", " ", [("a", "Author, Ann"), ("d", "1950-")]),
+                ("650", " ", "0", [("a", "Cats"), ("x", "History")]),
+                ("650", " ", "0", [("a", "Dogs")]),
+                ("880", "1", " ", [("6", "245-01"), ("a", "标题"), ("b", "副标题")]),
+                ("999", " ", " ", [("a", "QA76.73 .S67")]),
+            ],
+        ),
+        _rec(
+            "u2",
+            leader="01234cuas2200000 a 4500",  # leader byte 06 (0-based) = u -> MHLD
+            control=[("001", "u2"), ("008", "750727c19589999enkqr p       0   a0eng  ")],
+            data=[
+                ("245", "0", "0", [("a", "Serial title")]),
+                ("041", " ", " ", [("a", "engfreger")]),
+                ("045", " ", " ", [("a", "a9b3")]),
+                ("856", "4", "2", [("u", "http://x"), ("z", "Table of contents only")]),
+                ("856", "4", "0", [("u", "http://y"), ("z", "full view")]),
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, MARC_SCHEMA)
+
+
+def test_parse_spec_families():
+    specs = parse_spec("245ab:008[35-37]:100[a-cf-z]:LNK245ab:000[6]")
+    assert [s.tag for s in specs] == ["245", "008", "100", "245", "000"]
+    assert specs[1].byte_range == (35, 37)
+    assert specs[2].codes == "a-cf-z"
+    assert specs[3].linked
+    assert specs[4].byte_range == (6, 6)
+
+
+def _one(df, col, rid="u1"):
+    return df.filter(F.col("record_id") == rid).select(col.alias("v")).first()["v"]
+
+
+def test_subfield_select_concat(marc_df):
+    assert _one(marc_df, field_list_expr("245ab")) == ["The title a subtitle"]
+    # repeatable tags: one value per field instance, ordered
+    assert _one(marc_df, field_list_expr("650a")) == ["Cats", "Dogs"]
+    # custom separator (MarcUtils.java:1300-1309)
+    assert _one(marc_df, field_list_expr("245ab'--'")) == ["The title--a subtitle"]
+
+
+def test_colon_union_dedup(marc_df):
+    # union across pieces, LinkedHashSet order
+    assert _one(marc_df, field_list_expr("650a:245a")) == [
+        "Cats", "Dogs", "The title"
+    ]
+    # dedup across pieces
+    assert _one(marc_df, field_list_expr("650a:650a")) == ["Cats", "Dogs"]
+
+
+def test_control_byte_range_and_leader(marc_df):
+    # 008[35-37] = language (MarcUtils.java:699-754)
+    assert _one(marc_df, field_list_expr("008[35-37]")) == ["eng"]
+    # leader via pseudo-tag 000 (MarcUtils.java:655-660); byte 06 = type
+    assert _one(marc_df, field_list_expr("000[6]")) == ["a"]
+    assert _one(marc_df, field_list_expr("000[6]"), "u2") == ["u"]
+
+
+def test_subfield_char_class(marc_df):
+    # 100[a-cf-z]: includes a..c and f..z -> excludes d (the date)
+    assert _one(marc_df, field_list_expr("100[a-cf-z]")) == ["Author, Ann"]
+
+
+def test_linked_880(marc_df):
+    assert _one(marc_df, field_list_expr("LNK245ab")) == ["标题 副标题"]
+
+
+def test_first_and_alpha_modes(marc_df):
+    assert _one(marc_df, first_field_expr("650a")) == "Cats"
+    assert _one(marc_df, all_alpha_subfields_expr("650", "all")) == [
+        "Cats History", "Dogs"
+    ]
+    assert _one(marc_df, all_alpha_subfields_expr("650", "first")) == "Cats History"
+    assert _one(marc_df, all_alpha_subfields_expr("650", "join")) == "Cats History Dogs"
+
+
+def test_all_searchable_range(marc_df):
+    got = _one(marc_df, all_searchable_expr(100, 900))
+    assert got.startswith("The title a subtitle by Someone Author, Ann")
+    assert "QA76.73" not in got  # 999 outside [100, 900)
+    assert "标题" in got  # 880 inside range
+
+
+def test_remove_fields_and_gates(marc_df):
+    kept = _one(marc_df, F.transform(remove_fields_expr("^(650|880)$"),
+                                     lambda f: f["tag"]))
+    assert kept == ["245", "100", "999"]
+    assert include_if_present(marc_df, "041a").count() == 1
+    assert include_if_present(marc_df, "650a", contains="^Cat").count() == 1
+    assert include_if_missing(marc_df, "041a").count() == 1
+
+
+def test_format_and_mhld(marc_df):
+    got = {
+        r["record_id"]: (r["fmt"], r["mhld"])
+        for r in marc_df.select(
+            "record_id",
+            format_expr().alias("fmt"),
+            is_mhld_expr().alias("mhld"),
+        ).collect()
+    }
+    assert got["u1"] == ("Book", False)   # type=a, level=m
+    assert got["u2"][1] is True           # leader/06=u
+
+
+def test_era_expansion(spark):
+    assert expand_era("d6") == ["d6"]
+    assert expand_era("a9b3") == ["a9", "b0", "b1", "b2", "b3"]
+    assert expand_era("b3a9") == []
+    assert expand_era("zz") == []
+    df = spark.createDataFrame(
+        [("d6",), ("a9b3",), ("b3a9",), ("junk",)], "era string"
+    )
+    got = [r["e"] for r in df.select(era_expr("era").alias("e")).collect()]
+    assert got == [["d6"], ["a9", "b0", "b1", "b2", "b3"], [], []]
+
+
+def test_url_class(spark):
+    df = spark.createDataFrame(
+        [("0", "full view"), ("2", "extra"), ("1", "Table of Contents"),
+         (" ", None)],
+        "ind2 string, note string",
+    )
+    got = [r["c"] for r in df.select(url_class_expr("ind2", "note").alias("c")).collect()]
+    assert got == ["fulltext", "supplemental", "supplemental", "unknown"]
+
+
+def test_sortable_title_and_lang_split(spark):
+    df = spark.createDataFrame(
+        [("The title", "4"), ("A tale", "2"), ("Plain", " ")],
+        "title string, ind2 string",
+    )
+    got = [r["s"] for r in df.select(
+        sortable_title_expr("title", "ind2").alias("s")).collect()]
+    assert got == ["title", "tale", "plain"]
+    df2 = spark.createDataFrame([("engfreger",), ("en",)], "langs string")
+    got2 = [r["l"] for r in df2.select(
+        split_lang_codes_expr("langs").alias("l")).collect()]
+    assert got2 == [["eng", "fre", "ger"], ["en"]]
