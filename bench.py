@@ -40,6 +40,7 @@ HEADLINE = [
     "search_facet_lang",
     "lsh_candidates",
     "knn_ivf",
+    "year_facet",
 ]
 
 

@@ -161,9 +161,10 @@ def build_index(
             doc_tbl = doc_lens.join(keys, "doc_id")
         else:
             doc_tbl = doc_lens
-        store.commit_stage("docs", doc_tbl,
-                           repartition_range=["doc_id"],
-                           partition_sort=["doc_id"])
+        # sorted within partitions (row-group pruning on doc_id) without a
+        # range repartition: the range sampler costs an extra pass, and the
+        # doc table is only ever point-joined, never range-scanned
+        store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
 
     if not store.stage_complete("stats"):
         ds = store.read_stage(spark, "docs")

@@ -196,6 +196,32 @@ def q_facet_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(_load(spark, sf_dir, "orders"), "o_orderpriority", limit=21)
 
 
+def q_year_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric facet — the pub-year 'slider' analog (pub_year_itsim,
+    prof_index.properties:11 + solrconfig.xml:279): doc counts per event
+    year. Trie precision-stepping is obsolete: a native year() over the
+    timestamp + groupBy, with parquet min/max pruning doing the range
+    acceleration (SURVEY.md §4)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.select(F.year("ts").cast("long").alias("year"))
+        .groupBy("year")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.asc("year"))
+    )
+
+
+def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-doc fetch — the /document handler ({!raw f=id},
+    solrconfig.xml:284-291): point lookup by key."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") == 42)
+        .select("doc_id", "text", "lang", "source")
+        .limit(1)
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = exact_dup_groups(_load(spark, sf_dir, "documents"), key_col="doc_id")
     return groups.select(
@@ -633,6 +659,13 @@ GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 21
 SELECT o_orderpriority, count(*) AS count FROM orders WHERE o_orderpriority IS NOT NULL
 GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority ASC LIMIT 21
 """,
+    "year_facet": """
+SELECT year(ts)::BIGINT AS year, count(*) AS count
+FROM events GROUP BY 1 ORDER BY year ASC
+""",
+    "doc_fetch": """
+SELECT doc_id, text, lang, source FROM documents WHERE doc_id = 42 LIMIT 1
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id)::BIGINT AS min_key
 FROM documents GROUP BY 1 HAVING count(*) > 1
@@ -681,6 +714,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_source": q_facet_source,
     "facet_event_type": q_facet_event_type,
     "facet_order_priority": q_facet_order_priority,
+    "year_facet": q_year_facet,
+    "doc_fetch": q_doc_fetch,
     "dedup_exact": q_dedup_exact,
     "text_profile": q_text_profile,
     "ngram_jaccard": q_ngram_jaccard,
