@@ -73,6 +73,28 @@ def lop_volume(callnum: str | None) -> str | None:
     return _LOP_RE.sub("", callnum).rstrip()
 
 
+def _normalize_rest(rest: str) -> str:
+    """Normalize everything after the class number: cutters become
+    ' Ldigits' fraction tokens, and ALL text between/after cutters stays in
+    the key IN POSITION (lowercased, numeric runs zero-padded) — dropping
+    inter-cutter text (e.g. the '1999' in 'QA76 .A1 1999 .B2') would
+    collide distinct call numbers onto one shelfkey and break browse order
+    (CallNumUtils.java:760-830 keeps suffix tokens in sequence)."""
+    out = []
+    pos = 0
+    for cm in _CUTTER_RE.finditer(rest):
+        gap = rest[pos:cm.start()].strip().lower()
+        if gap:
+            out.append(re.sub(r"\d+", lambda x: x.group(0).zfill(6), gap))
+        out.append(f"{cm.group('letter')}{cm.group('digits')}")
+        pos = cm.end()
+    residue = rest[pos:].strip().lower()
+    if residue:
+        # numeric runs zero-padded (year/volume suffixes sort naturally)
+        out.append(re.sub(r"\d+", lambda x: x.group(0).zfill(6), residue))
+    return " ".join(out)
+
+
 def lc_shelfkey(callnum: str | None) -> str | None:
     """Sortable LC key: letters (3-padded) + class int (6-padded) + decimal
     (right-padded) + cutters as 'letter digits' fractions + folded residue.
@@ -87,22 +109,16 @@ def lc_shelfkey(callnum: str | None) -> str | None:
     num = m.group("num")
     whole, _, dec = num.partition(".")
     key = letters + whole.zfill(6) + "." + dec.ljust(6, "0")
-    rest = m.group("rest")
-    pos = 0
-    for cm in _CUTTER_RE.finditer(rest):
-        key += f" {cm.group('letter')}{cm.group('digits')}"
-        pos = cm.end()
-    residue = rest[pos:].strip().lower()
-    # residue numeric runs zero-padded (year/volume suffixes sort naturally)
-    residue = re.sub(r"\d+", lambda x: x.group(0).zfill(6), residue)
-    if residue:
-        key += " " + residue
+    rest = _normalize_rest(m.group("rest"))
+    if rest:
+        key += " " + rest
     return key
 
 
 def dewey_shelfkey(callnum: str | None) -> str | None:
     """Dewey: class zero-padded to 3 (getDeweyB4Cutter pad discipline) +
-    decimal + normalized cutter."""
+    decimal + normalized cutter (same case discipline as lc_shelfkey:
+    uppercase cutter letters, lowercase residue)."""
     if not callnum:
         return None
     m = _DEWEY_RE.match(callnum)
@@ -110,9 +126,8 @@ def dewey_shelfkey(callnum: str | None) -> str | None:
         return None
     whole, _, dec = m.group("num").partition(".")
     key = whole.zfill(3) + "." + dec.ljust(8, "0")
-    rest = m.group("rest").strip().upper()
+    rest = _normalize_rest(m.group("rest").upper())
     if rest:
-        rest = re.sub(r"\d+", lambda x: x.group(0).zfill(6), rest.lower())
         key += " " + rest
     return key
 

@@ -163,4 +163,9 @@ def split_lang_codes_expr(col: str) -> Column:
         F.sequence(F.lit(0), (n / 3).cast("int") - 1),
         lambda i: c.substr(i * 3 + 1, F.lit(3)),
     )
-    return F.when(n % 3 == 0, split3).otherwise(F.array(c))
+    # n > 0 guard: an empty string satisfies n % 3 == 0 but sequence(0, -1)
+    # yields a DESCENDING [0, -1] (two phantom codes); the reference emits
+    # nothing for empty 041a values
+    return F.when((n > 0) & (n % 3 == 0), split3).otherwise(
+        F.when(n > 0, F.array(c)).otherwise(F.array().cast("array<string>"))
+    )

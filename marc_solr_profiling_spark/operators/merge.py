@@ -11,15 +11,18 @@ on plain parquet-backed tables:
     result = (base ANTI-JOIN mods-keys ANTI-JOIN deletes)
              UNION ALL (mods ANTI-JOIN deletes)
 
-Spark picks sort-merge joins for the big sides; delete/mod key sets are
-usually small -> broadcast hash anti-joins (the reference's sorted-stream
-assumption replaced by hash semantics, no pre-sort required).
+Join-strategy note (100 TB shape): the mod/delete key sets are UNBOUNDED —
+a nightly delta can be 10% of the corpus — so the anti-joins carry NO
+forced broadcast hint. AQE + ``autoBroadcastJoinThreshold`` pick a
+broadcast hash join when the key side measures small at runtime and fall
+back to a shuffled sort-merge/hash join when it doesn't; a hard
+``F.broadcast()`` here would be a driver/executor OOM at scale, not a plan
+choice.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def merge_upsert_delete(
@@ -34,18 +37,18 @@ def merge_upsert_delete(
     result = base
     if mods is not None:
         mod_keys = mods.select(key_col).distinct()
-        result = result.join(F.broadcast(mod_keys), key_col, "left_anti")
+        result = result.join(mod_keys, key_col, "left_anti")
         result = result.unionByName(mods)
     if deletes is not None:
         del_keys = deletes.select(key_col).distinct()
-        result = result.join(F.broadcast(del_keys), key_col, "left_anti")
+        result = result.join(del_keys, key_col, "left_anti")
     return result
 
 
 def delete_by_keys(df: DataFrame, delete_keys: DataFrame,
                    key_col: str = "url") -> DataFrame:
     """Delete-list application: left-anti semi-join (the ``.del`` file path,
-    ``MarcImporter.java:348-416``)."""
+    ``MarcImporter.java:348-416``). No broadcast hint — see module note."""
     return df.join(
-        F.broadcast(delete_keys.select(key_col).distinct()), key_col, "left_anti"
+        delete_keys.select(key_col).distinct(), key_col, "left_anti"
     )

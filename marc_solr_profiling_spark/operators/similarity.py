@@ -132,37 +132,117 @@ def hyperplane_lsh_buckets(
 
 def ivf_assignments(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
-    by cosine. ``centroids`` is a SMALL DataFrame (cid, cvec) — broadcast;
-    the assignment is one scan + per-row argmax (window over the broadcast
-    product, partitioned by vector key so no global shuffle of the corpus).
+    by cosine.
+
+    ``centroids`` is either a Python list of ``(cid, vector)`` pairs —
+    centroids are by definition a small driver-sized set — or a small
+    DataFrame ``(cid, cvec)``.
+
+    Scale shape: with literal centroids the argmax is a PURE PER-ROW
+    expression (array of per-centroid struct(ccos, -cid) -> array_max) —
+    one corpus scan, ZERO shuffle, nothing materialized per (vector x
+    centroid). With a DataFrame it is broadcast-product + a partial-
+    aggregatable ``max_by`` per key (map-side combine; no window sort over
+    the blown-up product — the round-1 window/row_number plan shuffled
+    corpus x n_centroids rows).
 
     Determinism: cosine rounded to ``round_to`` before the argmax, ties
     break by cid ascending — the exact rule the SQL oracle applies.
     Output: (key, cid, ccos).
     """
-    from pyspark.sql import Window
+    if isinstance(centroids, DataFrame):
+        scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+            F.col(key_col),
+            F.col("cid"),
+            F.round(
+                _dot(F.col(vec_col), F.col("cvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+                round_to,
+            ).alias("ccos"),
+        )
+        best = scored.groupBy(key_col).agg(
+            F.max_by(
+                F.struct("cid", "ccos"),
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("_nc")),
+            ).alias("_best")
+        )
+        return best.select(key_col, "_best.cid", "_best.ccos")
 
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+    # literal-centroid path: per-row expression, no join, no shuffle
+    best = _nearest_centroid_expr(vec_col, centroids, round_to)
+    return embeddings.select(
         F.col(key_col),
-        F.col("cid"),
-        F.round(
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
-            round_to,
-        ).alias("ccos"),
+        (-best["_nc"]).cast("long").alias("cid"),
+        best["ccos"].alias("ccos"),
     )
-    w = Window.partitionBy(key_col).orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
+
+
+def _nearest_centroid_expr(vec_col: str, centroids, round_to: int):
+    """struct(ccos, -cid) of the nearest centroid, as one per-row
+    expression: array of per-centroid structs -> array_max (struct compare
+    = ccos first, then -cid, so ties resolve to the smallest cid)."""
+    vnorm = _norm(F.col(vec_col))
+    entries = []
+    for cid, cvec in centroids:
+        cv = [float(x) for x in cvec]
+        carr = F.array(*[F.lit(x) for x in cv])
+        cn = math.sqrt(sum(x * x for x in cv)) or 1.0
+        ccos = F.round(_dot(F.col(vec_col), carr) / (vnorm * F.lit(cn)),
+                       round_to)
+        entries.append(F.struct(
+            ccos.alias("ccos"), F.lit(-int(cid)).alias("_nc")
+        ))
+    return F.array_max(F.array(*entries))
+
+
+def kmeans_sample_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    sample_n: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Sampled k-means for IVF centroids (the scale path next to the
+    deterministic first-k pick): draw <= ``sample_n`` vectors (one bounded
+    collect — at 100 TB this is a ``TABLESAMPLE``-sized fetch, never the
+    corpus), run Lloyd iterations on the driver with numpy over unit-
+    normalized vectors (spherical k-means, matching the cosine metric),
+    and return ``[(cid, centroid_vector), ...]`` ordered by cid.
+
+    This is the k-means|| stand-in: a real 10^12-row deployment seeds from
+    a distributed sample exactly like this; only the sampling transport
+    changes. Deterministic for a fixed seed."""
+    import numpy as np
+
+    n_total = embeddings.count()
+    frac = min(1.0, (sample_n * 1.2) / max(n_total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
     )
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=min(k, X.shape[0]), replace=False)]
+    for _ in range(n_iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            if members.size:
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [(j, C[j].tolist()) for j in range(C.shape[0])]
 
 
 def ann_ivf_topk(
@@ -176,42 +256,46 @@ def ann_ivf_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """IVF approximate NN: centroids are the first ``n_centroids`` corpus
-    vectors by key (deterministic, oracle-replicable — at real scale these
-    come from a k-means sample, which only changes the centroid table).
+    vectors by key (deterministic, oracle-replicable — at real scale use
+    ``kmeans_sample_centroids``, which only changes the centroid list).
     The query probes its ``n_probe`` nearest centroids and brute-forces only
     those clusters.
 
-    Scale shape: the assignment is one broadcast-product scan (the inverted
-    lists would be written once as a bucketed table); the probe filters the
-    corpus to ~n_probe/n_centroids of its rows before exact scoring.
+    Scale shape: centroids are collected once (n_centroids rows — driver-
+    sized by definition) and the assignment + probe filter become ONE pure
+    per-row expression over a single corpus scan — no crossJoin
+    materialization, no window, no shuffle before the final top-k (the
+    inverted lists would be written once as a bucketed table at 100 TB).
+    The probe set is computed with plain Python math on the collected
+    centroids.
     """
     import math as _math
 
-    centroids = embeddings.orderBy(F.asc(key_col)).limit(n_centroids).select(
-        F.col(key_col).alias("cid"), F.col(vec_col).alias("cvec")
+    cent_rows = (
+        embeddings.orderBy(F.asc(key_col)).limit(n_centroids)
+        .select(key_col, vec_col).collect()
     )
-    assign = ivf_assignments(
-        embeddings, centroids, key_col=key_col, vec_col=vec_col,
-        round_to=round_to,
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    # query-side probe list: nearest n_probe centroids to the query vector
+    # (tie: cid asc), pure driver math on the tiny centroid list
+    qv = [float(x) for x in query_vec]
+    qn = _math.sqrt(sum(x * x for x in qv)) or 1.0
+    qcos = []
+    for cid, cvec in centroids:
+        cn = _math.sqrt(sum(x * x for x in cvec)) or 1.0
+        dot = sum(a * b for a, b in zip(cvec, qv))
+        qcos.append((round(dot / (cn * qn), round_to), -cid))
+    qcos.sort(reverse=True)
+    probe_cids = {-nc for _, nc in qcos[:n_probe]}
+
+    # assignment + probe filter fused into the scan itself: no self-join —
+    # each row computes its nearest centroid inline and survives iff that
+    # cid is probed
+    best = _nearest_centroid_expr(vec_col, centroids, round_to)
+    candidates = embeddings.filter(
+        (-best["_nc"]).isin(sorted(probe_cids))
     )
-    # query-side probe list: tiny (n_centroids rows) — computed in Spark for
-    # one plan, but it is a driver-sized problem
-    qn = _math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe = (
-        centroids.select(
-            "cid",
-            F.round(
-                _dot(F.col("cvec"), q) / (_norm(F.col("cvec")) * F.lit(qn)),
-                round_to,
-            ).alias("qcos"),
-        )
-        .orderBy(F.desc("qcos"), F.asc("cid"))
-        .limit(n_probe)
-        .select("cid")
-    )
-    cand_keys = assign.join(F.broadcast(probe), "cid").select(key_col)
-    candidates = embeddings.join(cand_keys, key_col)
     return cosine_topk(
         candidates, query_vec, key_col=key_col, vec_col=vec_col, k=k,
         round_to=round_to,

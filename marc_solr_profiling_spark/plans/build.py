@@ -23,7 +23,8 @@ from .lineage import IndexStore, config_fingerprint
 
 
 def assign_doc_ids(docs: DataFrame, key_col: str = "url",
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   _persist_handle: list | None = None) -> DataFrame:
     """Dense, deterministic numeric docIDs in key order (docid ascending ==
     url ascending, so docid tie-breaks equal the oracle's url tie-breaks).
 
@@ -40,6 +41,9 @@ def assign_doc_ids(docs: DataFrame, key_col: str = "url",
         .withColumn("_pid", F.spark_partition_id())
     )
     arranged = arranged.persist()
+    if _persist_handle is not None:
+        # caller takes ownership of unpersisting once its stages are done
+        _persist_handle.append(arranged)
     counts = {
         r["_pid"]: r["n"]
         for r in arranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -125,11 +129,23 @@ def build_index(
         )
     )
 
-    if not store.stage_complete("tf"):
+    need_tf = not store.stage_complete("tf")
+    need_docs = not store.stage_complete("docs")
+    persisted: list = []
+    with_ids = None
+    if need_tf or (need_docs and key_col != "doc_id"):
+        # ONE id assignment shared by the tf and docs stages (the range-
+        # partition + sort + count pass runs once; round 1 ran it twice and
+        # leaked its persist)
         if id_col is not None:
             with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
         else:
-            with_ids = assign_doc_ids(docs, key_col=key_col, partitions=partitions)
+            with_ids = assign_doc_ids(
+                docs, key_col=key_col, partitions=partitions,
+                _persist_handle=persisted,
+            )
+
+    if need_tf:
         # column pruning before the analyzer stage: the build needs only
         # (doc_id, text) here — never carry html payloads into the Python
         # worker (RawRecordReader's project-then-parse discipline,
@@ -145,26 +161,23 @@ def build_index(
 
     tf = store.read_stage(spark, "tf")
 
-    if not store.stage_complete("docs"):
+    if need_docs:
         # derived from the committed tf snapshot (compact rows), joined back
         # to the (pruned) key column of the input — no re-tokenization
         doc_lens = tf.select("doc_id", "doc_len").dropDuplicates(["doc_id"])
         if key_col != "doc_id":
-            if id_col is not None:
-                keys = docs.select(
-                    F.col(id_col).cast("long").alias("doc_id"), key_col
-                )
-            else:
-                keys = assign_doc_ids(
-                    docs, key_col=key_col, partitions=partitions
-                ).select("doc_id", key_col)
-            doc_tbl = doc_lens.join(keys, "doc_id")
+            doc_tbl = doc_lens.join(
+                with_ids.select("doc_id", key_col), "doc_id"
+            )
         else:
             doc_tbl = doc_lens
         # sorted within partitions (row-group pruning on doc_id) without a
         # range repartition: the range sampler costs an extra pass, and the
         # doc table is only ever point-joined, never range-scanned
         store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
+
+    for cached in persisted:
+        cached.unpersist()
 
     if not store.stage_complete("stats"):
         ds = store.read_stage(spark, "docs")
@@ -282,9 +295,16 @@ def incremental_update(
             }
         )
     )
-    store.commit_stage("docs", merged_docs,
-                       repartition_range=["doc_id"], partition_sort=["doc_id"])
+    # partition_sort only — a repartitionByRange here would re-run the
+    # anti-join + delta plan just to sample range bounds (the same trap
+    # commit 715efb7 removed from build_index); the docs table is only
+    # point-joined, never range-scanned
+    store.commit_stage("docs", merged_docs, partition_sort=["doc_id"])
     store.commit_stage("tf", merged_tf)
+    if delta_docs is not None:
+        # both consumers (docs + tf commits) are done — release the cached
+        # delta blocks instead of holding them for the session lifetime
+        delta_tf.unpersist()
     tf = store.read_stage(spark, "tf")
     if not store.stage_complete("stats"):
         ds = store.read_stage(spark, "docs")

@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """~40% of detected host RAM, capped at 48g, floored at 2g. On hosts
+    with less memory than the 128g sandbox a fixed 48g heap plus tmpfs
+    shuffle spill could trigger the OS OOM killer."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, int(total_gb * 0.4)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "marc_solr_profiling_spark",
     master: str | None = None,
@@ -51,12 +66,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver heap IS the executor heap for every
         # concurrent task — size it for the parallelism level (at 8g, 32
-        # tasks' sort/shuffle buffers GC-thrash; the sandbox host has 128g)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # tasks' sort/shuffle buffers GC-thrash). Default = ~40% of host
+        # RAM capped at 48g, so smaller hosts degrade instead of inviting
+        # the OS OOM killer; override with SPARK_DRIVER_MEM on real
+        # deployments (where executor memory is set by the cluster manager)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", _default_heap()))
         # shuffle/spill files: prefer the tmpfs when present — the sandbox's
         # virtio disk serializes 32 concurrent small-file writers in the
         # kernel (sy%-bound); on a real cluster this is each executor's
-        # local SSD, so tmpfs is the faithful stand-in
+        # local SSD, so tmpfs is the faithful stand-in. NOTE: spill-to-RAM —
+        # on hosts with little free RAM set SPARK_LOCAL_DIRS to a disk path
         .config("spark.local.dir", os.environ.get(
             "SPARK_LOCAL_DIRS",
             "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",

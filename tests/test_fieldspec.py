@@ -169,7 +169,10 @@ def test_sortable_title_and_lang_split(spark):
     got = [r["s"] for r in df.select(
         sortable_title_expr("title", "ind2").alias("s")).collect()]
     assert got == ["title", "tale", "plain"]
-    df2 = spark.createDataFrame([("engfreger",), ("en",)], "langs string")
+    df2 = spark.createDataFrame([("engfreger",), ("en",), ("",)],
+                                "langs string")
     got2 = [r["l"] for r in df2.select(
         split_lang_codes_expr("langs").alias("l")).collect()]
-    assert got2 == [["eng", "fre", "ger"], ["en"]]
+    # empty 041a emits NOTHING (not two phantom '' codes from the
+    # descending sequence(0,-1) corner)
+    assert got2 == [["eng", "fre", "ger"], ["en"], []]
