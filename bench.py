@@ -37,6 +37,8 @@ HEADLINE = [
     "ngram_jaccard",
     "facet_event_type",
     "bm25_and_topk",
+    "bm25_stopword_topk",
+    "bm25_and_phys_topk",
     "search_facet_lang",
     "lsh_candidates",
     "knn_ivf",
@@ -106,6 +108,40 @@ def main() -> None:
         query_sec = time.time() - t0
         per_query["wand_batch_50"] = round(query_sec, 3)
         total += query_sec
+
+        # block-max effectiveness: posting blocks pruned WITHOUT decoding on
+        # a mixed rare+stopword multi-term query (VERDICT r1 done-criterion:
+        # blocks_skipped > 0 on multi-term queries). The demo index uses
+    # block_size=16 so block granularity relative to this 5k-doc corpus
+        # matches production granularity (128-posting blocks vs 10^8-long
+        # stopword lists); the query joins the corpus' one rare term with
+        # two ~77%-df stopwords — the exact shape where round-1 decoded the
+        # stopwords' entire posting lists.
+        from marc_solr_profiling_spark.operators.wand import wand_topk
+
+        demo_path = tempfile.mkdtemp(prefix="bench_idx_skip_")
+        try:
+            demo_idx = build_index(
+                spark, docs, demo_path, key_col="doc_id", id_col="doc_id",
+                chain="simple", n_salts=8, block_size=16,
+            )
+            rare = (
+                demo_idx.dictionary.orderBy(F.asc("df")).limit(1)
+                .collect()[0]["term"]
+            )
+            stops = [
+                r["term"]
+                for r in demo_idx.dictionary.orderBy(F.desc("df")).limit(2)
+                .collect()
+            ]
+            acc = spark.sparkContext.accumulator(0)
+            t0 = time.time()
+            wand_topk(demo_idx, f"{rare} {' '.join(stops)}", k=10,
+                      with_url=False, skip_acc=acc).count()
+            per_query["wand_mixed_rare_stop_1"] = round(time.time() - t0, 3)
+            blocks_skipped = int(acc.value)
+        finally:
+            shutil.rmtree(demo_path, ignore_errors=True)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
@@ -118,6 +154,7 @@ def main() -> None:
         "cpus": cpus,
         "index_build_docs_per_sec": round(n_docs / build_sec, 1),
         "bm25_topk_queries_per_sec": round(50 / query_sec, 2),
+        "wand_blocks_skipped_multiterm": blocks_skipped,
     }
     print(json.dumps(out))
 

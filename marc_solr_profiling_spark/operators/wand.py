@@ -1,12 +1,12 @@
-"""Query-time top-k over the compressed physical index.
+"""Query-time top-k over the compressed physical index: block-max WAND.
 
 Spark restatement of the reference's search handler (``solrconfig.xml:
-64-83``: relevance top-k, rows=20, sort=score desc): query terms are
-analyzed with the index's own chain, their idfs come from the dictionary
-(a driver-side lookup of a handful of terms), and matching posting blocks
-are scored inside ``mapInPandas`` with a bounded per-partition top-k —
-the per-partition min-heap of the north star — then merged globally
-(k rows per partition, TakeOrdered at the driver).
+64-83``: relevance top-k, rows=20, sort=score desc, edismax ``q.op=AND`` /
+``mm`` minimum-should-match): query terms are analyzed with the index's own
+chain, their idfs come from the dictionary (a broadcast-joined lookup of a
+handful of terms), and matching posting blocks are scored inside
+``mapInPandas`` with a bounded per-partition top-k — the per-partition
+min-heap of the north star — then merged globally.
 
 Partitioning invariant that makes this work: blocks are salted by
 hash(doc_id), so every query term's postings for a given document share a
@@ -14,18 +14,34 @@ salt. Repartitioning matched blocks by salt therefore co-locates complete
 per-document score contributions — each partition computes exact totals
 for its doc subset independently. No cross-partition accumulation exists.
 
-Block-max usage: each block stores max_wnorm (idf-independent score cap).
-For single-term queries the scorer processes blocks in descending
-idf*max_wnorm order and stops as soon as the next block's cap can't beat
-the current k-th score (classic block-max early exit — exact). For
-multi-term queries blocks whose cap sum across terms can't reach the k-th
-score of an initial high-cap pass are skipped conservatively only when a
-doc appears in no processed block (full document-at-a-time WAND pointer
-walk is a later refinement; the current multi-term path scores all matched
-blocks vectorized, which is exact).
+Block-max pruning (multi-term, EXACT — the document-at-a-time cap-sum
+walk, vectorized block-at-a-time):
 
-Scores are float64 and term contributions are summed in ascending term
-order per doc (deterministic summation order; SURVEY.md §7 risk 2).
+  1. cap(B) = idf(term_B) * max_wnorm(B) bounds any single posting in B.
+  2. UB(B) = cap(B) + sum over the OTHER query terms t' of the max cap
+     among t''s blocks overlapping B's [first_doc, last_doc] range —
+     so UB(B) bounds the TOTAL score of every document in B. Overlap
+     ranges come from searchsorted over each term's doc-sorted block
+     bounds; range-max caps from a numpy sparse table (O(1) per query).
+  3. Phase 1 decodes blocks in UB-descending order until k qualifying
+     documents are seen; their k-th partial total is a LOWER bound
+     theta on the final k-th score (partial sums only understate).
+  4. Every undecoded block with UB(B) < theta is skipped WITHOUT
+     decoding: any doc in it scores < theta, so it cannot reach the
+     top-k — and every block containing an actual top-k doc d has
+     UB >= score(d) >= theta, so it survives and d's total stays exact.
+     A stopword block overlapping no high-cap region prunes away even
+     when the stopword's own posting list is enormous.
+
+The same argument holds under ``min_match`` (AND / mm) semantics: theta is
+taken over docs whose OBSERVED distinct-term count already reaches
+min_match (a conservative subset), and a qualifying top-k doc's blocks all
+carry UB >= theta, so its observed count is exact.
+
+Scores are float64; totals are accumulated with ``np.add.at`` (block order
+affects fp association by <= a few ulp; results are compared rounded).
+Tie-break is (score desc, doc_id asc) throughout — rank-identical to the
+reference's (score, internal docid) collector.
 """
 
 from __future__ import annotations
@@ -54,7 +70,6 @@ def _analyze_query(query: str, chain: str) -> List[str]:
     return out
 
 
-
 def _topk_exact(uniq: np.ndarray, totals: np.ndarray, k: int):
     """Exact top-k selection with (score desc, doc_id asc) tie-break.
 
@@ -72,55 +87,218 @@ def _topk_exact(uniq: np.ndarray, totals: np.ndarray, k: int):
     return idx[order]
 
 
-def _score_blocks_numpy(
+# ---------------------------------------------------------------------------
+# range-max sparse table (numpy, vectorized queries)
+# ---------------------------------------------------------------------------
+
+
+def _sparse_table(vals: np.ndarray) -> list[np.ndarray]:
+    """st[j][i] = max(vals[i : i + 2**j]); log-levels of shifted maxima."""
+    tables = [vals]
+    j = 1
+    while (1 << j) <= vals.size:
+        prev = tables[-1]
+        half = 1 << (j - 1)
+        tables.append(np.maximum(prev[:-half], prev[half:]))
+        j += 1
+    return tables
+
+
+def _range_max(tables: list[np.ndarray], lo: np.ndarray,
+               hi: np.ndarray) -> np.ndarray:
+    """max(vals[lo:hi]) per (lo, hi) pair, hi > lo, vectorized."""
+    span = hi - lo
+    j = np.frexp(span.astype(np.float64))[1] - 1  # floor(log2(span))
+    out = np.empty(lo.size, dtype=np.float64)
+    for jj in np.unique(j):
+        m = j == jj
+        t = tables[jj]
+        out[m] = np.maximum(t[lo[m]], t[hi[m] - (1 << int(jj))])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the block-max scorer
+# ---------------------------------------------------------------------------
+
+
+def _score_blocks_bmw(
     pdf: pd.DataFrame,
     idf_by_term: dict[str, float],
     k: int,
     avgdl: float,
-    single_term: bool,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Score one partition's blocks; return (doc_ids, scores) of its top-k.
+    min_match: int = 1,
+    theta0: float = -math.inf,
+) -> tuple[np.ndarray, np.ndarray, int, float]:
+    """Score ONE SALT's matched blocks with block-max pruning.
 
-    Vectorized: decode -> per-posting wnorm -> idf weight -> accumulate by
-    doc via sort+reduce. Single-term fast path: process blocks by
-    descending cap with exact early exit.
+    All rows must share a salt: within one salt, a term's blocks cover
+    disjoint ascending doc ranges (the overlap search requires it), and a
+    doc's postings for every query term live in this salt, so totals are
+    complete. ``theta0`` carries a lower bound on the global k-th score
+    from previously scored salts (pruning stays exact: theta only ever
+    UNDERSTATES the final k-th score).
+
+    Returns (doc_ids, scores) of the salt's top-k among docs matching at
+    least ``min_match`` distinct query terms, the number of blocks skipped
+    without decoding, and the updated theta.
     """
-    if single_term:
-        pdf = pdf.assign(
-            _cap=[idf_by_term[t] * m for t, m in zip(pdf["term"], pdf["max_wnorm"])]
-        ).sort_values("_cap", ascending=False)
+    uniq_terms = pd.unique(pdf["term"])
+    n_terms = len(uniq_terms)
+
+    # per-term block tables, blocks sorted by first_doc (disjoint ascending
+    # within a (term, salt) group by construction — segments.py)
+    per = {}
+    for t in uniq_terms:
+        sub = pdf[pdf["term"] == t]
+        first = sub["first_doc"].to_numpy(dtype=np.int64)
+        order = np.argsort(first, kind="stable")
+        caps = idf_by_term[t] * sub["max_wnorm"].to_numpy(dtype=np.float64)
+        per[t] = {
+            "first": first[order],
+            "last": sub["last_doc"].to_numpy(dtype=np.int64)[order],
+            "caps": caps[order],
+            "gaps": sub["doc_gaps"].to_numpy()[order],
+            "tfs": sub["tfs"].to_numpy()[order],
+            "dls": sub["dls"].to_numpy()[order],
+            "st": _sparse_table(caps[order]),
+        }
+
+    # UB per block: own cap + per-other-term range-max cap over overlaps
+    ub_parts, ref_parts = [], []
+    for ti, t in enumerate(uniq_terms):
+        d = per[t]
+        ub = d["caps"].copy()
+        for t2 in uniq_terms:
+            if t2 == t:
+                continue
+            d2 = per[t2]
+            lo = np.searchsorted(d2["last"], d["first"], side="left")
+            hi = np.searchsorted(d2["first"], d["last"], side="right")
+            m = lo < hi
+            if m.any():
+                add = np.zeros(ub.size)
+                add[m] = _range_max(d2["st"], lo[m], hi[m])
+                ub += add
+        ub_parts.append(ub)
+        ref_parts.append(
+            np.stack([np.full(ub.size, ti), np.arange(ub.size)], axis=1)
+        )
+    ub_all = np.concatenate(ub_parts)
+    ref_all = np.concatenate(ref_parts).astype(np.int64)
+    order = np.argsort(-ub_all, kind="stable")
+    ub_all, ref_all = ub_all[order], ref_all[order]
+    n_blocks = ub_all.size
+
+    idf_arr = np.asarray([idf_by_term[t] for t in uniq_terms])
 
     ids_parts: list[np.ndarray] = []
-    score_parts: list[np.ndarray] = []
-    kth_best = -math.inf
-    n_seen = 0
-    for row in pdf.itertuples(index=False):
-        idf = idf_by_term[row.term]
-        # strict <: a block whose cap EQUALS the k-th score may still hold a
-        # tied doc with a smaller doc_id, which tie-break must consider
-        if single_term and n_seen >= k and idf * row.max_wnorm < kth_best:
-            break  # exact early exit: no remaining block can beat the heap
-        ids = delta_decode(row.doc_gaps).astype(np.int64)
-        tfs = varbyte_decode(row.tfs).astype(np.float64)
-        dls = varbyte_decode(row.dls).astype(np.float64)
-        w = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    w_parts: list[np.ndarray] = []
+    t_parts: list[int] = []  # term index of each decoded part
+
+    def decode(bi: int) -> None:
+        ti, j = ref_all[bi]
+        d = per[uniq_terms[ti]]
+        ids = delta_decode(d["gaps"][j]).astype(np.int64)
+        tfs = varbyte_decode(d["tfs"][j]).astype(np.float64)
+        dls = varbyte_decode(d["dls"][j]).astype(np.float64)
+        w = idf_arr[ti] * tfs * (K1 + 1.0) / (
+            tfs + K1 * (1.0 - B + B * dls / avgdl)
+        )
         ids_parts.append(ids)
-        score_parts.append(w)
-        n_seen += ids.size
-        if single_term and n_seen >= k:
-            all_s = np.concatenate(score_parts)
-            if all_s.size >= k:
-                kth_best = np.partition(all_s, -k)[-k]
-    if not ids_parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    all_ids = np.concatenate(ids_parts)
-    all_scores = np.concatenate(score_parts)
-    # accumulate per doc (terms contribute in deterministic decode order)
-    uniq, inv = np.unique(all_ids, return_inverse=True)
-    totals = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(totals, inv, all_scores)
+        w_parts.append(w)
+        t_parts.append(int(ti))
+
+    def accumulate():
+        if not ids_parts:
+            e = np.empty(0)
+            return e.astype(np.int64), e, e.astype(np.int64)
+        all_ids = np.concatenate(ids_parts)
+        all_w = np.concatenate(w_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        totals = np.zeros(uniq.size)
+        np.add.at(totals, inv, all_w)
+        counts = np.bincount(inv, minlength=uniq.size)
+        return uniq, totals, counts
+
+    # phase 1: decode in UB order until k qualifying docs, derive theta
+    theta = theta0
+    i = 0
+    target = max(4 * k, 64)
+    n_seen = 0
+    while i < n_blocks:
+        # stop early if every remaining block is already below theta0
+        if ub_all[i] < theta:
+            break
+        while i < n_blocks and n_seen < target:
+            decode(i)
+            n_seen += ids_parts[-1].size
+            i += 1
+        uniq, totals, counts = accumulate()
+        qual = totals[counts >= min_match]
+        if qual.size >= k:
+            theta = max(
+                theta, np.partition(qual, qual.size - k)[qual.size - k]
+            )
+            break
+        target *= 2
+
+    # MaxScore-style essential-term split: terms whose caps sum (ascending)
+    # stays under theta are NON-ESSENTIAL — a doc matching only those can
+    # never reach theta, so a non-essential (stopword) block is decoded
+    # ONLY if its doc range contains a candidate (a doc seen in some
+    # essential term's postings). This is the sub-block skipping a DAAT
+    # pointer walk gets from galloping past pivot gaps, done with two
+    # vectorized searchsorteds instead of a per-doc loop.
+    term_max = np.asarray([per[t]["caps"].max() for t in uniq_terms])
+    non_ess: set[int] = set()
+    if math.isfinite(theta):
+        asc = np.argsort(term_max, kind="stable")
+        cum = np.cumsum(term_max[asc])
+        non_ess = {int(x) for x in asc[cum < theta]}
+
+    # phase 2: skip every remaining block whose UB can't reach theta
+    # (strict <: a block whose UB EQUALS theta may hold a tied doc whose
+    # smaller doc_id must enter the tie-break); essential blocks decode
+    # now, non-essential ones wait for the candidate containment test
+    n_skipped = 0
+    pending: list[int] = []
+    for bi in range(i, n_blocks):
+        if ub_all[bi] < theta:
+            n_skipped += 1
+        elif int(ref_all[bi, 0]) in non_ess:
+            pending.append(bi)
+        else:
+            decode(bi)
+
+    if pending:
+        ess_ids = [p for p, ti in zip(ids_parts, t_parts)
+                   if ti not in non_ess]
+        cand = (np.unique(np.concatenate(ess_ids)) if ess_ids
+                else np.empty(0, dtype=np.int64))
+        for bi in pending:
+            ti, j = ref_all[bi]
+            d = per[uniq_terms[ti]]
+            f, l = d["first"][j], d["last"][j]
+            if (np.searchsorted(cand, f, side="left")
+                    < np.searchsorted(cand, l, side="right")):
+                decode(bi)
+            else:
+                # no essential-term doc in this block's range: every doc
+                # here scores <= sum of non-essential caps < theta
+                n_skipped += 1
+
+    uniq, totals, counts = accumulate()
+    if uniq.size == 0:
+        e = np.empty(0)
+        return e.astype(np.int64), e, n_skipped, theta
+    m = counts >= min_match
+    uniq, totals = uniq[m], totals[m]
     sel = _topk_exact(uniq, totals, k)
-    return uniq[sel], totals[sel]
+    top_ids, top_scores = uniq[sel], totals[sel]
+    if top_scores.size >= k:
+        theta = max(theta, top_scores[k - 1])
+    return top_ids, top_scores, n_skipped, theta
 
 
 def wand_topk(
@@ -128,8 +306,18 @@ def wand_topk(
     query: str,
     k: int = 10,
     with_url: bool = True,
+    min_match: int = 1,
+    skip_acc=None,
 ) -> DataFrame:
-    """Top-k (doc_id, score[, url]) for one query over a built index."""
+    """Top-k (doc_id, score[, url]) for one query over a built index.
+
+    ``min_match``: minimum distinct matched query terms per doc — 1 = OR
+    (edismax default field behavior), len(terms) = AND (``q.op=AND``),
+    intermediate = the ``mm`` parameter (solrconfig.xml:68,76).
+    ``skip_acc``: optional Spark accumulator collecting the number of
+    posting blocks PRUNED WITHOUT DECODING (block-max effectiveness
+    metric, reported by bench.py).
+    """
     spark = index.spark
     qterms = _analyze_query(query, index.chain)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -143,8 +331,8 @@ def wand_topk(
         r["term"]: bm25_idf(index.n_docs, int(r["df"])) for r in drows
     }
     avgdl = index.avgdl
-    single = len(idf_by_term) == 1
     kk = int(k)
+    mm = int(min_match)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -153,8 +341,30 @@ def wand_topk(
         pdf = pd.concat(lst, ignore_index=True)
         if len(pdf) == 0:
             return
-        ids, scores = _score_blocks_numpy(pdf, idf_by_term, kk, avgdl, single)
-        yield pd.DataFrame({"doc_id": ids, "score": scores})
+        # a hash-repartitioned task may hold several salts; score each salt
+        # independently (block ranges are only disjoint within a salt, and
+        # each doc's full contribution lives in exactly one salt), carrying
+        # theta forward so later salts start with a tighter prune bound
+        theta = -math.inf
+        id_parts, score_parts = [], []
+        n_skipped = 0
+        for _, sub in pdf.groupby("salt", sort=False):
+            ids, scores, nsk, theta = _score_blocks_bmw(
+                sub, idf_by_term, kk, avgdl, min_match=mm, theta0=theta
+            )
+            id_parts.append(ids)
+            score_parts.append(scores)
+            n_skipped += nsk
+        if skip_acc is not None:
+            skip_acc.add(int(n_skipped))
+        all_ids = np.concatenate(id_parts)
+        all_scores = np.concatenate(score_parts)
+        # per-partition bounded top-k across its salts (docs are distinct
+        # across salts, so no re-accumulation is needed)
+        sel = _topk_exact(all_ids, all_scores, kk)
+        yield pd.DataFrame(
+            {"doc_id": all_ids[sel], "score": all_scores[sel]}
+        )
 
     matched = index.segments.filter(F.col("term").isin(list(idf_by_term)))
     # co-locate complete doc contributions: one partition per salt
@@ -177,8 +387,18 @@ def wand_topk_batch(
 
     One segment scan serves all queries (the batch query driver of
     SURVEY.md §M3): blocks matching ANY query term are repartitioned by
-    salt once; each partition scores every query against its doc subset;
-    a window rank per qid keeps k rows.
+    salt once; each partition decodes every matched block ONCE and scores
+    every query against its doc subset, emitting a bounded top-k per
+    (qid, partition). (Per-query block-max pruning would force per-query
+    re-decoding; in a dense batch every block is needed by some query, so
+    decode-once dominates.)
+
+    Global merge: per-partition bounded candidate sets (<= k rows per qid
+    each) are combined by a partial-aggregatable groupBy — map-side
+    combine builds per-partition lists, the reduce side concatenates and
+    takes the k smallest (neg_score, doc_id) structs JVM-side. This is the
+    tree-reduce top-k merge: no window, no per-row sort shuffle (the
+    round-1 row_number window sorted the full candidate set per qid).
     """
     spark = index.spark
     per_q_terms: dict[int, List[str]] = {
@@ -258,11 +478,30 @@ def wand_topk_batch(
     candidates = matched.repartition("salt").mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    # tree-reduce top-k merge: (neg_score, doc_id) structs sort ascending ==
+    # (score desc, doc_id asc); collect_list partial-aggregates map-side,
+    # array_sort + slice keep k per qid, posexplode restores rank rows
+    merged = candidates.groupBy("qid").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("ns"), F.col("doc_id")
+                    )
+                )
+            ),
+            1, kk,
+        ).alias("top")
+    )
     return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        merged.select(
+            "qid", F.posexplode("top").alias("pos", "entry")
+        )
+        .select(
+            "qid",
+            F.col("entry.doc_id").alias("doc_id"),
+            (-F.col("entry.ns")).alias("score"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
         .orderBy("qid", "rank")
     )

@@ -40,6 +40,12 @@ from .operators.similarity import cosine_topk
 FLAGSHIP_QUERY = "spark merge window stream"
 _QTERMS = ["spark", "merge", "window", "stream"]
 
+# Stopword-heavy query: every term has df ~80% in the synthetic corpus —
+# the shape where round-1's score-everything multi-term path decoded whole
+# posting lists and the block-max/MaxScore pruning must stay exact
+STOPWORD_QUERY = "batch data scan a merge"
+_STOP_QTERMS = ["batch", "data", "scan", "a", "merge"]
+
 # DuckDB CTE fragments shared by several oracles
 _TOK_CTE = (
     "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
@@ -347,25 +353,56 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "text")
 
 
-def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same flagship BM25 top-10, but through the PHYSICAL path: salted
-    varbyte segment index + block-max mapInPandas scorer (wand.py). The
-    DuckDB oracle is the same analytic BM25 SQL — proving the compressed
-    path is value-identical to the logical one."""
+def _shared_index(spark: SparkSession, sf_dir: str):
+    """Build (or resume from manifest) the shared physical index for the
+    physical-path queries — several CORRECTNESS entries reuse it."""
     import hashlib
-    import os
 
-    from .operators.wand import wand_topk
     from .plans.build import build_index
 
     docs = _load(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = _scratch(f"msps_index_{tag}")
-    idx = build_index(
+    return build_index(
         spark, docs, path, key_col="doc_id", id_col="doc_id",
         text_col="text", chain="simple", n_salts=8, block_size=64,
     )
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship BM25 top-10, but through the PHYSICAL path: salted
+    varbyte segment index + block-max mapInPandas scorer (wand.py). The
+    DuckDB oracle is the same analytic BM25 SQL — proving the compressed
+    path is value-identical to the logical one."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
     out = wand_topk(idx, FLAGSHIP_QUERY, k=10, with_url=False)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_stopword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heavy multi-term BM25 through the physical block-max path:
+    all five query terms have ~80% df, so exactness here proves the
+    MaxScore/essential-term pruning never drops a contributing block
+    (VERDICT r1 item 1)."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(idx, STOPWORD_QUERY, k=10, with_url=False)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_and_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (q.op=AND) BM25 through the PHYSICAL index: min_match =
+    all terms enforced inside the block-max scorer itself (per-doc distinct
+    matched-term counting), not by a logical-plan HAVING."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, FLAGSHIP_QUERY, k=10, with_url=False, min_match=len(_QTERMS)
+    )
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -382,13 +419,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — MUST alias columns identically to the Spark plans
 # ---------------------------------------------------------------------------
 
-def _bm25_sql(having: str = "") -> str:
+def _bm25_sql(having: str = "", terms: list | None = None) -> str:
+    qterms = _QTERMS if terms is None else terms
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 {_DL_CTE},
 cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-q AS (SELECT unnest({_QTERMS!r}) AS term),
+q AS (SELECT unnest({qterms!r}) AS term),
 dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1)
 SELECT doc_id,
        round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -615,7 +653,9 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_wand_topk": _BM25_SQL,
     "bm25_incr_topk": _BM25_SQL,
     "bm25_and_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
+    "bm25_and_phys_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
     "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
+    "bm25_stopword_topk": _bm25_sql(terms=_STOP_QTERMS),
     "search_facet_lang": f"""
 WITH {_TOK_CTE},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
@@ -703,7 +743,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_wand_topk": q_bm25_wand_topk,
     "bm25_incr_topk": q_bm25_incr_topk,
     "bm25_and_topk": q_bm25_and_topk,
+    "bm25_and_phys_topk": q_bm25_and_phys_topk,
     "bm25_mm_topk": q_bm25_mm_topk,
+    "bm25_stopword_topk": q_bm25_stopword_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
     "knn_ivf": q_knn_ivf,
