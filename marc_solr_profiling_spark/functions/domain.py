@@ -47,6 +47,83 @@ def is_mhld_expr(leader: str = "leader") -> Column:
     return F.substring(F.col(leader), 7, 1).isin("u", "v", "x", "y")
 
 
+def format_full_expr(
+    leader: str = "leader",
+    f008: str = "f008",
+    f006: str = "f006",
+    has_502: str | None = None,
+    title_h: str | None = None,
+) -> Column:
+    """Format classification with the 008/006 fallbacks and the
+    thesis/microformat overrides (FormatUtils.java:34-230):
+
+    - leader/06 switch, with byte gates: 'g' is Video only when 008/33 in
+      [mv]; 'k' is Image only when 008/33 in [ikpst]; 'm' is ComputerFile
+      only when 008/26 == 'a'  (FormatUtils.getFormatsPerLdrAnd008)
+    - serials: leader/07 's' + 008/21 (m -> Book [monographic series],
+      n -> Newspaper, p/blank -> Journal/Periodical); 006/00 's' + 006/04
+      fallback  (FormatUtils.getSerialFormat, getSerialFormat006)
+    - thesis: presence of a 502 field wins (FormatUtils.isThesis);
+      microformat: 245h containing 'microform'
+      (FormatUtils.isMicroformat)
+
+    ``has_502`` is a boolean column name; ``title_h`` a string column
+    (both optional — pass when the caller has them extracted). One
+    when/otherwise tree, pure codegen.
+    """
+    t = F.substring(F.col(leader), 7, 1)
+    lvl = F.substring(F.col(leader), 8, 1)
+    c008 = F.coalesce(F.col(f008), F.lit(""))
+    b21 = F.substring(c008, 22, 1)
+    b26 = F.substring(c008, 27, 1)
+    b33 = F.substring(c008, 34, 1)
+    c006 = F.coalesce(F.col(f006), F.lit(""))
+    s006 = F.substring(c006, 1, 1)
+    b04_006 = F.substring(c006, 5, 1)
+
+    def serial_from(ch: Column) -> Column:
+        return (
+            F.when(ch == "m", "Book")
+            .when(ch == "n", "Newspaper")
+            .when(ch == "p", "Journal/Periodical")
+            .when(ch == " ", "Journal/Periodical")
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    serial = F.when(lvl == "s", serial_from(b21)).otherwise(
+        F.lit(None).cast("string")
+    )
+    serial = F.coalesce(
+        serial,
+        F.when(s006 == "s", serial_from(b04_006)).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+
+    base = (
+        F.when(t.isin("a", "t") & lvl.isin("a", "m"), "Book")
+        .when(t.isin("b", "p"), "Manuscript/Archive")
+        .when(t.isin("c", "d"), "Music - Score")
+        .when(t.isin("e", "f"), "Map/Globe")
+        .when((t == "g") & b33.rlike("^[mv]$"), "Video")
+        .when(t == "i", "Sound Recording")
+        .when(t == "j", "Music - Recording")
+        .when((t == "k") & b33.rlike("^[ikpst]$"), "Image")
+        .when((t == "m") & (b26 == "a"), "Computer File")
+        .when(t.isin("o", "r"), "Other")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    result = F.coalesce(serial, base, F.lit("Other"))
+    if has_502 is not None:
+        result = F.when(F.col(has_502), "Thesis").otherwise(result)
+    if title_h is not None:
+        result = F.when(
+            F.coalesce(F.col(title_h), F.lit("")).rlike("(?i)microform"),
+            "Microformat",
+        ).otherwise(result)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Era expansion — 045a code pair -> enumerated era codes
 # (MarcUtils.getEraStrings range expansion, MarcUtils.java:1186-1256:
@@ -146,6 +223,146 @@ def sortable_title_expr(title: str, ind2: str) -> Column:
     ).otherwise(F.lit(0))
     t = F.col(title)
     return F.lower(F.trim(t.substr(skip + 1, F.length(t))))
+
+
+# ---------------------------------------------------------------------------
+# Sortable author + author-title search keys
+# (MarcUtils.getSortableAuthor, MarcUtils.java:1453-1491;
+#  StanfordIndexer.getAuthorTitleSearchFields, StanfordIndexer.java:570-675)
+# ---------------------------------------------------------------------------
+
+# records with no 100/110/111 must sort LAST: the reference appends
+# Character.MAX_CODE_POINT + ' ' (MarcUtils.java:1474-1478)
+MISSING_AUTHOR_SENTINEL = "\U0010ffff "
+
+
+def sortable_author_expr(author: str, title_sort: str) -> Column:
+    """Author sort key: main-entry name (100|110|111 alpha subfields,
+    already extracted into ``author``) + uniform/245 title sort string;
+    missing author -> MAX_CODE_POINT sentinel so those records shelve
+    after every real name. Lowercasing is the field-type's job in the
+    reference (schema 'properties should convert to lowercase'), done
+    here inline for self-containment."""
+    a = F.coalesce(F.col(author), F.lit(""))
+    head = F.when(
+        F.trim(a) == "", F.lit(MISSING_AUTHOR_SENTINEL)
+    ).otherwise(F.concat(a, F.lit(" ")))
+    return F.lower(
+        F.trim(F.concat(head, F.coalesce(F.col(title_sort), F.lit(""))))
+    )
+
+
+def author_title_key_expr(author: str, uniform_title: str,
+                          title: str) -> Column:
+    """Author-title search key: 1xx author + (240 uniform title if present,
+    else 245) — the StanfordIndexer.java:570-675 concatenation; 7xx
+    added-entry variants gate on a $t being present, which the caller
+    expresses by passing the $t extraction as ``title``. Null author ->
+    null key (no author-title entry without an author)."""
+    t = F.coalesce(
+        F.nullif(F.trim(F.coalesce(F.col(uniform_title), F.lit(""))),
+                 F.lit("")),
+        F.col(title),
+    )
+    a = F.nullif(F.trim(F.coalesce(F.col(author), F.lit(""))), F.lit(""))
+    return F.when(
+        a.isNotNull() & t.isNotNull(), F.concat_ws(" ", a, t)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Pub-date logic — u-digit imputation, sanity window, date groups
+# (PublicationUtils.java:44-834; DateUtils.getCenturyString,
+#  DateUtils.java:127-152)
+# ---------------------------------------------------------------------------
+
+EARLIEST_VALID_YEAR = 500  # PublicationUtils.java:28
+
+
+def _valid_year(y: Column, current_year: int) -> Column:
+    return (y >= EARLIEST_VALID_YEAR) & (y <= current_year + 1)
+
+
+def pub_date_display_expr(date1: str, current_year: int) -> Column:
+    """Display pub date from 008 date1 (getPubDate semantics,
+    PublicationUtils.java:115-151): dddd -> the year when in the sanity
+    window [500, current+1]; dddu -> 'ddd0s' (decade) when plausible;
+    dduu -> '(dd+1)th century'; else null. ``current_year`` is passed in
+    for determinism (SolrIndexer datestamp discipline, SURVEY.md §2.9)."""
+    d = F.coalesce(F.col(date1), F.lit(""))
+    y4 = d.rlike("^[0-9]{4}$")
+    y3u = d.rlike("^[0-9]{3}u$")
+    y2u = d.rlike("^[0-9]{2}uu$")
+    yr = F.when(y4, d.cast("int"))
+    first3 = F.substring(d, 1, 3)
+    first2 = F.substring(d, 1, 2)
+    century = first2.cast("int") + 1
+    suffix = (
+        F.when(century % 100 == 11, "th")
+        .when(century % 100 == 12, "th")
+        .when(century % 100 == 13, "th")
+        .when(century % 10 == 1, "st")
+        .when(century % 10 == 2, "nd")
+        .when(century % 10 == 3, "rd")
+        .otherwise("th")
+    )
+    return (
+        F.when(y4 & _valid_year(yr, current_year), d)
+        .when(
+            y3u & (first3.cast("int") <= current_year // 10),
+            F.concat(first3, F.lit("0s")),
+        )
+        .when(
+            y2u & (first2.cast("int") <= current_year // 100),
+            F.concat(century.cast("string"), suffix, F.lit(" century")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def pub_date_sort_expr(date1: str, current_year: int) -> Column:
+    """Sortable pub date (getPubDateSort, PublicationUtils.java:169-189):
+    dddd kept; dddu -> 'ddd-'; dduu -> 'dd--' (hyphens sort before '0', so
+    partial dates shelve at the head of their decade/century)."""
+    d = F.coalesce(F.col(date1), F.lit(""))
+    y4 = d.rlike("^[0-9]{4}$")
+    y3u = d.rlike("^[0-9]{3}u$")
+    y2u = d.rlike("^[0-9]{2}uu$")
+    yr = F.when(y4, d.cast("int"))
+    first3 = F.substring(d, 1, 3)
+    first2 = F.substring(d, 1, 2)
+    return (
+        F.when(y4 & _valid_year(yr, current_year), d)
+        .when(
+            y3u & (first3.cast("int") <= current_year // 10),
+            F.concat(first3, F.lit("-")),
+        )
+        .when(
+            y2u & (first2.cast("int") <= current_year // 100),
+            F.concat(first2, F.lit("--")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def pub_date_groups_expr(year: str, current_year: int) -> Column:
+    """Date-group facet values for an exact year (getPubDateGroups +
+    getPubDateGroupsForYear, PublicationUtils.java:484-501, 778-790):
+    'This year' (>= current-1), 'Last 3 years' (>= current-3),
+    'Last 10 years' (>= current-10), 'Last 50 years' (>= current-50),
+    else 'More than 50 years ago'. Returns the array of applicable
+    groups (a year can belong to several, like the reference's Set)."""
+    y = F.col(year).cast("int")
+    groups = F.array(
+        F.when(y >= current_year - 1, "This year"),
+        F.when(y >= current_year - 3, "Last 3 years"),
+        F.when(y >= current_year - 10, "Last 10 years"),
+        F.when(y >= current_year - 50, "Last 50 years"),
+        F.when((y < current_year - 50) & (y > -1), "More than 50 years ago"),
+    )
+    return F.when(
+        y.isNotNull(), F.filter(groups, lambda g: g.isNotNull())
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------

@@ -266,3 +266,225 @@ def records_to_marc_json(df: DataFrame) -> DataFrame:
             F.struct("leader", "controlfields", "datafields")
         ).alias("marc_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MARC-in-JSON reader (MarcHandler.java:423-424 MarcJsonReader analog)
+# ---------------------------------------------------------------------------
+
+
+def parse_marc_json(s: str):
+    """One MARC-in-JSON object (the public marc-in-json convention:
+    ``{"leader": ..., "fields": [{"001": "..."},
+    {"245": {"ind1": ..., "ind2": ..., "subfields": [{"a": ...}]}}]}``) ->
+    (leader, controlfields, datafields). Raises ValueError on malformed
+    input (the caller quarantines)."""
+    try:
+        obj = json.loads(s)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"bad json: {e}") from e
+    if not isinstance(obj, dict) or "leader" not in obj:
+        raise ValueError("not a marc-in-json object (no leader)")
+    control, data = [], []
+    for fld in obj.get("fields", []):
+        if not isinstance(fld, dict) or len(fld) != 1:
+            raise ValueError(f"bad field entry: {fld!r}")
+        tag, body = next(iter(fld.items()))
+        if isinstance(body, str):
+            control.append((tag, body))
+        elif isinstance(body, dict):
+            subs = []
+            for sf in body.get("subfields", []):
+                code, value = next(iter(sf.items()))
+                subs.append((code, value))
+            data.append(
+                (tag, body.get("ind1", " "), body.get("ind2", " "), subs)
+            )
+        else:
+            raise ValueError(f"bad field body for {tag}: {body!r}")
+    return obj["leader"], control, data
+
+
+def read_marc_json(json_df: DataFrame, json_col: str = "marc_json",
+                   path_col: str | None = None) -> DataFrame:
+    """DataFrame with one MARC-in-JSON string per row -> MARC_SCHEMA rows
+    (+ path, seq, parse_error quarantine, like the binary reader). The
+    reference reads this format via ``new MarcJsonReader(in)``
+    (MarcHandler.java:423-424); here the JSON lines typically come from
+    ``spark.read.text`` over .json/.ndjson dumps."""
+    import pandas as pd
+
+    cols = [json_col] + ([path_col] if path_col else [])
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, rec in enumerate(pdf[json_col]):
+                path = pdf[path_col].iloc[i] if path_col else None
+                try:
+                    leader, control, data = parse_marc_json(rec)
+                    rid = next(
+                        (d for t, d in control if t == "001"), ""
+                    ).strip()
+                    rows.append((path, i, None, rid, leader, control, data))
+                except ValueError as e:
+                    rows.append((path, i, str(e), "", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "seq", "parse_error", "record_id",
+                         "leader", "controlfields", "datafields"],
+            )
+
+    return json_df.select(*cols).mapInPandas(parse, schema=RECORDS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MARCXML render + reader (MarcHandler.java:421-422 MarcUnprettyXmlReader,
+# MarcUtils.getRecordAsMarcXmlStr MarcUtils.java:1619-1691)
+# ---------------------------------------------------------------------------
+
+_MARCXML_NS = "http://www.loc.gov/MARC21/slim"
+
+
+def record_to_xml(leader: str, controlfields, datafields,
+                  with_ns: bool = True) -> str:
+    """Record -> MARCXML string (the public MARC21-slim schema: record >
+    leader | controlfield@tag | datafield@tag@ind1@ind2 > subfield@code)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    ns = f' xmlns="{_MARCXML_NS}"' if with_ns else ""
+    parts = [f"<record{ns}>", f"<leader>{escape(leader or '')}</leader>"]
+    for tag, d in (controlfields or []):
+        parts.append(
+            f"<controlfield tag={quoteattr(tag)}>{escape(d or '')}"
+            "</controlfield>"
+        )
+    for tag, i1, i2, subs in (datafields or []):
+        parts.append(
+            f"<datafield tag={quoteattr(tag)} ind1={quoteattr(i1 or ' ')}"
+            f" ind2={quoteattr(i2 or ' ')}>"
+        )
+        for code, value in (subs or []):
+            parts.append(
+                f"<subfield code={quoteattr(code)}>{escape(value or '')}"
+                "</subfield>"
+            )
+        parts.append("</datafield>")
+    parts.append("</record>")
+    return "".join(parts)
+
+
+def records_to_marc_xml(df: DataFrame) -> DataFrame:
+    """MARC_SCHEMA rows -> (record_id, marc_xml string): the XML export
+    sink (``fullrecord = FullRecordAsXML``, SolrIndexer.java:922-946)."""
+    import pandas as pd
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, leader, control, data in zip(
+                pdf["record_id"], pdf["leader"], pdf["controlfields"],
+                pdf["datafields"],
+            ):
+                # Arrow hands array columns to pandas as numpy arrays,
+                # whose truthiness is ambiguous — compare against None
+                control = control if control is not None else []
+                data = data if data is not None else []
+                control_t = [(c["tag"], c["data"]) for c in control]
+                data_t = [
+                    (d["tag"], d["ind1"], d["ind2"],
+                     [(s["code"], s["value"])
+                      for s in (d["subfields"]
+                                if d["subfields"] is not None else [])])
+                    for d in data
+                ]
+                out.append((rid, record_to_xml(leader, control_t, data_t)))
+            yield pd.DataFrame(out, columns=["record_id", "marc_xml"])
+
+    return df.select(
+        "record_id", "leader", "controlfields", "datafields"
+    ).mapInPandas(render, schema="record_id string, marc_xml string")
+
+
+def _local(tag: str) -> str:
+    """Strip an XML namespace from an element tag."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_marc_xml(xml_text: str):
+    """MARCXML string (a single <record> or a <collection> of records,
+    namespaced or not, pretty-printed or not — the whitespace tolerance of
+    ``MarcUnprettyXmlReader``, MarcUnprettyXmlReader.java:1-66) ->
+    list of (leader, controlfields, datafields). Raises ValueError on
+    malformed XML."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise ValueError(f"bad xml: {e}") from e
+    if _local(root.tag) == "record":
+        recs = [root]
+    else:
+        recs = [el for el in root.iter() if _local(el.tag) == "record"]
+        if not recs:
+            raise ValueError("no <record> elements")
+    out = []
+    for rec in recs:
+        leader, control, data = "", [], []
+        for el in rec:
+            name = _local(el.tag)
+            if name == "leader":
+                # pretty-printers pad text nodes; leader is fixed-width so
+                # strip the decorative whitespace only at the ends
+                leader = (el.text or "").strip("\n\r\t")
+            elif name == "controlfield":
+                control.append((el.get("tag", ""), el.text or ""))
+            elif name == "datafield":
+                subs = [
+                    (sf.get("code", ""), sf.text or "")
+                    for sf in el
+                    if _local(sf.tag) == "subfield"
+                ]
+                data.append(
+                    (el.get("tag", ""), el.get("ind1", " ") or " ",
+                     el.get("ind2", " ") or " ", subs)
+                )
+        out.append((leader, control, data))
+    return out
+
+
+def read_marc_xml(xml_df: DataFrame, xml_col: str = "marc_xml",
+                  path_col: str | None = None) -> DataFrame:
+    """DataFrame with MARCXML strings (one record or a whole collection
+    document per row — e.g. ``spark.read.format('binaryFile')`` +
+    ``decode``, or wholetext text reads) -> MARC_SCHEMA rows (+ path, seq,
+    parse_error quarantine)."""
+    import pandas as pd
+
+    cols = [xml_col] + ([path_col] if path_col else [])
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, doc in enumerate(pdf[xml_col]):
+                path = pdf[path_col].iloc[i] if path_col else None
+                try:
+                    for seq, (leader, control, data) in enumerate(
+                        parse_marc_xml(doc)
+                    ):
+                        rid = next(
+                            (d for t, d in control if t == "001"), ""
+                        ).strip()
+                        rows.append(
+                            (path, seq, None, rid, leader, control, data)
+                        )
+                except ValueError as e:
+                    rows.append((path, i, str(e), "", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "seq", "parse_error", "record_id",
+                         "leader", "controlfields", "datafields"],
+            )
+
+    return xml_df.select(*cols).mapInPandas(parse, schema=RECORDS_SCHEMA)

@@ -68,3 +68,110 @@ def test_record_to_json():
     assert obj["leader"] == LEADER
     assert obj["fields"][0] == {"001": "ocm57136914"}
     assert obj["fields"][2]["245"]["ind1"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# the three wire formats round-trip (RecordReaderTest.java:23-110 tier):
+# read -> write -> re-read equality for binary, MARC-in-JSON, and MARCXML
+# ---------------------------------------------------------------------------
+
+
+def test_marc_json_roundtrip_pure():
+    from marc_solr_profiling_spark.sources.marc import parse_marc_json
+
+    s = record_to_json(LEADER, CONTROL, DATA)
+    leader, control, data = parse_marc_json(s)
+    assert (leader, control, data) == (LEADER, CONTROL, DATA)
+    # malformed input raises (the quarantine path)
+    import pytest
+    with pytest.raises(ValueError):
+        parse_marc_json("{not json")
+    with pytest.raises(ValueError):
+        parse_marc_json('{"fields": []}')  # no leader
+
+
+def test_marc_xml_roundtrip_pure():
+    from marc_solr_profiling_spark.sources.marc import (
+        parse_marc_xml, record_to_xml,
+    )
+
+    xml = record_to_xml(LEADER, CONTROL, DATA)
+    [(leader, control, data)] = parse_marc_xml(xml)
+    assert (leader, control, data) == (LEADER, CONTROL, DATA)
+    # namespace-free + pretty-printed variant (MarcUnprettyXmlReader
+    # whitespace tolerance, MarcUnprettyXmlReader.java:1-66)
+    pretty = (
+        "<collection>\n  <record>\n    <leader>" + LEADER + "</leader>\n"
+        "    <controlfield tag=\"001\">ocm57136914</controlfield>\n"
+        "    <datafield tag=\"245\" ind1=\"1\" ind2=\"0\">\n"
+        "      <subfield code=\"a\">A title</subfield>\n"
+        "    </datafield>\n  </record>\n</collection>"
+    )
+    [(leader2, control2, data2)] = parse_marc_xml(pretty)
+    assert leader2 == LEADER
+    assert control2 == [("001", "ocm57136914")]
+    assert data2 == [("245", "1", "0", [("a", "A title")])]
+    import pytest
+    with pytest.raises(ValueError):
+        parse_marc_xml("<oops>")
+    with pytest.raises(ValueError):
+        parse_marc_xml("<collection></collection>")
+
+
+def test_read_marc_xml_and_json_dataframes(spark):
+    """The reader surfaces: binary rows -> render to XML/JSON strings ->
+    re-read through read_marc_xml / read_marc_json -> identical MARC rows
+    (the reference's own fixtures are substantially .xml, e.g.
+    core/test/data/double_007.xml via IndexSmokeTest.java:33-40)."""
+    from marc_solr_profiling_spark.sources.marc import (
+        read_marc_json, read_marc_xml, records_to_marc_json,
+        records_to_marc_xml,
+    )
+
+    good = encode_record(LEADER, CONTROL, DATA)
+    src = spark.createDataFrame(
+        [("f1.mrc", bytearray(good + good))], "path string, content binary"
+    )
+    base = read_marc_binary(src)
+    want = [
+        (r["record_id"], r["leader"], r["controlfields"], r["datafields"])
+        for r in base.collect()
+    ]
+
+    xml_df = records_to_marc_xml(base)
+    back_xml = read_marc_xml(xml_df, xml_col="marc_xml").collect()
+    got_xml = [
+        (r["record_id"], r["leader"], r["controlfields"], r["datafields"])
+        for r in back_xml
+    ]
+    assert sorted(got_xml) == sorted(want)
+    assert all(r["parse_error"] is None for r in back_xml)
+
+    json_df = records_to_marc_json(base)
+
+    # records_to_marc_json uses Spark's to_json (struct shape); the
+    # marc-in-json reader consumes the CONVENTION shape from
+    # record_to_json — render via the pure fn for the round-trip
+    import pandas as pd
+    rows = [
+        (record_to_json(
+            r["leader"],
+            [(c["tag"], c["data"]) for c in r["controlfields"]],
+            [(d["tag"], d["ind1"], d["ind2"],
+              [(s["code"], s["value"]) for s in d["subfields"]])
+             for d in r["datafields"]],
+        ),)
+        for r in base.collect()
+    ]
+    jdf = spark.createDataFrame(rows, "marc_json string")
+    back_json = read_marc_json(jdf, json_col="marc_json").collect()
+    got_json = [
+        (r["record_id"], r["leader"], r["controlfields"], r["datafields"])
+        for r in back_json
+    ]
+    assert sorted(got_json) == sorted(want)
+
+    # malformed rows quarantine, never raise
+    badx = spark.createDataFrame([("<oops>",)], "marc_xml string")
+    out = read_marc_xml(badx).collect()
+    assert len(out) == 1 and out[0]["parse_error"] is not None

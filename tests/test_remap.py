@@ -61,3 +61,42 @@ def test_load_properties_and_pattern_split():
     assert props["eng"] == "English"
     rules = split_pattern_rules(props)
     assert rules[0][0] == "^n/a$" and rules[1][1] == "$1"
+
+
+def test_translation_data_maps_ported():
+    """The 19 reference translation maps ship as package data
+    (profiling/translation_maps/ + core/translation_maps/, SURVEY.md
+    §2.9) wired through the remap engine."""
+    from marc_solr_profiling_spark.functions.translation_data import (
+        TRANSLATION_MAPS,
+    )
+
+    assert len(TRANSLATION_MAPS) == 19
+    lang = TRANSLATION_MAPS["core/language_map"]
+    assert lang["eng"] == "English"
+    assert lang["fre"] == "French"
+    assert lang["???"] is None  # the reference's explicit null mapping
+    # LC class captions (callnumber_map): hierarchical 'A|B' values
+    cn = TRANSLATION_MAPS["core/callnumber_map"]
+    assert cn["A"].startswith("General")
+    # list-form maps are membership sets
+    skipped = TRANSLATION_MAPS["profiling/locations_skipped_list"]
+    assert "DISCARD" in skipped and isinstance(skipped, frozenset)
+
+
+def test_remap_with_real_language_map(spark):
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.functions.remap import remap_expr
+    from marc_solr_profiling_spark.functions.translation_data import (
+        TRANSLATION_MAPS,
+    )
+
+    m = {k: v for k, v in TRANSLATION_MAPS["core/language_map"].items()
+         if v is not None}
+    df = spark.createDataFrame(
+        [("eng",), ("ger",), ("xxx",)], "code string"
+    )
+    got = [r["v"] for r in df.select(
+        remap_expr("code", m).alias("v")).collect()]
+    assert got == ["English", "German", None]
