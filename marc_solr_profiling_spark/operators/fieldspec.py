@@ -306,3 +306,120 @@ def include_if_missing(df: DataFrame, spec: str) -> DataFrame:
 def first_field_expr(spec: str, **kw) -> Column:
     """'first' handling (SolrIndexer.java:645-646): first value only."""
     return F.element_at(field_list_expr(spec, **kw), 1)
+
+
+def all_alpha_except_expr(spec: str,
+                          datafields: str = "datafields") -> Column:
+    """``getAllAlphaExcept`` (MarcUtils.java:122-160): per colon-separated
+    ``tag + tabooCodes`` entry, every ALPHABETIC subfield whose code is NOT
+    in the taboo list, trimmed and space-joined per field instance; empty
+    results dropped, ordered union across entries."""
+    def _tag_filter(t):
+        # arity-1 closures: two-arg default-param lambdas would receive
+        # the array INDEX as the second argument
+        return lambda f: f["tag"] == t
+
+    def _joiner(tb):
+        def inner(f):
+            keep = F.filter(
+                f["subfields"],
+                lambda s: s["code"].rlike("^[A-Za-z]$")
+                & (~s["code"].isin(list(tb)) if tb else F.lit(True))
+                & s["value"].isNotNull(),
+            )
+            return F.array_join(
+                F.transform(keep, lambda s: F.trim(s["value"])), " "
+            )
+        return inner
+
+    parts = []
+    for entry in spec.split(":"):
+        tag, taboo = entry[:3], entry[3:]
+        per_field = F.transform(
+            F.filter(F.col(datafields), _tag_filter(tag)), _joiner(taboo)
+        )
+        parts.append(F.filter(per_field, lambda v: v != ""))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return F.array_distinct(out)
+
+
+def delete_subfields_expr(tag: str, codes: str,
+                          datafields: str = "datafields") -> Column:
+    """Subfield-level delete projection (``marc.delete_subfields``,
+    MarcFilteredReader.java:126-160): strip the listed subfield codes from
+    fields with the given tag before indexing; other fields pass through
+    untouched. (The reference mutates the record in the reader decorator —
+    here it is a pure array transform.)"""
+    return F.transform(
+        F.col(datafields),
+        lambda f: F.when(
+            f["tag"] == tag,
+            F.struct(
+                f["tag"].alias("tag"),
+                f["ind1"].alias("ind1"),
+                f["ind2"].alias("ind2"),
+                F.filter(
+                    f["subfields"], lambda s: ~s["code"].isin(list(codes))
+                ).alias("subfields"),
+            ),
+        ).otherwise(f),
+    )
+
+
+def longest_value_expr(spec: str, **kw) -> Column:
+    """``getSingleIndexEntry`` (SolrIndexer.java:1184-1218): of multiple
+    extracted values return the LONGEST; ties resolve to the FIRST longest
+    (the reference's strict '>' scan). Null when the spec yields nothing.
+    (The 'flag extras as errors' side channel maps to the quarantine
+    pattern — count ``size(vals) > 1`` rows separately when needed.)"""
+    vals = field_list_expr(spec, **kw)
+    return F.aggregate(
+        vals,
+        F.lit(None).cast("string"),
+        lambda acc, v: F.when(
+            acc.isNull() | (F.length(v) > F.length(acc)), v
+        ).otherwise(acc),
+    )
+
+
+def combined_orig_vernacular_expr(spec: str, **kw) -> Column:
+    """Original + linked-880 vernacular values in one list
+    (``getLinkedFieldCombined``, MarcUtils.java:372-402): the plain spec's
+    values followed by the LNK-spec's parallels, ordered-deduplicated
+    (LinkedHashSet union)."""
+    orig = field_list_expr(spec, **kw)
+    vern = field_list_expr("LNK" + spec, **kw)
+    return F.array_distinct(F.concat(orig, vern))
+
+
+def stanford_all_fields_expr(
+    lo: int = 100,
+    hi: int = 900,
+    keepers: tuple = ("024", "027", "028", "905", "908", "920", "986"),
+    datafields: str = "datafields",
+) -> Column:
+    """Stanford ``getAllFields`` (StanfordIndexer.java:1147-1190): one big
+    string of every subfield of data fields in [lo, hi) PLUS the keeper
+    tags outside the range ({024,027,028} standard numbers and
+    {905,908,920,986} local fields)."""
+    keep = list(keepers)
+    fields = F.filter(
+        F.col(datafields),
+        lambda f: (
+            (f["tag"].cast("int") >= lo) & (f["tag"].cast("int") < hi)
+        ) | f["tag"].isin(keep),
+    )
+    return F.array_join(
+        F.flatten(
+            F.transform(
+                fields,
+                lambda f: F.transform(
+                    F.filter(f["subfields"], lambda s: s["value"].isNotNull()),
+                    lambda s: s["value"],
+                ),
+            )
+        ),
+        " ",
+    )

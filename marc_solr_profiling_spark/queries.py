@@ -414,6 +414,22 @@ def q_bm25_and_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_booklist_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Booklist side-input enrich (BooklistReader.java:24-60): point-lookup
+    left join of a small derived booklist onto the doc table, adding the
+    list's columns + membership flag."""
+    from .operators.marc_merge import booklist_enrich
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    booklist = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.concat(F.lit("FUND-"), (F.col("doc_id") % 5).cast("string"))
+        .alias("fund_code"),
+    )
+    out = booklist_enrich(docs, booklist, id_col="doc_id")
+    return out.select("doc_id", "lang", "fund_code", "on_booklist")
+
+
 def q_facet_lang_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet over REMAPPED language names through the ported translation-map
     data (core/translation_maps/language_map.properties — the public MARC
@@ -860,6 +876,15 @@ WITH all_docs AS (
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id)::BIGINT AS min_key
 FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """,
+    "booklist_enrich": """
+WITH booklist AS (
+  SELECT doc_id, 'FUND-' || (doc_id % 5)::VARCHAR AS fund_code
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT d.doc_id, d.lang, b.fund_code,
+       (b.doc_id IS NOT NULL) AS on_booklist
+FROM documents d LEFT JOIN booklist b USING (doc_id)
+""",
     "facet_lang_remap": """
 SELECT CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
                  WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
@@ -1028,6 +1053,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_facet": q_format_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
+    "booklist_enrich": q_booklist_enrich,
     "reindex_fields": q_reindex_fields,
     "lang_id": q_lang_id,
 }

@@ -176,3 +176,85 @@ def test_sortable_title_and_lang_split(spark):
     # empty 041a emits NOTHING (not two phantom '' codes from the
     # descending sequence(0,-1) corner)
     assert got2 == [["eng", "fre", "ger"], ["en"], []]
+
+
+def test_all_alpha_except(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        all_alpha_except_expr,
+    )
+
+    rows = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", all_alpha_except_expr("650x").alias("v")).collect()}
+    # taboo 'x' drops History; both 650s emit their remaining alpha values
+    assert rows["u1"] == ["Cats", "Dogs"]
+    assert rows["u2"] == []
+    rows2 = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", all_alpha_except_expr("245c:100d").alias("v")).collect()}
+    # 245 minus $c, then 100 minus $d — colon union, ordered
+    assert rows2["u1"] == ["The title a subtitle", "Author, Ann"]
+
+
+def test_delete_subfields(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        delete_subfields_expr, field_list_expr,
+    )
+
+    stripped = marc_df.withColumn(
+        "datafields", delete_subfields_expr("245", "bc")
+    )
+    rows = {r["record_id"]: r["v"] for r in stripped.select(
+        "record_id", field_list_expr("245abc").alias("v")).collect()}
+    assert rows["u1"] == ["The title"]       # $b/$c gone
+    assert rows["u2"] == ["Serial title"]
+    # other tags untouched
+    rows2 = {r["record_id"]: r["v"] for r in stripped.select(
+        "record_id", field_list_expr("650ax").alias("v")).collect()}
+    assert rows2["u1"] == ["Cats History", "Dogs"]
+
+
+def test_longest_value_pick(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        longest_value_expr,
+    )
+
+    rows = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", longest_value_expr("650a").alias("v")).collect()}
+    assert rows["u1"] == "Cats"  # 'Cats' ties beat nothing; longest of Cats/Dogs = first longest (equal length -> first)
+    rows2 = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", longest_value_expr("245b:245a").alias("v")).collect()}
+    assert rows2["u1"] == "a subtitle"
+    assert rows2["u2"] == "Serial title"
+    assert {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", longest_value_expr("260a").alias("v")).collect()}["u1"] is None
+
+
+def test_combined_orig_vernacular(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        combined_orig_vernacular_expr,
+    )
+
+    rows = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id", combined_orig_vernacular_expr("245ab").alias("v")
+    ).collect()}
+    # original then vernacular parallel (880 $6=245-01), LinkedHashSet order
+    assert rows["u1"] == ["The title a subtitle", "标题 副标题"]
+    assert rows["u2"] == ["Serial title"]
+
+
+def test_stanford_all_fields_keepers(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        stanford_all_fields_expr,
+    )
+
+    rows = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id",
+        stanford_all_fields_expr(lo=100, hi=900).alias("v")).collect()}
+    # u1: 100-899 range covers 245/100/650/880 but NOT 999 (not a keeper)
+    assert "QA76.73" not in rows["u1"]
+    assert "The title" in rows["u1"] and "Cats" in rows["u1"]
+    # with 999 added as keeper the call-number joins the searchable text
+    rows2 = {r["record_id"]: r["v"] for r in marc_df.select(
+        "record_id",
+        stanford_all_fields_expr(lo=100, hi=900,
+                                 keepers=("999",)).alias("v")).collect()}
+    assert "QA76.73" in rows2["u1"]
