@@ -386,3 +386,30 @@ def split_lang_codes_expr(col: str) -> Column:
     return F.when((n > 0) & (n % 3 == 0), split3).otherwise(
         F.when(n > 0, F.array(c)).otherwise(F.array().cast("array<string>"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collection gate — getMusicRecords (StanfordIndexer.java:229-250)
+# ---------------------------------------------------------------------------
+
+_MUSIC_FORMATS = ("Music - Score", "Music - Recording", "Sound Recording")
+
+
+def music_collection_expr(format_col: str, callnums_col: str) -> Column:
+    """The composed collection gate: 'music' when the record's format is a
+    music format, OR it is a Book with any LC call number whose class
+    letters are exactly 'M' (StanfordIndexer.getMusicRecords,
+    StanfordIndexer.java:229-250 — the required ``collection`` field,
+    prof_index.properties:4). ``callnums_col`` is an array<string> of the
+    record's item call numbers; null when the gate does not match (the
+    reference returns null to drop the record from the collection)."""
+    fmt = F.col(format_col)
+    is_music_fmt = fmt.isin(*_MUSIC_FORMATS)
+    has_m_callnum = F.exists(
+        F.coalesce(F.col(callnums_col), F.array().cast("array<string>")),
+        lambda c: F.regexp_extract(F.upper(F.trim(c)),
+                                   r"^([A-Z]+)", 1) == "M",
+    )
+    return F.when(
+        is_music_fmt | ((fmt == "Book") & has_m_callnum), F.lit("music")
+    ).otherwise(F.lit(None).cast("string"))

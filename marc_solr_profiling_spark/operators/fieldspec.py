@@ -423,3 +423,32 @@ def stanford_all_fields_expr(
         ),
         " ",
     )
+
+
+def indicator_filtered_values_expr(
+    tag: str, ind1_val: str, codes: str,
+    datafields: str = "datafields",
+) -> Column:
+    """Indicator-filtered subfield extraction — the ``get024(ind1,
+    subfields)`` standard-number pattern (StanfordIndexer.java:372-392):
+    values of the listed subfield codes from fields with the given tag
+    whose ind1 equals ``ind1_val``, ordered, deduplicated, empties
+    dropped."""
+    fields = F.filter(
+        F.col(datafields),
+        lambda f: (f["tag"] == tag) & (f["ind1"] == ind1_val),
+    )
+    vals = F.flatten(
+        F.transform(
+            fields,
+            lambda f: F.transform(
+                F.filter(
+                    f["subfields"],
+                    lambda s: _code_matches(s["code"], codes)
+                    & s["value"].isNotNull() & (s["value"] != ""),
+                ),
+                lambda s: s["value"],
+            ),
+        )
+    )
+    return F.array_distinct(vals)

@@ -45,18 +45,27 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # the embedded-vs-remote split (SolrCoreLoader.java:26,160 /
+        # MarcImporter.java:553-650 analog): under spark-submit the cluster
+        # manager already set spark.master — do NOT override it; standalone
+        # (the "embedded" path) falls back to local[N]
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local[N] → N; local[*]/cluster → leave a sane floor
         shuffle_partitions = cpus
-        if master.startswith("local["):
+        if master and master.startswith("local["):
             inner = master[6:-1]
             if inner.isdigit():
                 shuffle_partitions = int(inner)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -258,3 +258,43 @@ def test_stanford_all_fields_keepers(marc_df):
         stanford_all_fields_expr(lo=100, hi=900,
                                  keepers=("999",)).alias("v")).collect()}
     assert "QA76.73" in rows2["u1"]
+
+
+def test_indicator_filtered_024(spark):
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        MARC_SCHEMA, indicator_filtered_values_expr,
+    )
+
+    rows = [("u5", "ldr", [], [
+        ("024", "0", " ", [("a", "123456789012")]),   # ISRC (ind1=0)
+        ("024", "1", " ", [("a", "036000291452")]),   # UPC (ind1=1)
+        ("024", "1", " ", [("a", "036000291452")]),   # duplicate
+        ("024", "2", " ", [("a", "M-2306-7118-7")]),  # ISMN (ind1=2)
+        ("024", "1", " ", [("z", "badvalue"), ("a", "")]),
+    ])]
+    df = spark.createDataFrame(rows, MARC_SCHEMA)
+    got = df.select(
+        indicator_filtered_values_expr("024", "1", "a").alias("v")).first()["v"]
+    assert got == ["036000291452"]  # ind1=1, $a only, deduped, no empties
+    got0 = df.select(
+        indicator_filtered_values_expr("024", "0", "a").alias("v")).first()["v"]
+    assert got0 == ["123456789012"]
+
+
+def test_music_collection_gate(spark):
+    from marc_solr_profiling_spark.functions.domain import (
+        music_collection_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("Music - Score", []),
+         ("Sound Recording", None),
+         ("Book", ["M5 .L3 V.188"]),       # LC class M -> music
+         ("Book", ["ML410 .B1"]),          # ML != M -> not music
+         ("Book", ["QA76.73 .S67"]),
+         ("Video", ["M5 .L3"])],           # non-book format w/ M callnum
+        "fmt string, callnums array<string>",
+    )
+    got = [r["c"] for r in df.select(
+        music_collection_expr("fmt", "callnums").alias("c")).collect()]
+    assert got == ["music", "music", "music", None, None, None]
