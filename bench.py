@@ -41,6 +41,9 @@ HEADLINE = [
     "bm25_and_phys_topk",
     "search_facet_lang",
     "lsh_candidates",
+    "lsh_jaccard",
+    "embed_neardup",
+    "simhash_neardup",
     "knn_ivf",
     "year_facet",
 ]

@@ -30,6 +30,23 @@ def token_count(col: str) -> Column:
     return F.size(tokens_simple(col))
 
 
+# GPT-2-style pre-tokenizer pieces (the BPE front end): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# Lookahead-free on purpose — Java (Spark) and RE2 (DuckDB) regex engines
+# both use leftmost-first alternation here, so counts agree exactly.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(col: str) -> Column:
+    """BPE-ish token count: number of GPT-2-style pre-tokenizer pieces —
+    the budget-estimation counter a training pipeline runs next to the
+    whitespace count (actual BPE merges only subdivide these pieces, so
+    this lower-bounds the real token count at ~piece granularity)."""
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(BPE_SPLIT_RE), F.lit(0))
+    )
+
+
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
@@ -89,10 +106,12 @@ def fingerprint_expr(col: str) -> Column:
 
 def text_profile(docs: DataFrame, key_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """One row per doc: token_count, n_chars, lang_guess, quality, fingerprint."""
+    """One row per doc: token counts (whitespace + BPE-ish), n_chars,
+    lang_guess, quality, fingerprint."""
     return docs.select(
         F.col(key_col),
         token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
         F.length(text_col).cast("int").alias("n_chars"),
         lang_id_expr(text_col).alias("lang_guess"),
         quality_score_expr(text_col).alias("quality"),

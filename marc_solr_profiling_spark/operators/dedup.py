@@ -211,6 +211,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Banded MinHash-LSH candidates -> EXACT Jaccard verification, on
+    candidates only — the production near-dup pipeline shape.
+
+    This is the composition :func:`ngram_jaccard_pairs`'s docstring
+    promises at 100 TB: instead of the full-corpus inverted-index self-join
+    (whose shingle-df cap still admits ~cap^2/2 pairs per hot shingle),
+    candidate pairs come from the banded LSH bucket join, and the exact
+    |A∩B| co-occurrence count runs over the shingle streams of CANDIDATE
+    DOCS ONLY (a semi-join prunes the explode before the self-join).
+    Output: (key_a, key_b, jaccard) with jaccard >= threshold.
+    """
+    cand = minhash_lsh_candidates(
+        docs, key_col=key_col, text_col=text_col, n_hashes=n_hashes,
+        bands=bands, shingle_n=shingle_n, max_bucket=max_bucket,
+    ).persist()
+
+    sh = docs.select(
+        F.col(key_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"),
+    )
+    cand_docs = (
+        cand.select(F.col("key_a").alias(key_col))
+        .union(cand.select(F.col("key_b").alias(key_col)))
+        .distinct()
+    )
+    # candidate docs are a small fraction of the corpus: restrict the
+    # shingle stream before the self-join (left_semi keeps the plan an
+    # existence probe; the per-doc distinct shingle sets stay intact, so
+    # sizes computed from sh_c are exact for candidate docs)
+    sh_c = sh.join(cand_docs, key_col, "left_semi").persist()
+    sizes = sh_c.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
+
+    a = sh_c.select(F.col("shingle"), F.col(key_col).alias("key_a"))
+    b = sh_c.select(F.col("shingle"), F.col(key_col).alias("key_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["key_a", "key_b"], "left_semi")
+    )
+    sa = sizes.select(F.col(key_col).alias("key_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(key_col).alias("key_b"),
+                      F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+    return out
+
+
 def simhash_expr(text_col: str, bits: int = 16):
     """SimHash over simple tokens using md5-derived bit planes.
 
@@ -243,7 +315,81 @@ def simhash_buckets(docs: DataFrame, key_col: str = "doc_id",
                     text_col: str = "text", bits: int = 16) -> DataFrame:
     """(key, simhash) — Hamming-near docs collide on equal simhash for
     small corpora; at scale, candidate search splits the hash into bands
-    (same LSH pattern as minhash_lsh_candidates)."""
+    (:func:`simhash_band_candidates`)."""
     return docs.select(
         F.col(key_col), simhash_expr(text_col, bits).alias("simhash")
     )
+
+
+def simhash_band_candidates(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int | None = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Hamming-near pairs via banded SimHash — the search structure the
+    simhash operator's docstring points at.
+
+    Pigeonhole guarantee: two hashes within Hamming distance < ``bands``
+    agree EXACTLY on at least one of the ``bands`` bit-bands, so banding
+    finds every such pair (no recall loss up to bands-1 bit flips);
+    candidates then pass an exact popcount(xor) <= ``max_hamming`` check —
+    both pure integer expressions, JVM-side, oracle-replicable.
+
+    Scale shape identical to minhash_lsh_candidates: per-row band keys, an
+    equi-join on (band, band_bits) — never all-pairs — and a mega-bucket
+    cap for degenerate bands (e.g. all-zero bands of empty-ish docs).
+    Output: (key_a, key_b, hamming) with key_a < key_b, distinct.
+    """
+    rows_per_band = bits // bands
+    mask = (1 << rows_per_band) - 1
+    sh = docs.select(
+        F.col(key_col), simhash_expr(text_col, bits).alias("simhash")
+    )
+    band_rows = sh.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "simhash", F.col("bb.band"), F.col("bb.bval"))
+
+    bucket_sizes = band_rows.groupBy("band", "bval").agg(
+        F.count("*").alias("bsize")
+    )
+    bounded = band_rows.join(
+        bucket_sizes.filter(F.col("bsize") <= max_bucket), ["band", "bval"]
+    )
+    a = bounded.select(
+        "band", "bval",
+        F.col(key_col).alias("key_a"), F.col("simhash").alias("_ha"),
+    )
+    b = bounded.select(
+        "band", "bval",
+        F.col(key_col).alias("key_b"), F.col("simhash").alias("_hb"),
+    )
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

@@ -130,6 +130,76 @@ def hyperplane_lsh_buckets(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 4,
+    max_bucket: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (next to exact/MinHash-LSH/SimHash/n-gram Jaccard in
+    operators/dedup.py): emit (key_a, key_b, cosine) for every candidate
+    pair with cosine >= threshold.
+
+    Candidate generation is a DETERMINISTIC sign-pattern LSH: bucket =
+    bitmap of sign(e[i]) over the first ``sign_bits`` coordinates —
+    coordinate hyperplanes instead of seeded random ones, so the oracle can
+    replicate the bucketing in plain SQL and the check stays exact. Two
+    vectors with cosine -> 1 agree on every sign bit, so true near-dups
+    collide; the family's recall/selectivity trade is the usual LSH one
+    (more bits = fewer candidates, seeded random hyperplanes or multi-probe
+    widen recall — hyperplane_lsh_buckets provides that variant).
+
+    Scale shape: bucketing is a pure per-row expression (no shuffle); the
+    candidate join is an equi-join on bucket (co-partitioned, never
+    all-pairs); exact cosine runs on candidates only, JVM-side.
+    ``max_bucket`` guards degenerate buckets (e.g. zero-padded embeddings
+    collapsing onto one pattern) exactly like the MinHash-LSH cap.
+    """
+    bucket = None
+    for i in range(sign_bits):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1).cast("double") >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    tagged = embeddings.select(
+        F.col(key_col), F.col(vec_col), bucket.cast("int").alias("bucket")
+    )
+    if max_bucket is not None:
+        ok = (
+            tagged.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        tagged = tagged.join(F.broadcast(ok), "bucket")
+    a = tagged.select(
+        F.col("bucket"),
+        F.col(key_col).alias("key_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = tagged.select(
+        F.col("bucket"),
+        F.col(key_col).alias("key_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("key_a") < F.col("key_b"))
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        F.round(
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+            round_to,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     centroids,
@@ -310,24 +380,35 @@ def ann_lsh_topk(
     seed: int = 42,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate NN: restrict the exact scorer to the query's LSH bucket.
-    (Recall grows with multi-probe — flipping one bit at a time — left as
-    the documented scale knob.)"""
+
+    ``n_probe`` is the recall knob: probe the query's own bucket plus the
+    buckets reachable by flipping the ``n_probe - 1`` LEAST-CONFIDENT sign
+    bits (smallest |<q, h_i>| — the hyperplanes the query sits closest to,
+    so the likeliest side-errors for a true neighbor). Multi-probe trades
+    one extra bucket scan per probe for recall, without building more hash
+    tables; candidates stay a bucket-joined subset, never the corpus.
+    """
     import numpy as np
 
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    qbucket = 0
-    for i in range(n_planes):
-        if float(np.dot(planes[i], np.asarray(query_vec, dtype=float))) >= 0:
-            qbucket |= 1 << i
+    qv = np.asarray(query_vec, dtype=float)
+    margins = planes @ qv
+    qbucket = int(sum(1 << i for i in range(n_planes) if margins[i] >= 0))
+    # flip order: ascending |margin| — the least-confident bits first
+    flip_order = np.argsort(np.abs(margins), kind="stable")
+    probes = [qbucket]
+    for bit in flip_order[: max(0, int(n_probe) - 1)]:
+        probes.append(qbucket ^ (1 << int(bit)))
     buckets = hyperplane_lsh_buckets(
         embeddings, n_planes=n_planes, seed=seed,
         key_col=key_col, vec_col=vec_col, dim=dim,
     )
     candidates = embeddings.join(
-        buckets.filter(F.col("bucket") == qbucket).select(key_col), key_col
+        buckets.filter(F.col("bucket").isin(probes)).select(key_col), key_col
     )
     return cosine_topk(candidates, query_vec, key_col=key_col, vec_col=vec_col, k=k)

@@ -62,6 +62,15 @@ K1 = 1.2
 B = 0.75
 
 
+def _salt_partitions(index) -> int:
+    """Salt-repartition width for the scoring stage: ~4 tasks per core for
+    load balance (a straggler then costs 1/4 of a wave, not a whole one),
+    capped at the index's salt count — salts are the co-location unit, so
+    partitions beyond n_salts would sit empty."""
+    cores = index.spark.sparkContext.defaultParallelism
+    return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
+
+
 def _analyze_query(query: str, chain: str) -> List[str]:
     out: List[str] = []
     for t in ANALYZERS[chain](query):
@@ -367,8 +376,11 @@ def wand_topk(
         )
 
     matched = index.segments.filter(F.col("term").isin(list(idf_by_term)))
-    # co-locate complete doc contributions: one partition per salt
-    candidates = matched.repartition("salt").mapInPandas(
+    # co-locate complete doc contributions by salt; partition count sized
+    # for load balance (≥4 tasks per core up to the salt cap), not tied to
+    # spark.sql.shuffle.partitions — at low parallelism one partition per
+    # shuffle slot leaves stragglers a whole task-wave long
+    candidates = matched.repartition(_salt_partitions(index), "salt").mapInPandas(
         score, schema="doc_id long, score double"
     )
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -440,6 +452,13 @@ def wand_topk_batch(
                 / (tfs + K1 * (1.0 - B + B * dls / avgdl))
             )
             by_term.setdefault(row.term, []).append((ids, w))
+        if not by_term:
+            return
+        # dense partition-local doc index, built ONCE: per-query
+        # accumulation then runs as an O(n + U) bincount over positions
+        # instead of an O(n log n) np.unique sort PER QUERY — in a dense
+        # batch the same hot term's array would otherwise be re-sorted by
+        # every query that contains it
         term_arrays = {
             t: (
                 np.concatenate([x[0] for x in parts]),
@@ -447,20 +466,36 @@ def wand_topk_batch(
             )
             for t, parts in by_term.items()
         }
+        all_ids = np.unique(
+            np.concatenate([ids for ids, _ in term_arrays.values()])
+        )
+        n_docs_p = all_ids.size
+        term_pos = {
+            t: (ids, np.searchsorted(all_ids, ids), ws)
+            for t, (ids, ws) in term_arrays.items()
+        }
         out_qid, out_ids, out_scores = [], [], []
         for qid, terms in qid_terms.items():
-            terms = [t for t in terms if t in term_arrays]
+            terms = [t for t in terms if t in term_pos]
             if not terms:
                 continue
-            ids = np.concatenate([term_arrays[t][0] for t in terms])
-            ws = np.concatenate([term_arrays[t][1] for t in terms])
-            uniq, inv = np.unique(ids, return_inverse=True)
-            totals = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(totals, inv, ws)
-            sel = _topk_exact(uniq, totals, kk)
+            if len(terms) == 1:
+                # a doc posts at most once per term within its salt, so a
+                # single-term query needs NO aggregation at all
+                ids, _, ws = term_pos[terms[0]]
+                sel = _topk_exact(ids, ws, kk)
+                out_qid.append(np.full(sel.size, qid, dtype=np.int32))
+                out_ids.append(ids[sel])
+                out_scores.append(ws[sel])
+                continue
+            pos = np.concatenate([term_pos[t][1] for t in terms])
+            ws = np.concatenate([term_pos[t][2] for t in terms])
+            totals = np.bincount(pos, weights=ws, minlength=n_docs_p)
+            nz = np.flatnonzero(totals)
+            sel = _topk_exact(all_ids[nz], totals[nz], kk)
             out_qid.append(np.full(sel.size, qid, dtype=np.int32))
-            out_ids.append(uniq[sel])
-            out_scores.append(totals[sel])
+            out_ids.append(all_ids[nz][sel])
+            out_scores.append(totals[nz][sel])
         if not out_qid:
             return
         yield pd.DataFrame(
@@ -475,7 +510,7 @@ def wand_topk_batch(
         [(t,) for t in idf_by_term], "term string"
     )
     matched = index.segments.join(F.broadcast(hit_df), "term")
-    candidates = matched.repartition("salt").mapInPandas(
+    candidates = matched.repartition(_salt_partitions(index), "salt").mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )
     # tree-reduce top-k merge: (neg_score, doc_id) structs sort ascending ==

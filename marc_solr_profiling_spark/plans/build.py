@@ -76,6 +76,9 @@ class InvertedIndex:
         stats = store.read_stage(spark, "stats").collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        # build-time salt count from the manifest: query paths size their
+        # salt repartition from it (n_salts caps useful parallelism)
+        self.n_salts = int(self.store.get_meta().get("n_salts", 16))
 
     @property
     def segments(self) -> DataFrame:
@@ -128,6 +131,8 @@ def build_index(
             }
         )
     )
+    store.set_meta({"n_salts": n_salts, "chain": chain,
+                    "block_size": block_size})
 
     need_tf = not store.stage_complete("tf")
     need_docs = not store.stage_complete("docs")
@@ -295,6 +300,8 @@ def incremental_update(
             }
         )
     )
+    store.set_meta({"n_salts": n_salts, "chain": index.chain,
+                    "block_size": block_size})
     # partition_sort only — a repartitionByRange here would re-run the
     # anti-join + delta plan just to sample range bounds (the same trap
     # commit 715efb7 removed from build_index); the docs table is only

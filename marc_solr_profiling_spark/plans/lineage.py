@@ -55,6 +55,16 @@ class IndexStore:
             json.dump(m, f, indent=2)
         os.replace(tmp, self.manifest_path)  # atomic publish
 
+    def set_meta(self, meta: dict[str, Any]) -> None:
+        """Record build parameters (n_salts, chain, ...) in the manifest so
+        readers can size query-time partitioning without scanning data."""
+        m = self._read_manifest()
+        m.setdefault("meta", {}).update(meta)
+        self._write_manifest(m)
+
+    def get_meta(self) -> dict[str, Any]:
+        return self._read_manifest().get("meta", {})
+
     def set_fingerprint(self, fp: str) -> None:
         m = self._read_manifest()
         if m.get("fingerprint") != fp:

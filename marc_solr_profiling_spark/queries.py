@@ -251,6 +251,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
         "lang_guess", "quality", "fingerprint",
     )
@@ -298,6 +299,61 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("key_a").cast("long").alias("key_a"),
         F.col("key_b").cast("long").alias("key_b"),
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash Hamming-near pairs (32-bit hash, 4 bands, exact
+    popcount(xor) <= 3 verify) — the Hamming search structure next to the
+    per-doc ``simhash`` signature query."""
+    from .operators.dedup import simhash_band_candidates
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (token_count("text") > 0)
+    )
+    out = simhash_band_candidates(
+        docs, key_col="doc_id", bits=32, bands=4, max_hamming=3,
+        max_bucket=200,
+    )
+    return out.select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact Jaccard verify on candidates only (the
+    composed production near-dup shape; candidates from the same banded
+    MinHash config as ``lsh_candidates``)."""
+    from .operators.dedup import lsh_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    out = lsh_jaccard_pairs(
+        docs, key_col="doc_id", n_hashes=16, bands=4, shingle_n=3,
+        max_bucket=200, threshold=0.2,
+    )
+    return out.select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        "jaccard",
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: deterministic sign-pattern
+    LSH buckets (first 4 coordinates) + exact cosine >= 0.3 on candidates
+    only — the vector-space member of the dedup family."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(
+        emb, threshold=0.3, key_col="vec_id", sign_bits=4, round_to=6
+    )
+    return out.select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        "cosine",
     )
 
 
@@ -621,6 +677,9 @@ WITH base AS (
 )
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
+           ))::INT AS n_bpe_tokens,
        length(text)::BIGINT AS n_chars,
        CASE WHEN sw_en >= sw_de AND sw_en >= sw_fr AND sw_en > 0 THEN 'en'
             WHEN sw_de >= sw_fr AND sw_de > 0 THEN 'de'
@@ -724,6 +783,68 @@ WHERE a.doc_id < b.doc_id
 """
 )
 
+_SIMHASH_NEARDUP_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+  WHERE doc_id < 200 AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+),
+sig AS (SELECT doc_id, (
+""" + " + ".join(
+    f"(CASE WHEN sum(CASE WHEN substr(md5(term), {i + 1}, 1) >= '8'"
+    f" THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(32)
+) + """
+)::BIGINT AS simhash FROM tok GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bval
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+ok AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+bb AS (SELECT bands.* FROM bands JOIN ok USING (band, bval)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bb a JOIN bb b USING (band, bval) WHERE a.doc_id < b.doc_id
+)
+SELECT key_a, key_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+_LSH_JACCARD_SQL = (
+    "WITH " + _SHINGLE_CTE.format(max_id=1000) + """,
+sig AS (SELECT doc_id,
+       """
+    + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    + """
+  FROM sh GROUP BY doc_id),
+bands AS (
+  """
+    + "\n  UNION ALL ".join(_band_select(b) for b in range(_LSH_BANDS))
+    + """
+),
+ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+bb AS (SELECT bands.* FROM bands JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+         FROM bb a JOIN bb b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+cd AS (SELECT key_a AS doc_id FROM cand
+       UNION SELECT key_b FROM cand),
+shc AS (SELECT sh.* FROM sh JOIN cd USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ic AS (SELECT inter.* FROM inter JOIN cand USING (key_a, key_b))
+SELECT key_a, key_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM ic
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.2
+"""
+)
+
 _IVF_SQL = """
 WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
 pairs AS (
@@ -757,6 +878,30 @@ SELECT vec_id,
 FROM qpairs GROUP BY vec_id
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
+"""
+
+_EMBED_NEARDUP_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+     + 2 * CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END
+     + 4 * CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END
+     + 8 * CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS key_a, y.vec_id AS key_b,
+         unnest(x.embedding)::DOUBLE AS xa,
+         unnest(y.embedding)::DOUBLE AS yb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+cc AS (
+  SELECT key_a, key_b,
+         round(sum(xa * yb) / (sqrt(sum(xa * xa)) * sqrt(sum(yb * yb))), 6)
+           AS cosine
+  FROM pairs GROUP BY 1, 2
+)
+SELECT key_a, key_b, cosine FROM cc WHERE cosine >= 0.3
 """
 
 _KNN_SQL = """
@@ -826,6 +971,9 @@ GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 21
 """,
     "lsh_candidates": _LSH_SQL,
     "knn_ivf": _IVF_SQL,
+    "embed_neardup": _EMBED_NEARDUP_SQL,
+    "lsh_jaccard": _LSH_JACCARD_SQL,
+    "simhash_neardup": _SIMHASH_NEARDUP_SQL,
     "numfound": f"""
 WITH {_TOK_CTE}
 SELECT count(DISTINCT doc_id)::BIGINT AS numfound FROM tok WHERE term = 'spark'
@@ -1034,6 +1182,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
     "knn_ivf": q_knn_ivf,
+    "embed_neardup": q_embed_neardup,
+    "lsh_jaccard": q_lsh_jaccard,
+    "simhash_neardup": q_simhash_neardup,
     "numfound": q_numfound,
     "terms_browse": q_terms_browse,
     "term_vectors": q_term_vectors,

@@ -45,10 +45,12 @@ def main() -> None:
     from marc_solr_profiling_spark.session import get_spark
     from marc_solr_profiling_spark.sources.html import extract_text_udf
 
+    # shuffle width 4x cores: a straggler costs a quarter-wave, not a full
+    # one (AQE coalesces any resulting tiny partitions back together)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=4 * cpus,
     )
     # materialize the corpus to parquet first so build timing measures the
     # INDEX pipeline, not the generator; fixed partition count so both
@@ -59,9 +61,20 @@ def main() -> None:
     corpus_dir = tempfile.mkdtemp(prefix=f"scale_corpus_{cpus}_", dir=tmp_root)
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_", dir=tmp_root)
     try:
-        generate_web_pages(spark, n_docs, seed=42, partitions=64).write.mode(
+        generate_web_pages(spark, n_docs, seed=42, partitions=256).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
+        # Size input splits for ~4 read tasks per core at THIS parallelism
+        # level: the default 128 MB maxPartitionBytes bin-packs a small
+        # corpus into ~cores splits, so one straggler stretches the whole
+        # fused extract+tokenize wave. 256 corpus files keep bins granular.
+        total_bytes = sum(
+            os.path.getsize(os.path.join(corpus_dir, f))
+            for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+        )
+        split_bytes = max(1 << 22, total_bytes // (4 * cpus) + 1)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
         docs = (
             spark.read.parquet(corpus_dir)
             .select("url", "html")  # production input: raw pages only
@@ -81,11 +94,24 @@ def main() -> None:
                 spark, docs, idx_dir, key_col="url", id_col="doc_id",
                 chain="text", n_salts=64, block_size=128, partitions=cpus,
             )
-            build_sec = min(build_sec, time.time() - t0)
+            b = time.time() - t0
+            build_sec = min(build_sec, b)
+            # per-stage timing from manifest commit timestamps (diagnostic)
+            stages = idx.store.lineage()["stages"]
+            order = sorted(stages, key=lambda s: stages[s]["committed_at"])
+            prev = t0
+            marks = {}
+            for s in order:
+                marks[s] = round(stages[s]["committed_at"] - prev, 1)
+                prev = stages[s]["committed_at"]
+            print(f"# rep{rep} cpus={cpus} build={b:.1f}s stages={marks}",
+                  file=sys.stderr)
 
             t0 = time.time()
             wand_topk_batch(idx, queries, k=10).count()
-            query_sec = min(query_sec, time.time() - t0)
+            q = time.time() - t0
+            query_sec = min(query_sec, q)
+            print(f"# rep{rep} cpus={cpus} query={q:.1f}s", file=sys.stderr)
 
         print(
             json.dumps(
