@@ -143,12 +143,17 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(key_col, F.col("bb.band"), F.col("bb.bucket"))
 
-    # skew guard: drop mega-buckets (boilerplate collapse)
-    bucket_sizes = band_rows.groupBy("band", "bucket").agg(
-        F.count("*").alias("bsize")
-    )
-    bounded = band_rows.join(
-        bucket_sizes.filter(F.col("bsize") <= max_bucket), ["band", "bucket"]
+    # skew guard: drop mega-buckets (boilerplate collapse). Window count
+    # (no orderBy -> whole-frame count, no sort) instead of groupBy+join:
+    # one shuffle on (band, bucket), no duplicate execution of the
+    # signature subtree, and the self-join below reuses the exchange.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    bounded = (
+        band_rows.withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_bucket)
+        .drop("bsize")
     )
 
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("key_a"))
@@ -292,15 +297,25 @@ def simhash_expr(text_col: str, bits: int = 16):
     (same md5, same substr/threshold logic) — oracle-checkable.
     Returns an int column (bit i = 2^i).
     """
-    toks = tokens_simple(text_col)
+    return _simhash_from_md5s(
+        F.transform(tokens_simple(text_col), lambda t: F.md5(t)), bits
+    )
+
+
+def _simhash_from_md5s(md5s, bits: int):
+    """Per-bit majority votes over a (pre-computed) token-md5 array column.
+    Callers that evaluate many bits should materialize the md5 array in its
+    OWN projection first (see simhash_buckets): a multiply-referenced named
+    column survives CollapseProject, so the per-token hashing runs once
+    instead of once per bit."""
     bit_cols = []
     for i in range(bits):
         votes = F.aggregate(
-            toks,
+            md5s,
             F.lit(0),
-            lambda acc, t: acc
+            lambda acc, h: acc
             + F.when(
-                F.substring(F.md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
                 F.lit(1),
             ).otherwise(F.lit(-1)),
         )
@@ -316,8 +331,12 @@ def simhash_buckets(docs: DataFrame, key_col: str = "doc_id",
     """(key, simhash) — Hamming-near docs collide on equal simhash for
     small corpora; at scale, candidate search splits the hash into bands
     (:func:`simhash_band_candidates`)."""
-    return docs.select(
-        F.col(key_col), simhash_expr(text_col, bits).alias("simhash")
+    md5s = docs.select(
+        F.col(key_col),
+        F.transform(tokens_simple(text_col), lambda t: F.md5(t)).alias("_md5s"),
+    )
+    return md5s.select(
+        F.col(key_col), _simhash_from_md5s(F.col("_md5s"), bits).alias("simhash")
     )
 
 
@@ -346,9 +365,7 @@ def simhash_band_candidates(
     """
     rows_per_band = bits // bands
     mask = (1 << rows_per_band) - 1
-    sh = docs.select(
-        F.col(key_col), simhash_expr(text_col, bits).alias("simhash")
-    )
+    sh = simhash_buckets(docs, key_col=key_col, text_col=text_col, bits=bits)
     band_rows = sh.select(
         key_col,
         "simhash",
@@ -367,11 +384,13 @@ def simhash_band_candidates(
         ).alias("bb"),
     ).select(key_col, "simhash", F.col("bb.band"), F.col("bb.bval"))
 
-    bucket_sizes = band_rows.groupBy("band", "bval").agg(
-        F.count("*").alias("bsize")
-    )
-    bounded = band_rows.join(
-        bucket_sizes.filter(F.col("bsize") <= max_bucket), ["band", "bval"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bval")
+    bounded = (
+        band_rows.withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_bucket)
+        .drop("bsize")
     )
     a = bounded.select(
         "band", "bval",

@@ -170,13 +170,14 @@ def embedding_neardup_pairs(
         F.col(key_col), F.col(vec_col), bucket.cast("int").alias("bucket")
     )
     if max_bucket is not None:
-        ok = (
-            tagged.groupBy("bucket")
-            .agg(F.count("*").alias("_n"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        tagged = (
+            tagged.withColumn("_n", F.count("*").over(w))
             .filter(F.col("_n") <= max_bucket)
-            .select("bucket")
+            .drop("_n")
         )
-        tagged = tagged.join(F.broadcast(ok), "bucket")
     a = tagged.select(
         F.col("bucket"),
         F.col(key_col).alias("key_a"),

@@ -262,6 +262,10 @@ def incremental_update(
         drop_ids = upd if drop_ids is None else drop_ids.union(upd).distinct()
 
     if drop_ids is not None:
+        # persisted: BOTH the tf and docs commits anti-join against it, and
+        # each commit is its own action — without the persist the delete-set
+        # union/distinct plan executes twice
+        drop_ids = drop_ids.persist()
         # left-anti = the DELETE FROM ... WHERE id IN (...) semi-join
         old_tf = old_tf.join(drop_ids, "doc_id", "left_anti")
         old_docs = old_docs.join(drop_ids, "doc_id", "left_anti")
@@ -312,6 +316,8 @@ def incremental_update(
         # both consumers (docs + tf commits) are done — release the cached
         # delta blocks instead of holding them for the session lifetime
         delta_tf.unpersist()
+    if drop_ids is not None:
+        drop_ids.unpersist()
     tf = store.read_stage(spark, "tf")
     if not store.stage_complete("stats"):
         ds = store.read_stage(spark, "docs")

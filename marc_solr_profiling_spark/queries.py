@@ -28,7 +28,7 @@ from .functions.textstats import (
     text_profile, token_count, tokens_simple,
 )
 from .operators.bm25 import bm25_topk_sql_plan
-from .operators.dedup import exact_dup_groups, ngram_jaccard_pairs, simhash_expr
+from .operators.dedup import exact_dup_groups, ngram_jaccard_pairs
 from .operators.facets import facet_counts, term_vectors, terms_browse
 from .operators.merge import merge_upsert_delete
 from .operators.postings import (
@@ -283,7 +283,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 200) & (token_count("text") > 0)
     )
-    return docs.select("doc_id", simhash_expr("text", bits=16).alias("simhash"))
+    from .operators.dedup import simhash_buckets
+
+    return simhash_buckets(docs, key_col="doc_id", bits=16)
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,14 +3,25 @@ delta files merged and committed; Solr autoCommit is a durability
 micro-batch, not event-time processing). The faithful Spark shape is
 therefore ``Trigger.AvailableNow`` over the same batch logic: drain
 whatever landed, run extraction + profiling, append, checkpoint, stop.
-Watermarks/stateful operators are deliberately absent — nothing in the
-reference maps to them.
+Watermarks are deliberately absent — nothing in the reference maps to
+event time.
+
+Beyond the reference, :func:`stream_dedup_gate` adds the stateful operator
+a training-data ingest actually needs: a cross-micro-batch EXACT-dedup
+gate (first occurrence of a content digest passes, every later arrival —
+same batch or any future one — is dropped), built on
+``applyInPandasWithState`` with the digest as the state key.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..corpus import WEB_PAGES_SCHEMA
 from ..functions.textstats import lang_id_expr, quality_score_expr, token_count
@@ -51,3 +62,83 @@ def stream_ingest_available_now(
 
 def read_ingested(spark: SparkSession, target_dir: str) -> DataFrame:
     return spark.read.parquet(target_dir)
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType())])
+
+
+def _dedup_gate_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the first-ever row for this digest; drop everything else.
+
+    Within the first batch a digest appears in, the kept row is the
+    min-url one (deterministic regardless of partition arrival order);
+    once state exists, later batches emit nothing for this key.
+    """
+    if state.exists:
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        cand = pdf.loc[pdf["url"].idxmin()]
+        if best is None or cand["url"] < best["url"]:
+            best = cand
+    if best is not None:
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "digest": [key[0]],
+                "url": [best["url"]],
+                "text": [best["text"]],
+            }
+        )
+
+
+def stream_dedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Cross-batch exact-dedup ingest gate (the streaming member of the
+    dedup family in operators/dedup.py): key = md5 of the text content,
+    state = 'seen' flag in the state store. First arrival of a digest is
+    appended to ``target_dir``; every re-arrival — in the same micro-batch
+    or any later run against the same checkpoint — is dropped.
+
+    Scale shape: state is partitioned by digest (hash-distributed, no
+    driver set); per-key state is one int; the state store checkpoints
+    with the query, so a crashed ingest resumes without re-admitting
+    duplicates. Blocks until the AvailableNow drain completes.
+    """
+    stream = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(source_dir)
+    keyed = stream.select(
+        F.md5(F.col(text_col)).alias("digest"), "url", F.col(text_col).alias("text")
+    ).groupBy("digest")
+    gated = keyed.applyInPandasWithState(
+        _dedup_gate_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

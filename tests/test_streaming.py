@@ -4,9 +4,12 @@ reference implements with nightly delta scripts (SURVEY.md §2.11)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from marc_solr_profiling_spark.corpus import generate_web_pages
 from marc_solr_profiling_spark.streaming.ingest import (
     read_ingested,
+    stream_dedup_gate,
     stream_ingest_available_now,
 )
 
@@ -31,3 +34,31 @@ def test_available_now_incremental(spark, tmp_path):
     )
     stream_ingest_available_now(spark, src, dst, ckpt)
     assert read_ingested(spark, dst).count() == 80
+
+
+def test_stream_dedup_gate_across_batches(spark, tmp_path):
+    """First arrival of a content digest passes; re-arrivals are dropped —
+    within a batch AND across micro-batches via the state store."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = generate_web_pages(spark, 20, seed=42, partitions=2)
+    base.write.parquet(src, mode="overwrite")
+    # same-batch duplicates: re-append the SAME 20 pages under new file
+    # names (identical text, identical urls)
+    base.write.parquet(src, mode="append")
+    stream_dedup_gate(spark, src, dst, ckpt)
+    out1 = spark.read.parquet(dst)
+    assert out1.count() == 20
+    assert out1.select("digest").distinct().count() == 20
+
+    # next batch: 20 old duplicates + 10 genuinely new pages
+    base.write.parquet(src, mode="append")
+    generate_web_pages(spark, 10, seed=7, partitions=1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" fresh"))
+    ).write.parquet(src, mode="append")
+    stream_dedup_gate(spark, src, dst, ckpt)
+    out2 = spark.read.parquet(dst)
+    assert out2.count() == 30
+    assert out2.select("digest").distinct().count() == 30

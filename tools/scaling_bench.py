@@ -32,8 +32,17 @@ REPO = os.path.dirname(HERE)
 
 
 def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 3) -> dict:
+    # Pin the WHOLE process tree (JVM + every Python worker) to exactly
+    # ``cpus`` host cores. Without pinning, local[N] only bounds task
+    # SLOTS: a task's JVM thread and its two chained Python workers
+    # (extract UDF + tokenize kernel) run concurrently, so a "2-core"
+    # level borrows up to ~3x its nominal cores from the idle host and
+    # the N->4N ratio understates the pipeline's true scalability. With
+    # taskset each level is a faithful N-core cluster slice (JDK and
+    # Python both size their pools from sched_getaffinity).
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_job.py"),
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(HERE, "scaling_job.py"),
          str(cpus), str(n_docs), str(n_queries), str(n_reps)],
         capture_output=True, text=True, timeout=6000, cwd=REPO,
     )
@@ -92,6 +101,16 @@ one batch pass). Each level repeats the measurement 2x over the same corpus
 in one JVM and reports the minimum — the sandbox VM has noisy neighbors
 (~10% CPU steal, 2x wall-time swings observed at identical parameters), and
 the minimum is the least-interfered estimate at each level.
+
+Each level is PINNED to exactly N host cores (`taskset -c 0-{{N-1}}` around
+the JVM and every Python worker it spawns): `local[N]` alone only bounds
+task slots, and a task's JVM thread plus its two chained Python workers
+(extract UDF + fused tokenize kernel) run concurrently — unpinned, a
+"2-core" level borrows up to ~3x its nominal cores from the idle host,
+which understates the pipeline's true N->4N scalability. Pinned, each
+level is a faithful N-core cluster slice (a real cluster gives every
+executor its own cores; JDK and Python size their pools from
+sched_getaffinity).
 
 Generated by `python tools/scaling_bench.py {n_docs} {n_small}` on {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
 

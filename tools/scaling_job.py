@@ -72,7 +72,7 @@ def main() -> None:
             os.path.getsize(os.path.join(corpus_dir, f))
             for f in os.listdir(corpus_dir) if f.endswith(".parquet")
         )
-        split_bytes = max(1 << 22, total_bytes // (4 * cpus) + 1)
+        split_bytes = max(1 << 22, -(-total_bytes // (4 * cpus)))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         docs = (
