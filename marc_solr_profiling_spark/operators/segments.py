@@ -83,9 +83,10 @@ def build_segments(
         # vectorized encode pass per partition, not per block: with a web
         # vocabulary most (term, salt) groups are tiny, so per-group/-block
         # numpy dispatch (~µs each × millions) would dominate the build.
-        # Rows arrive sorted by (term, salt, doc_id); group boundaries are
-        # numpy change-point detection; block boundaries, delta gaps and
-        # varbyte bytes are all computed partition-wide and sliced.
+        # Rows arrive hash-partitioned by (term, salt) but UNSORTED; the
+        # sort happens below in numpy. Group boundaries are then numpy
+        # change-point detection; block boundaries, delta gaps and varbyte
+        # bytes are all computed partition-wide and sliced.
         from .varbyte import delta_gaps_blocked, varbyte_encode_sliced
 
         lst = list(batches)
@@ -100,6 +101,22 @@ def build_segments(
         doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
         tfs = pdf["tf"].to_numpy().astype(np.float64)
         dls = pdf["doc_len"].to_numpy().astype(np.float64)
+        # partition-wide (term, salt, doc_id) sort done HERE, not as a JVM
+        # sortWithinPartitions: factorize to int codes, rank the (small)
+        # distinct-term set lexicographically, then one integer lexsort —
+        # O(n) hashing + O(V log V) string sort + O(n log n) int sort beats
+        # Tungsten's per-row UTF8 comparisons, and the rows were crossing
+        # into this worker anyway. Output stays term-sorted, so parquet
+        # row-group min/max pruning on query terms is preserved.
+        codes, uniques = pd.factorize(terms)
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[np.argsort(uniques, kind="stable")] = np.arange(len(uniques))
+        order = np.lexsort((doc_ids, salts, rank[codes]))
+        terms = terms[order]
+        salts = salts[order]
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
         wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         change = np.ones(n, dtype=bool)
         if n > 1:
@@ -147,9 +164,9 @@ def build_segments(
     salted = tf_with_dl.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int")
     )
-    arranged = salted.repartition("term", "salt").sortWithinPartitions(
-        "term", "salt", "doc_id"
-    )
+    # no JVM sortWithinPartitions: make_blocks lexsorts inside the Python
+    # worker on factorized int codes (see comment there)
+    arranged = salted.repartition("term", "salt")
     return arranged.mapInPandas(make_blocks, schema=SEGMENT_SCHEMA)
 
 

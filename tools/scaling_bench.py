@@ -31,7 +31,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 3) -> dict:
+def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 1,
+              corpus_dir: str | None = None) -> dict:
     # Pin the WHOLE process tree (JVM + every Python worker) to exactly
     # ``cpus`` host cores. Without pinning, local[N] only bounds task
     # SLOTS: a task's JVM thread and its two chained Python workers
@@ -40,11 +41,14 @@ def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 3) -> dict:
     # the N->4N ratio understates the pipeline's true scalability. With
     # taskset each level is a faithful N-core cluster slice (JDK and
     # Python both size their pools from sched_getaffinity).
+    env = dict(os.environ)
+    if corpus_dir:
+        env["SPARK_GRAFT_CORPUS_DIR"] = corpus_dir
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, os.path.join(HERE, "scaling_job.py"),
          str(cpus), str(n_docs), str(n_queries), str(n_reps)],
-        capture_output=True, text=True, timeout=6000, cwd=REPO,
+        capture_output=True, text=True, timeout=6000, cwd=REPO, env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"scaling job cpus={cpus} failed:\n{out.stderr[-3000:]}")
@@ -60,15 +64,58 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     one_pair = "--one-pair" in sys.argv
     n_queries = 10000
+    n_rounds = 3
 
     pairs = [(n_small, 4 * n_small)]
     if not one_pair:
         pairs.append((4 * n_small, 16 * n_small))
+    levels = sorted({c for p in pairs for c in p})
 
-    results = {}
-    for lo_c, hi_c in pairs:
-        results[lo_c] = results.get(lo_c) or run_level(lo_c, n_docs, n_queries, n_reps=2)
-        results[hi_c] = results.get(hi_c) or run_level(hi_c, n_docs, n_queries, n_reps=2)
+    # corpus generated ONCE, unpinned (full host) — every pinned
+    # measurement JVM reads the identical files
+    import tempfile
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    corpus_dir = tempfile.mkdtemp(prefix="scale_corpus_", dir=tmp_root)
+    gen = subprocess.run(
+        [sys.executable, os.path.join(HERE, "gen_corpus.py"),
+         str(n_docs), corpus_dir],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+    )
+    if gen.returncode != 0:
+        raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
+
+    # Interleaved cold rounds: one fresh JVM per (level, round), levels
+    # alternating, min per level — the sandbox's noisy neighbors swing
+    # effective IPC by 2-3x on a scale of minutes (measured: identical
+    # work costing 94 vs 257 CPU-seconds), so (a) interleaving makes a
+    # noise window hit both levels instead of one, and (b) the min over
+    # rounds estimates each level's quiet-window capability. Each round
+    # is cold (no cross-rep JVM JIT or analyzer-memo carryover), matching
+    # what a fresh production build sees.
+    results: dict[int, dict] = {}
+    try:
+        for rnd in range(n_rounds):
+            for c in levels:
+                r = run_level(c, n_docs, n_queries, n_reps=1,
+                              corpus_dir=corpus_dir)
+                print(f"# round {rnd} {json.dumps(r)}", file=sys.stderr)
+                best = results.get(c)
+                if best is None:
+                    results[c] = dict(r)
+                else:
+                    for k in ("build_sec", "query_sec"):
+                        best[k] = min(best[k], r[k])
+                    best["build_docs_per_sec"] = round(
+                        best["n_docs"] / best["build_sec"], 1
+                    )
+                    best["queries_per_sec"] = round(
+                        best["n_queries"] / best["query_sec"], 2
+                    )
+    finally:
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     rows = []
     for c in sorted(results):
@@ -97,10 +144,16 @@ separate JVMs at each parallelism level over identical input
 ({n_docs:,} deterministic Common-Crawl-shaped web pages, seed=42; the
 production path: HTML->text extraction UDF + full analyzer chain + fused
 tf pass + salted varbyte segment build; {n_queries} BM25 top-10 queries in
-one batch pass). Each level repeats the measurement 2x over the same corpus
-in one JVM and reports the minimum — the sandbox VM has noisy neighbors
-(~10% CPU steal, 2x wall-time swings observed at identical parameters), and
-the minimum is the least-interfered estimate at each level.
+one batch pass). Measurement protocol: {n_rounds} INTERLEAVED COLD ROUNDS —
+one fresh JVM per (level, round), levels alternating within each round,
+minimum per level reported. Rationale: per-core CPU accounting shows the
+sandbox's noisy neighbors swing effective IPC 2-3x on a scale of minutes
+(identical work measured at 94 vs 257 CPU-seconds on quiet vs noisy
+windows, with near-zero guest-visible steal); interleaving makes a noise
+window hit both levels instead of biasing one, and the min over rounds
+estimates each level's quiet-window capability. Cold JVMs mean no JIT or
+analyzer-memo carryover between rounds — what a fresh production build
+sees. The corpus is pre-generated once and shared by all runs.
 
 Each level is PINNED to exactly N host cores (`taskset -c 0-{{N-1}}` around
 the JVM and every Python worker it spawns): `local[N]` alone only bounds
@@ -113,6 +166,8 @@ executor its own cores; JDK and Python size their pools from
 sched_getaffinity).
 
 Generated by `python tools/scaling_bench.py {n_docs} {n_small}` on {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
+Run under `taskset` pinning (see below); per-level rows are min over
+{n_rounds} interleaved cold rounds.
 
 | parallelism | build sec | build docs/sec | query sec | queries/sec |
 |---|---|---|---|---|
