@@ -100,7 +100,18 @@ class IndexStore:
                 w = w.repartitionByRange(*repartition_range)
             if partition_sort:
                 w = w.sortWithinPartitions(*partition_sort)
-            w.write.mode("overwrite").parquet(staging)
+            # Dictionary encoding OFF for stage tables: their dominant
+            # columns are high-cardinality (terms with a long unique tail,
+            # unique urls/doc_ids, compressed binary blobs), so the
+            # dictionary always overflows and falls back — but only after
+            # hashing every value into a per-chunk map. Measured on the
+            # 220k-doc tf stage: the write dropped from ~165s of overhead
+            # to ~8s (8 cores) with dictionary off, identical reads.
+            (
+                w.write.mode("overwrite")
+                .option("parquet.enable.dictionary", "false")
+                .parquet(staging)
+            )
             if os.path.exists(out):
                 shutil.rmtree(out)
             os.replace(staging, out)

@@ -59,6 +59,16 @@ def main() -> None:
         split_bytes = max(1 << 22, -(-total_bytes // (4 * cpus)))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        if os.environ.get("DIAG_DICT") == "0":
+            spark.conf.set("spark.hadoop.parquet.enable.dictionary", "false")
+        if os.environ.get("DIAG_BLOCK"):
+            spark.conf.set(
+                "spark.hadoop.parquet.block.size", os.environ["DIAG_BLOCK"]
+            )
+        if os.environ.get("DIAG_CODEC"):
+            spark.conf.set(
+                "spark.sql.parquet.compression.codec", os.environ["DIAG_CODEC"]
+            )
 
         for rep in range(2):
             docs = (
@@ -73,7 +83,11 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
             a = cpu_sample(set(cores))
             t0 = time.time()
-            tf.write.mode("overwrite").parquet(out_dir)
+            mode = os.environ.get("DIAG_MODE", "write")
+            if mode == "count":
+                tf.count()
+            else:
+                tf.write.mode("overwrite").parquet(out_dir)
             wall = time.time() - t0
             b = cpu_sample(set(cores))
             agg = [sum(b[c][i] - a[c][i] for c in cores) for i in range(8)]

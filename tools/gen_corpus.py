@@ -22,7 +22,7 @@ def main() -> None:
     spark = get_spark(app_name="gen_corpus")
     generate_web_pages(spark, n_docs, seed=42, partitions=256).write.mode(
         "overwrite"
-    ).parquet(out_dir)
+    ).option("parquet.enable.dictionary", "false").parquet(out_dir)
     print(out_dir)
 
 

@@ -74,7 +74,7 @@ def main() -> None:
         if own_corpus:
             generate_web_pages(spark, n_docs, seed=42, partitions=256).write.mode(
                 "overwrite"
-            ).parquet(corpus_dir)
+            ).option("parquet.enable.dictionary", "false").parquet(corpus_dir)
         # Size input splits for ~4 read tasks per core at THIS parallelism
         # level: the default 128 MB maxPartitionBytes bin-packs a small
         # corpus into ~cores splits, so one straggler stretches the whole
