@@ -134,11 +134,19 @@ def tokenize_and_count(
     key_col: str = "doc_id",
     text_col: str = "text",
     chain: str = DEFAULT_CHAIN,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Fused analyze+count: raw text in, (term, key, doc_len, tf) out, in a
     SINGLE mapInPandas pass — token arrays never cross the Arrow boundary
     (they are born and counted inside one Python worker), which at web scale
     halves the dominant string-serialization cost of the build.
+
+    ``html_col``: when given, HTML→text extraction fuses into the SAME
+    kernel (``text_col`` is ignored): raw html bytes cross into Python
+    once, the extracted text never serializes back to the JVM, and each
+    task drives ONE Python worker instead of two (a separate extract UDF
+    chains a second PythonRunner per task — at full cluster width that is
+    3 concurrent processes per core slot: JVM thread + 2 workers).
 
     Docs that analyze to zero tokens emit one sentinel row
     ``(term=NULL, key, doc_len=0, tf=0)`` so the doc-side table (and N,
@@ -149,15 +157,22 @@ def tokenize_and_count(
     import pandas as pd
 
     from ..functions.analyzer import ANALYZERS
+    from ..sources.html import extract_text_from_html
 
     analyze = ANALYZERS[chain]
     schema = f"term string, {key_col} long, doc_len int, tf int"
+    in_col = html_col if html_col is not None else text_col
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            token_lists = [analyze(t) for t in pdf[text_col]]
+            if html_col is not None:
+                token_lists = [
+                    analyze(extract_text_from_html(h)) for h in pdf[in_col]
+                ]
+            else:
+                token_lists = [analyze(t) for t in pdf[in_col]]
             lens = np.fromiter(
                 (len(t) for t in token_lists), dtype=np.int64,
                 count=len(token_lists),
@@ -207,7 +222,7 @@ def tokenize_and_count(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return docs.select(key_col, text_col).mapInPandas(kernel, schema=schema)
+    return docs.select(key_col, in_col).mapInPandas(kernel, schema=schema)
 
 
 def doc_stats(docs_with_tokens: DataFrame, key_col: str = "url",

@@ -104,8 +104,13 @@ def build_index(
     block_size: int = 128,
     partitions: int | None = None,
     id_col: str | None = None,
+    html_col: str | None = None,
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
+
+    ``html_col``: raw-page input — HTML→text extraction fuses into the
+    tokenize kernel (one Python worker per task, html crosses the Arrow
+    boundary once, extracted text never serializes back).
 
     Stages (each a committed snapshot; a re-run skips completed ones):
       docs        (doc_id, url, doc_len)
@@ -160,7 +165,8 @@ def build_index(
         # shuffle of the whole build is the salted (term, salt)
         # repartition inside build_segments.
         tf = tokenize_and_count(
-            with_ids, key_col="doc_id", text_col=text_col, chain=chain
+            with_ids, key_col="doc_id", text_col=text_col, chain=chain,
+            html_col=html_col,
         )
         store.commit_stage("tf", tf)
 

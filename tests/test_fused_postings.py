@@ -51,3 +51,22 @@ def test_fused_doc_len_and_sentinels(spark):
     assert empties
     sentinels = fused.filter("term IS NULL").select("doc_id").collect()
     assert sorted(r["doc_id"] for r in sentinels) == sorted(empties)
+
+
+def test_fused_html_extraction_matches_text_column(spark):
+    """html_col= fusion (extract inside the tokenize kernel) must produce
+    byte-identical tf rows to extracting first and tokenizing the text
+    column — the build-path worker fusion can never change a posting."""
+    from marc_solr_profiling_spark.sources.html import extract_text_udf
+
+    pages = generate_web_pages(spark, 80, seed=23, partitions=4).withColumn(
+        "doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    )
+    via_text = tokenize_and_count(
+        pages.withColumn("etext", extract_text_udf()(F.col("html"))),
+        key_col="doc_id", text_col="etext",
+    )
+    via_html = tokenize_and_count(pages, key_col="doc_id", html_col="html")
+    a = {tuple(r) for r in via_text.collect()}
+    b = {tuple(r) for r in via_html.collect()}
+    assert a == b and len(a) > 0

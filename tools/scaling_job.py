@@ -43,8 +43,6 @@ def main() -> None:
     from marc_solr_profiling_spark.operators.wand import wand_topk_batch
     from marc_solr_profiling_spark.plans.build import build_index
     from marc_solr_profiling_spark.session import get_spark
-    from marc_solr_profiling_spark.sources.html import extract_text_udf
-
     # shuffle width 4x cores: a straggler costs a quarter-wave, not a full
     # one (AQE coalesces any resulting tiny partitions back together)
     spark = get_spark(
@@ -86,10 +84,11 @@ def main() -> None:
         split_bytes = max(1 << 22, -(-total_bytes // (4 * cpus)))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        # production input: raw pages only; extraction fuses into the
+        # tokenize kernel (html_col below) — one Python worker per task
         docs = (
             spark.read.parquet(corpus_dir)
-            .select("url", "html")  # production input: raw pages only
-            .withColumn("text", extract_text_udf()(F.col("html")))
+            .select("url", "html")
             .withColumn(
                 "doc_id",
                 F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"),
@@ -104,6 +103,7 @@ def main() -> None:
             idx = build_index(
                 spark, docs, idx_dir, key_col="url", id_col="doc_id",
                 chain="text", n_salts=64, block_size=128, partitions=cpus,
+                html_col="html",
             )
             b = time.time() - t0
             build_sec = min(build_sec, b)
