@@ -64,11 +64,17 @@ B = 0.75
 
 def _salt_partitions(index) -> int:
     """Salt-repartition width for the scoring stage: ~4 tasks per core for
-    load balance (a straggler then costs 1/4 of a wave, not a whole one),
-    capped at the index's salt count — salts are the co-location unit, so
-    partitions beyond n_salts would sit empty."""
+    load balance (a straggler then costs 1/4 of a wave, not a whole one).
+
+    Deliberately NOT capped at n_salts: salts hash into partitions, and
+    with n_partitions == n_salts the birthday effect packs 2-4 salts into
+    some partitions while ~37% sit empty — a 3-salt partition is a 3x
+    straggler when the wave count is low. Widening to 4x cores (empty
+    partitions cost ~nothing) plus building with n_salts >> partitions
+    keeps the expected max load near the mean. n_salts is the build-time
+    knob that should scale with cluster width (SURVEY §7)."""
     cores = index.spark.sparkContext.defaultParallelism
-    return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
+    return max(1, 4 * cores)
 
 
 def _analyze_query(query: str, chain: str) -> List[str]:

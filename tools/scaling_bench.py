@@ -44,14 +44,21 @@ def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 1,
     env = dict(os.environ)
     if corpus_dir:
         env["SPARK_GRAFT_CORPUS_DIR"] = corpus_dir
+    # pin to the HIGHEST-numbered cores: cumulative /proc/stat steal shows
+    # the hypervisor neighbors land disproportionately on low vCPUs
+    # (cpu0 ~2.5x the steal of cpu24+), so small levels on cpu0-1 would
+    # absorb extra noise the big levels dilute
+    n_host = os.cpu_count() or cpus
+    lo = max(0, n_host - cpus)
     out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}",
+        ["taskset", "-c", f"{lo}-{n_host - 1}",
          sys.executable, os.path.join(HERE, "scaling_job.py"),
          str(cpus), str(n_docs), str(n_queries), str(n_reps)],
-        capture_output=True, text=True, timeout=6000, cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=None,  # stage marks stream through
+        text=True, timeout=6000, cwd=REPO, env=env,
     )
     if out.returncode != 0:
-        raise RuntimeError(f"scaling job cpus={cpus} failed:\n{out.stderr[-3000:]}")
+        raise RuntimeError(f"scaling job cpus={cpus} failed (see stderr above)")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -155,8 +162,10 @@ estimates each level's quiet-window capability. Cold JVMs mean no JIT or
 analyzer-memo carryover between rounds — what a fresh production build
 sees. The corpus is pre-generated once and shared by all runs.
 
-Each level is PINNED to exactly N host cores (`taskset -c 0-{{N-1}}` around
-the JVM and every Python worker it spawns): `local[N]` alone only bounds
+Each level is PINNED to exactly N host cores (`taskset` around the JVM and
+every Python worker it spawns, using the highest-numbered cores — per-cpu
+steal accounting shows hypervisor neighbors land disproportionately on low
+vCPUs): `local[N]` alone only bounds
 task slots, and a task's JVM thread plus its two chained Python workers
 (extract UDF + fused tokenize kernel) run concurrently — unpinned, a
 "2-core" level borrows up to ~3x its nominal cores from the idle host,
