@@ -64,17 +64,26 @@ B = 0.75
 
 def _salt_partitions(index) -> int:
     """Salt-repartition width for the scoring stage: ~4 tasks per core for
-    load balance (a straggler then costs 1/4 of a wave, not a whole one).
-
-    Deliberately NOT capped at n_salts: salts hash into partitions, and
-    with n_partitions == n_salts the birthday effect packs 2-4 salts into
-    some partitions while ~37% sit empty — a 3-salt partition is a 3x
-    straggler when the wave count is low. Widening to 4x cores (empty
-    partitions cost ~nothing) plus building with n_salts >> partitions
-    keeps the expected max load near the mean. n_salts is the build-time
-    knob that should scale with cluster width (SURVEY §7)."""
+    load balance (a straggler then costs 1/4 of a wave, not a whole one),
+    capped at the salt count — with RANGE partitioning (see _by_salt) each
+    partition owns a contiguous slice of salt values, so n_salts partitions
+    is exact 1:1 and more would sit empty."""
     cores = index.spark.sparkContext.defaultParallelism
-    return max(1, 4 * cores)
+    return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
+
+
+def _by_salt(matched: DataFrame, index) -> DataFrame:
+    """Co-locate complete per-document contributions: every row of one salt
+    in exactly one partition.
+
+    repartitionByRange, NOT hash: hashing S salt values into S partitions
+    packs 2-4 salts into some partitions while ~37% sit empty (birthday
+    effect) — a 3-salt partition is a 3x straggler when the wave count is
+    low. Range partitioning splits the (uniform) salt domain into
+    contiguous slices: ~1 salt per partition at full width, exact balance
+    at lower widths. Cost: the range sampler runs the child scan once more
+    — metadata-scale next to the Python scoring stage it feeds."""
+    return matched.repartitionByRange(_salt_partitions(index), "salt")
 
 
 def _analyze_query(query: str, chain: str) -> List[str]:
@@ -382,11 +391,7 @@ def wand_topk(
         )
 
     matched = index.segments.filter(F.col("term").isin(list(idf_by_term)))
-    # co-locate complete doc contributions by salt; partition count sized
-    # for load balance (≥4 tasks per core up to the salt cap), not tied to
-    # spark.sql.shuffle.partitions — at low parallelism one partition per
-    # shuffle slot leaves stragglers a whole task-wave long
-    candidates = matched.repartition(_salt_partitions(index), "salt").mapInPandas(
+    candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -516,7 +521,7 @@ def wand_topk_batch(
         [(t,) for t in idf_by_term], "term string"
     )
     matched = index.segments.join(F.broadcast(hit_df), "term")
-    candidates = matched.repartition(_salt_partitions(index), "salt").mapInPandas(
+    candidates = _by_salt(matched, index).mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )
     # tree-reduce top-k merge: (neg_score, doc_id) structs sort ascending ==

@@ -102,7 +102,7 @@ def main() -> None:
             t0 = time.time()
             idx = build_index(
                 spark, docs, idx_dir, key_col="url", id_col="doc_id",
-                chain="text", n_salts=256, block_size=128, partitions=cpus,
+                chain="text", n_salts=64, block_size=128, partitions=cpus,
                 html_col="html",
             )
             b = time.time() - t0
