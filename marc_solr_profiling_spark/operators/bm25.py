@@ -97,6 +97,39 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(key_col)).limit(k)
 
 
+def phrase_match_expr(tokens_col: str, phrase_terms: Sequence[str]):
+    """Positional phrase predicate: true iff ``tokens[i..i+m-1]`` equals
+    ``phrase_terms`` for some i — Lucene ``PhraseQuery`` (slop 0), the
+    capability behind the reference's edismax phrase parameters
+    (``solrconfig.xml:68-82`` ``qs=1, ps=0``).
+
+    Scale shape: a pure per-row native expression (``exists`` over a
+    position sequence) — zero Python, zero shuffle, runs inside
+    whole-stage codegen next to the token scan, and Catalyst
+    short-circuits the conjunction per position. The physical-index
+    evolution of this is a varbyte position list per posting (Lucene's
+    .pos file); the reference only ever issues phrase queries through
+    the query-side handler, so the scan-side form is the parity shape.
+    """
+    m = len(phrase_terms)
+    if m == 0:
+        return F.lit(False)
+    for t in phrase_terms:
+        if not t.replace("'", "").isalnum():
+            raise ValueError(f"phrase term {t!r} not analyzer-clean")
+    conds = " AND ".join(
+        f"element_at({tokens_col}, CAST(i + {j} AS INT)) = '{t}'"
+        for j, t in enumerate(phrase_terms)
+    )
+    # guard: sequence(1, n) with n < 1 would produce a DESCENDING [1..n]
+    # sequence (and element_at(_, 0) raises), so short docs return false
+    # before the exists is evaluated
+    inner = f"exists(sequence(1, size({tokens_col}) - {m - 1}), i -> {conds})"
+    return F.when(
+        F.size(F.col(tokens_col)) >= m, F.expr(inner)
+    ).otherwise(F.lit(False))
+
+
 def bm25_topk_sql_plan(
     docs: DataFrame,
     query: str,
@@ -107,6 +140,7 @@ def bm25_topk_sql_plan(
     b: float = B,
     round_to: int = 4,
     min_match: int | None = None,
+    phrase: str | None = None,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
     the oracle-checkable form (entire plan is Catalyst-visible; collection
@@ -123,6 +157,11 @@ def bm25_topk_sql_plan(
     reference's AND default); ``None`` is pure disjunction. The gate is a
     HAVING on the per-doc score aggregation — matched postings are already
     grouped by doc there, so it adds no extra shuffle.
+
+    ``phrase``: restrict results to docs where the analyzed phrase occurs
+    as an exact token adjacency (:func:`phrase_match_expr`); scoring and
+    collection stats stay CORPUS-wide (Lucene scores a phrase-filtered
+    query with global idf/avgdl, not stats of the filtered subset).
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -171,6 +210,15 @@ def bm25_topk_sql_plan(
     )
     if min_match is not None:
         scored = scored.filter(F.col("_n_matched") >= int(min_match))
+    if phrase is not None:
+        phrase_terms = ANALYZERS[chain](phrase)
+        # semi-join against the phrase-matching doc set: the predicate is
+        # a per-row expression on the SAME token scan (no re-analysis);
+        # broadcast-ability is left to AQE (the match set is unbounded)
+        pm = toks.filter(
+            phrase_match_expr("tokens", phrase_terms)
+        ).select(key_col)
+        scored = scored.join(pm, key_col, "left_semi")
     return (
         scored.orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)

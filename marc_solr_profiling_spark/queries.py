@@ -147,6 +147,22 @@ def q_bm25_mm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_QUERY = "table hash"
+_PHRASE_TERMS = ["table", "hash"]
+
+
+def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search (Lucene PhraseQuery slop 0 — the capability behind
+    the reference's edismax ``qs``/``ps`` params, solrconfig.xml:68-82):
+    docs must contain the analyzed phrase as an exact token adjacency;
+    scoring is BM25 over the phrase's terms with corpus-wide stats."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, PHRASE_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, phrase=PHRASE_QUERY,
+    )
+
+
 def q_search_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual /select shape: query + facet component in one
     request (solrconfig.xml:64-280) — facet counts over the MATCHING doc
@@ -638,21 +654,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — MUST alias columns identically to the Spark plans
 # ---------------------------------------------------------------------------
 
-def _bm25_sql(having: str = "", terms: list | None = None) -> str:
+def _bm25_sql(
+    having: str = "", terms: list | None = None,
+    phrase: list | None = None,
+) -> str:
     qterms = _QTERMS if terms is None else terms
+    phrase_cte = phrase_join = ""
+    if phrase:
+        adj = " AND ".join(
+            f"tk[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+        )
+        # range(1, n) in DuckDB is [1..n-1]; tk[] is 1-based like Spark's
+        # element_at, so i + len(phrase) - 1 stays in bounds
+        phrase_cte = f""",
+tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents),
+pm AS (SELECT doc_id FROM tks
+       WHERE len(tk) >= {len(phrase)}
+         AND len(list_filter(range(1, len(tk) - {len(phrase) - 2}),
+                             i -> {adj})) > 0)"""
+        phrase_join = " JOIN pm USING (doc_id)"
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 {_DL_CTE},
 cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 q AS (SELECT unnest({qterms!r}) AS term),
-dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1)
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1){phrase_cte}
 SELECT doc_id,
        round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                  * tf * 2.2
                  / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4) AS score
 FROM tf JOIN q USING (term) JOIN dfq USING (term)
-     JOIN dl USING (doc_id) CROSS JOIN cs
+     JOIN dl USING (doc_id) CROSS JOIN cs{phrase_join}
 GROUP BY doc_id
 {having}
 ORDER BY score DESC, doc_id ASC
@@ -964,6 +998,7 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_and_phys_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
     "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
     "bm25_stopword_topk": _bm25_sql(terms=_STOP_QTERMS),
+    "bm25_phrase_topk": _bm25_sql(terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS),
     "search_facet_lang": f"""
 WITH {_TOK_CTE},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
@@ -1181,6 +1216,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_and_phys_topk": q_bm25_and_phys_topk,
     "bm25_mm_topk": q_bm25_mm_topk,
     "bm25_stopword_topk": q_bm25_stopword_topk,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
     "knn_ivf": q_knn_ivf,

@@ -1,0 +1,92 @@
+"""Positional phrase matching (Lucene PhraseQuery slop 0 — the capability
+behind the reference's edismax ``qs``/``ps`` phrase params,
+``solrconfig.xml:68-82``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.operators.bm25 import (
+    bm25_topk_sql_plan,
+    phrase_match_expr,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps"),
+    (1, "quick brown"),
+    (2, "brown quick"),            # reversed — no adjacency
+    (3, "quick x brown"),          # gap — no adjacency at slop 0
+    (4, "quick"),                  # shorter than the phrase
+    (5, ""),                       # empty doc
+    (6, "a quick brown quick brown b"),  # multiple occurrences
+    (7, "ends with quick brown"),  # match at the very end
+]
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return df.select(
+        "doc_id", F.split(F.col("text"), " +").alias("tokens")
+    ).select(
+        "doc_id",
+        F.filter("tokens", lambda t: t != "").alias("tokens"),
+    )
+
+
+def _matched(toks, phrase):
+    out = toks.filter(phrase_match_expr("tokens", phrase))
+    return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+
+def test_adjacent_bigram(toks):
+    assert _matched(toks, ["quick", "brown"]) == [0, 1, 6, 7]
+
+
+def test_reversed_and_gapped_do_not_match(toks):
+    assert _matched(toks, ["brown", "fox", "jumps"]) == [0]
+    assert _matched(toks, ["x", "quick"]) == []
+
+
+def test_single_term_phrase_degenerates_to_contains(toks):
+    assert _matched(toks, ["quick"]) == [0, 1, 2, 3, 4, 6, 7]
+
+
+def test_phrase_longer_than_doc_is_false_not_error(toks):
+    # the sequence(1, n) guard: n < 1 must short-circuit to false
+    assert _matched(toks, ["the", "quick", "brown", "fox", "jumps", "z"]) == []
+
+
+def test_empty_phrase_matches_nothing(toks):
+    assert _matched(toks, []) == []
+
+
+def test_unclean_term_rejected(toks):
+    with pytest.raises(ValueError):
+        phrase_match_expr("tokens", ["quick'; --"])
+
+
+def test_phrase_gate_on_bm25_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS], ["doc_id", "text"]
+    )
+    out = bm25_topk_sql_plan(
+        docs, "quick brown", key_col="doc_id", k=10, chain="simple",
+        phrase="quick brown",
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [0, 1, 6, 7]
+    # scores use corpus-wide stats: the same docs scored without the
+    # phrase gate must carry identical scores
+    ungated = bm25_topk_sql_plan(
+        docs, "quick brown", key_col="doc_id", k=10, chain="simple"
+    )
+    gated_scores = {
+        r["doc_id"]: r["score"] for r in out.collect()
+    }
+    ungated_scores = {
+        r["doc_id"]: r["score"] for r in ungated.collect()
+    }
+    for d, s in gated_scores.items():
+        assert ungated_scores[d] == s
