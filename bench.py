@@ -39,6 +39,8 @@ HEADLINE = [
     "bm25_and_topk",
     "bm25_stopword_topk",
     "bm25_and_phys_topk",
+    "bm25_phrase_topk",
+    "bm25_phrase_phys_topk",
     "search_facet_lang",
     "lsh_candidates",
     "lsh_jaccard",

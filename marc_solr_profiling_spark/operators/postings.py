@@ -135,6 +135,7 @@ def tokenize_and_count(
     text_col: str = "text",
     chain: str = DEFAULT_CHAIN,
     html_col: str | None = None,
+    positions: bool = False,
 ) -> DataFrame:
     """Fused analyze+count: raw text in, (term, key, doc_len, tf) out, in a
     SINGLE mapInPandas pass — token arrays never cross the Arrow boundary
@@ -152,6 +153,13 @@ def tokenize_and_count(
     ``(term=NULL, key, doc_len=0, tf=0)`` so the doc-side table (and N,
     avgdl) can be derived from this output alone; posting consumers filter
     ``term IS NOT NULL``.
+
+    ``positions=True`` adds a ``pos binary`` column: the 1-based token
+    offsets of the term's occurrences in the doc, delta+varbyte coded
+    (Lucene's .pos payload, already wire-compressed here so the only
+    build shuffle moves bytes, not int arrays). Offsets are computed
+    from the SAME flat token array the tf counting uses — one extra
+    arange + the shared encode pass, no second tokenization.
     """
     import numpy as np
     import pandas as pd
@@ -161,6 +169,8 @@ def tokenize_and_count(
 
     analyze = ANALYZERS[chain]
     schema = f"term string, {key_col} long, doc_len int, tf int"
+    if positions:
+        schema += ", pos binary"
     in_col = html_col if html_col is not None else text_col
 
     def kernel(batches):
@@ -197,28 +207,42 @@ def tokenize_and_count(
                 starts = np.flatnonzero(change)
                 tf = np.diff(np.append(starts, ps.size)).astype(np.int32)
                 sel = order[starts]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "term": uniques[codes[sel]],
-                            key_col: keys[sel],
-                            "doc_len": dls[sel].astype(np.int32),
-                            "tf": tf,
-                        }
+                data = {
+                    "term": uniques[codes[sel]],
+                    key_col: keys[sel],
+                    "doc_len": dls[sel].astype(np.int32),
+                    "tf": tf,
+                }
+                if positions:
+                    from .varbyte import (delta_gaps_blocked,
+                                          varbyte_encode_sliced)
+
+                    # 1-based offset of each flat token within its doc
+                    doc_offs = np.repeat(
+                        np.concatenate(([0], np.cumsum(lens[nz])[:-1])),
+                        lens[nz],
                     )
-                )
+                    pos_all = (
+                        np.arange(flat.size, dtype=np.int64) - doc_offs + 1
+                    )
+                    # stable sort on (doc, term) keeps flat order inside
+                    # each group, so per-posting positions stay ascending
+                    pos_sorted = pos_all[order].astype(np.uint64)
+                    ends = np.append(starts[1:], ps.size)
+                    gaps = delta_gaps_blocked(pos_sorted, starts)
+                    data["pos"] = varbyte_encode_sliced(gaps, starts, ends)
+                frames.append(pd.DataFrame(data))
             if (~nz).any():
                 empty_keys = keys_all[~nz]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.full(empty_keys.size, None, dtype=object),
-                            key_col: empty_keys,
-                            "doc_len": np.zeros(empty_keys.size, np.int32),
-                            "tf": np.zeros(empty_keys.size, np.int32),
-                        }
-                    )
-                )
+                sentinel = {
+                    "term": np.full(empty_keys.size, None, dtype=object),
+                    key_col: empty_keys,
+                    "doc_len": np.zeros(empty_keys.size, np.int32),
+                    "tf": np.zeros(empty_keys.size, np.int32),
+                }
+                if positions:
+                    sentinel["pos"] = [b""] * empty_keys.size
+                frames.append(pd.DataFrame(sentinel))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

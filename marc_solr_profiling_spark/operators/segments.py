@@ -60,6 +60,13 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+# positional variant (Lucene .pos analog): per block, the concatenation of
+# each posting's delta+varbyte position payload, in posting order — the
+# per-posting payload lengths are recovered at decode time from the tfs
+SEGMENT_SCHEMA_POS = T.StructType(
+    SEGMENT_SCHEMA.fields + [T.StructField("positions", T.BinaryType(), False)]
+)
+
 
 def build_segments(
     tf_with_dl: DataFrame,
@@ -69,13 +76,20 @@ def build_segments(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """tf_with_dl: (term, doc_id:long, tf:int, doc_len:int) ->
+    """tf_with_dl: (term, doc_id:long, tf:int, doc_len:int[, pos:binary]) ->
     segment block rows.
 
     Shuffle shape: one repartition on (term, salt) — the salted groupBy.
     With n_salts=16 the largest group is ~1/16 of the hottest term's
     postings; raise n_salts with corpus size (it's a pure metadata change,
     queries read salt from the rows).
+
+    When a ``pos`` column is present (positional build — see
+    ``tokenize_and_count(positions=True)``), each block additionally
+    carries ``positions``: its postings' already-varbyte position payloads
+    concatenated in posting order. The payloads were encoded in the
+    tokenize kernel, so here they are only REARRANGED (bytes join per
+    block) — never re-encoded.
     """
 
     def make_blocks(batches) -> "pd.DataFrame":
@@ -101,6 +115,7 @@ def build_segments(
         doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
         tfs = pdf["tf"].to_numpy().astype(np.float64)
         dls = pdf["doc_len"].to_numpy().astype(np.float64)
+        pos_arr = pdf["pos"].to_numpy() if with_pos else None
         # partition-wide (term, salt, doc_id) sort done HERE, not as a JVM
         # sortWithinPartitions: factorize to int codes, rank the (small)
         # distinct-term set lexicographically, then one integer lexsort —
@@ -117,6 +132,8 @@ def build_segments(
         doc_ids = doc_ids[order]
         tfs = tfs[order]
         dls = dls[order]
+        if with_pos:
+            pos_arr = pos_arr[order]
         wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         change = np.ones(n, dtype=bool)
         if n > 1:
@@ -141,22 +158,29 @@ def build_segments(
         dl_bytes = varbyte_encode_sliced(dls.astype(np.uint64), b_starts, b_ends)
         max_w = np.maximum.reduceat(wnorm, b_starts)
 
-        yield pd.DataFrame(
-            {
-                "term": terms[b_starts],
-                "salt": salts[b_starts].astype(np.int32),
-                "block_id": block_id.astype(np.int32),
-                "n_postings": (b_ends - b_starts).astype(np.int32),
-                "first_doc": doc_ids[b_starts].astype(np.int64),
-                "last_doc": doc_ids[b_ends - 1].astype(np.int64),
-                "doc_gaps": doc_gaps,
-                "tfs": tf_bytes,
-                "dls": dl_bytes,
-                "max_wnorm": max_w,
-                "tf_sum": tf_sum,
-            }
-        )
+        out = {
+            "term": terms[b_starts],
+            "salt": salts[b_starts].astype(np.int32),
+            "block_id": block_id.astype(np.int32),
+            "n_postings": (b_ends - b_starts).astype(np.int32),
+            "first_doc": doc_ids[b_starts].astype(np.int64),
+            "last_doc": doc_ids[b_ends - 1].astype(np.int64),
+            "doc_gaps": doc_gaps,
+            "tfs": tf_bytes,
+            "dls": dl_bytes,
+            "max_wnorm": max_w,
+            "tf_sum": tf_sum,
+        }
+        if with_pos:
+            # pure byte rearrangement: O(total payload) with one small
+            # join per block (no re-encode, no per-posting dispatch)
+            out["positions"] = [
+                b"".join(pos_arr[s:e])
+                for s, e in zip(b_starts.tolist(), b_ends.tolist())
+            ]
+        yield pd.DataFrame(out)
 
+    with_pos = "pos" in tf_with_dl.columns
     # drop zero-token sentinel rows emitted by the fused tokenize+count pass
     tf_with_dl = tf_with_dl.filter(
         F.col("term").isNotNull() & (F.col("tf") > 0)
@@ -167,7 +191,31 @@ def build_segments(
     # no JVM sortWithinPartitions: make_blocks lexsorts inside the Python
     # worker on factorized int codes (see comment there)
     arranged = salted.repartition("term", "salt")
-    return arranged.mapInPandas(make_blocks, schema=SEGMENT_SCHEMA)
+    schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
+    return arranged.mapInPandas(make_blocks, schema=schema)
+
+
+def decode_block_positions(
+    pos_buf: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block's ``positions`` payload back to absolute 1-based
+    token offsets.
+
+    Returns ``(flat_positions, posting_starts)``: posting i's offsets are
+    ``flat_positions[posting_starts[i] : posting_starts[i] + tfs[i]]``,
+    ascending. One vectorized varbyte pass + a segmented cumsum — no
+    per-posting loop."""
+    from .varbyte import varbyte_decode
+
+    gaps = varbyte_decode(pos_buf).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    cs = np.cumsum(gaps)
+    # subtract each posting's preceding cumulative sum so the cumsum
+    # restarts at the posting boundary (the first gap is the absolute pos)
+    offsets = cs[starts] - gaps[starts]
+    flat = cs - np.repeat(offsets, tfs)
+    return flat, starts
 
 
 def decode_blocks_to_postings(

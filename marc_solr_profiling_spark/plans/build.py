@@ -78,7 +78,9 @@ class InvertedIndex:
         self.avgdl = float(stats["avgdl"])
         # build-time salt count from the manifest: query paths size their
         # salt repartition from it (n_salts caps useful parallelism)
-        self.n_salts = int(self.store.get_meta().get("n_salts", 16))
+        meta = self.store.get_meta()
+        self.n_salts = int(meta.get("n_salts", 16))
+        self.has_positions = bool(meta.get("positions", False))
 
     @property
     def segments(self) -> DataFrame:
@@ -105,12 +107,19 @@ def build_index(
     partitions: int | None = None,
     id_col: str | None = None,
     html_col: str | None = None,
+    positions: bool = False,
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
 
     ``html_col``: raw-page input — HTML→text extraction fuses into the
     tokenize kernel (one Python worker per task, html crosses the Arrow
     boundary once, extracted text never serializes back).
+
+    ``positions``: store per-posting token offsets (delta+varbyte, the
+    Lucene .pos analog) in tf rows and segment blocks — enables
+    positional/phrase queries over the physical index
+    (``operators/phrase.py``) at the cost of a larger tf stage (the
+    payload is ~1 byte per corpus token).
 
     Stages (each a committed snapshot; a re-run skips completed ones):
       docs        (doc_id, url, doc_len)
@@ -132,12 +141,13 @@ def build_index(
                 "block_size": block_size,
                 "key_col": key_col,
                 "id_col": id_col,
+                "positions": positions,
                 "version": 2,
             }
         )
     )
     store.set_meta({"n_salts": n_salts, "chain": chain,
-                    "block_size": block_size})
+                    "block_size": block_size, "positions": positions})
 
     need_tf = not store.stage_complete("tf")
     need_docs = not store.stage_complete("docs")
@@ -166,7 +176,7 @@ def build_index(
         # repartition inside build_segments.
         tf = tokenize_and_count(
             with_ids, key_col="doc_id", text_col=text_col, chain=chain,
-            html_col=html_col,
+            html_col=html_col, positions=positions,
         )
         store.commit_stage("tf", tf)
 
@@ -201,8 +211,11 @@ def build_index(
 
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
+        seg_cols = ["term", "doc_id", "tf", "doc_len"] + (
+            ["pos"] if positions else []
+        )
         segs = build_segments(
-            tf.select("term", "doc_id", "tf", "doc_len"),
+            tf.select(*seg_cols),
             avgdl=avgdl,
             n_salts=n_salts,
             block_size=block_size,

@@ -445,9 +445,13 @@ def _shared_index(spark: SparkSession, sf_dir: str):
     docs = _load(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = _scratch(f"msps_index_{tag}")
+    # positions=True: Lucene indexes positions by default (the reference's
+    # phrase params depend on them) — the shared index serves both the
+    # wand/BM25 queries (positions ignored) and the phrase query
     return build_index(
         spark, docs, path, key_col="doc_id", id_col="doc_id",
         text_col="text", chain="simple", n_salts=8, block_size=64,
+        positions=True,
     )
 
 
@@ -486,6 +490,20 @@ def q_bm25_and_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, FLAGSHIP_QUERY, k=10, with_url=False, min_match=len(_QTERMS)
     )
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through the PHYSICAL positional index: per-posting
+    delta+varbyte position payloads (Lucene .pos analog) verified by
+    chained position-set intersection inside the salted scorer — the same
+    DuckDB twin as the scan-side phrase query proves the positional index
+    path is value-identical."""
+    from .operators.phrase import phrase_topk
+
+    idx = _shared_index(spark, sf_dir)
+    return phrase_topk(idx, PHRASE_QUERY, k=10, round_to=4).select(
+        "doc_id", "score"
+    )
 
 
 def q_booklist_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,6 +1017,9 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
     "bm25_stopword_topk": _bm25_sql(terms=_STOP_QTERMS),
     "bm25_phrase_topk": _bm25_sql(terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS),
+    "bm25_phrase_phys_topk": _bm25_sql(
+        terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS
+    ),
     "search_facet_lang": f"""
 WITH {_TOK_CTE},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
@@ -1217,6 +1238,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_mm_topk": q_bm25_mm_topk,
     "bm25_stopword_topk": q_bm25_stopword_topk,
     "bm25_phrase_topk": q_bm25_phrase_topk,
+    "bm25_phrase_phys_topk": q_bm25_phrase_phys_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
     "knn_ivf": q_knn_ivf,
