@@ -272,6 +272,9 @@ def incremental_update(
     """
     old_tf = index.store.read_stage(spark, "tf")
     old_docs = index.store.read_stage(spark, "docs")
+    # positional base index -> the delta must carry positions too, and the
+    # merged segments keep the .pos payloads
+    positions = "pos" in old_tf.columns
 
     drop_ids = None
     if deleted_ids is not None:
@@ -296,7 +299,8 @@ def incremental_update(
         # fused analyze+count for the delta (same pass as the full build);
         # persist: it feeds both the doc-side derivation and the tf union
         delta_tf = tokenize_and_count(
-            with_ids, key_col="doc_id", text_col=text_col, chain=index.chain
+            with_ids, key_col="doc_id", text_col=text_col, chain=index.chain,
+            positions=positions,
         ).persist()
         delta_doc_lens = delta_tf.select("doc_id", "doc_len").dropDuplicates(
             ["doc_id"]
@@ -319,12 +323,13 @@ def incremental_update(
                 "chain": index.chain,
                 "n_salts": n_salts,
                 "block_size": block_size,
+                "positions": positions,
                 "version": 2,
             }
         )
     )
     store.set_meta({"n_salts": n_salts, "chain": index.chain,
-                    "block_size": block_size})
+                    "block_size": block_size, "positions": positions})
     # partition_sort only — a repartitionByRange here would re-run the
     # anti-join + delta plan just to sample range bounds (the same trap
     # commit 715efb7 removed from build_index); the docs table is only
@@ -350,8 +355,11 @@ def incremental_update(
         )
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
+        seg_cols = ["term", "doc_id", "tf", "doc_len"] + (
+            ["pos"] if positions else []
+        )
         segs = build_segments(
-            tf.select("term", "doc_id", "tf", "doc_len"),
+            tf.select(*seg_cols),
             avgdl=avgdl, n_salts=n_salts, block_size=block_size,
         )
         store.commit_stage("segments", segs)

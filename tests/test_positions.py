@@ -132,6 +132,52 @@ def test_phrase_topk_requires_positions(spark, pages, tmp_path_factory):
         phrase_topk(idx, "linux kernel")
 
 
+def test_incremental_update_keeps_positions(spark, pages, pos_index,
+                                            tmp_path_factory):
+    """A delta applied to a positional base index re-tokenizes ONLY the
+    delta (with positions) and the merged index still answers phrase
+    queries over old AND new docs."""
+    from marc_solr_profiling_spark.plans.build import incremental_update
+
+    new_docs = spark.createDataFrame(
+        [(100000, "https://zz.example/new", "alpha bravo charlie alpha bravo")],
+        ["doc_id", "url", "text"],
+    )
+    out_path = str(tmp_path_factory.mktemp("incr_pos") / "index")
+    merged = incremental_update(
+        spark, pos_index, out_path,
+        delta_docs=new_docs.select(
+            "doc_id", "url", F.col("text").alias("text")
+        ),
+        n_salts=4, block_size=16,
+    )
+    assert merged.has_positions
+    got = phrase_topk(merged, "alpha bravo", k=5).collect()
+    assert [r["doc_id"] for r in got] == [100000]
+    # old docs still phrase-searchable, rank-identical to the scan plan
+    # over the MERGED corpus (stats shift with the delta, so comparing
+    # against the base index's result would race rounded-score ties)
+    phrase = _common_bigram(spark, pages)
+    all_docs = pages.select("url", "text").unionByName(
+        new_docs.select("url", "text")
+    )
+    docs_scan = merged.docs.join(all_docs, "url")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_sql_plan(
+            docs_scan, phrase, key_col="doc_id", k=10, chain="text",
+            round_to=4, phrase=phrase,
+        ).collect()
+    ]
+    after = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(merged, phrase, k=10, round_to=4).collect()
+    ]
+    assert [a[0] for a in after] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(after, want):
+        assert gs == pytest.approx(ws, abs=2e-4)
+
+
 def test_phrase_duplicate_terms(spark, tmp_path_factory):
     docs = spark.createDataFrame(
         [
