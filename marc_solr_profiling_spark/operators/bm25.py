@@ -97,34 +97,75 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(key_col)).limit(k)
 
 
-def phrase_match_expr(tokens_col: str, phrase_terms: Sequence[str]):
-    """Positional phrase predicate: true iff ``tokens[i..i+m-1]`` equals
-    ``phrase_terms`` for some i — Lucene ``PhraseQuery`` (slop 0), the
-    capability behind the reference's edismax phrase parameters
+def phrase_match_expr(
+    tokens_col: str, phrase_terms: Sequence[str], slop: int = 0
+):
+    """Positional phrase predicate — Lucene ``PhraseQuery``, the capability
+    behind the reference's edismax phrase parameters
     (``solrconfig.xml:68-82`` ``qs=1, ps=0``).
 
+    ``slop=0``: exact adjacency (``tokens[i..i+m-1] == phrase_terms``).
+    ``slop>0``: ordered sloppy match — positions ``p1 < ... < pm`` with
+    ``tokens[pj] == terms[j]`` and ``pm - p1 <= (m-1) + slop``. This is
+    Lucene's sloppy-phrase semantics restricted to in-order matches
+    (a transposition costs Lucene >= 2 moves, so for the reference's
+    ``qs=1`` the in-order subset is exact parity).
+
     Scale shape: a pure per-row native expression (``exists`` over a
-    position sequence) — zero Python, zero shuffle, runs inside
-    whole-stage codegen next to the token scan, and Catalyst
-    short-circuits the conjunction per position. The physical-index
-    evolution of this is a varbyte position list per posting (Lucene's
-    .pos file); the reference only ever issues phrase queries through
-    the query-side handler, so the scan-side form is the parity shape.
+    position sequence, nested per phrase term for the sloppy form) —
+    zero Python, zero shuffle, runs inside whole-stage codegen next to
+    the token scan, and Catalyst short-circuits the conjunction per
+    position. The physical-index evolution of this is a varbyte position
+    list per posting (Lucene's .pos file, ``operators/phrase.py``).
     """
     m = len(phrase_terms)
     if m == 0:
         return F.lit(False)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     for t in phrase_terms:
         if not t.replace("'", "").isalnum():
             raise ValueError(f"phrase term {t!r} not analyzer-clean")
-    conds = " AND ".join(
-        f"element_at({tokens_col}, CAST(i + {j} AS INT)) = '{t}'"
-        for j, t in enumerate(phrase_terms)
+    if slop == 0:
+        conds = " AND ".join(
+            f"element_at({tokens_col}, CAST(i + {j} AS INT)) = '{t}'"
+            for j, t in enumerate(phrase_terms)
+        )
+        # guard: sequence(1, n) with n < 1 would produce a DESCENDING
+        # [1..n] sequence (and element_at(_, 0) raises), so short docs
+        # return false before the exists is evaluated
+        inner = (
+            f"exists(sequence(1, size({tokens_col}) - {m - 1}),"
+            f" i -> {conds})"
+        )
+        return F.when(
+            F.size(F.col(tokens_col)) >= m, F.expr(inner)
+        ).otherwise(F.lit(False))
+
+    # sloppy form: nested exists, one level per remaining term, all
+    # bounded by the shared window end hi = p1 + (m-1) + slop
+    n = f"size({tokens_col})"
+    hi = f"least(p0 + {m - 1 + slop}, {n})"
+
+    def step(j: int, prev: str) -> str:
+        var = f"p{j}"
+        cond = (
+            f"element_at({tokens_col}, CAST({var} AS INT))"
+            f" = '{phrase_terms[j]}'"
+        )
+        nxt = step(j + 1, var) if j + 1 < m else "true"
+        # CASE guard: sequence(a, b) with a > b is DESCENDING, not empty
+        return (
+            f"(CASE WHEN {prev} + 1 <= {hi} THEN "
+            f"exists(sequence({prev} + 1, {hi}),"
+            f" {var} -> {cond} AND {nxt}) ELSE false END)"
+        )
+
+    first = f"element_at({tokens_col}, CAST(p0 AS INT)) = '{phrase_terms[0]}'"
+    inner = (
+        f"exists(sequence(1, {n} - {m - 1}),"
+        f" p0 -> {first} AND {step(1, 'p0')})"
     )
-    # guard: sequence(1, n) with n < 1 would produce a DESCENDING [1..n]
-    # sequence (and element_at(_, 0) raises), so short docs return false
-    # before the exists is evaluated
-    inner = f"exists(sequence(1, size({tokens_col}) - {m - 1}), i -> {conds})"
     return F.when(
         F.size(F.col(tokens_col)) >= m, F.expr(inner)
     ).otherwise(F.lit(False))
@@ -141,6 +182,7 @@ def bm25_topk_sql_plan(
     round_to: int = 4,
     min_match: int | None = None,
     phrase: str | None = None,
+    phrase_slop: int = 0,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
     the oracle-checkable form (entire plan is Catalyst-visible; collection
@@ -216,7 +258,7 @@ def bm25_topk_sql_plan(
         # a per-row expression on the SAME token scan (no re-analysis);
         # broadcast-ability is left to AQE (the match set is unbounded)
         pm = toks.filter(
-            phrase_match_expr("tokens", phrase_terms)
+            phrase_match_expr("tokens", phrase_terms, slop=phrase_slop)
         ).select(key_col)
         scored = scored.join(pm, key_col, "left_semi")
     return (

@@ -90,9 +90,13 @@ def phrase_topk(
     k: int = 10,
     with_url: bool = False,
     round_to: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) of docs containing ``phrase`` as an
-    exact token adjacency, scored by BM25 over the phrase's distinct terms.
+    exact token adjacency (``slop=0``) or an ordered sloppy match within
+    a ``(m-1)+slop`` position window (``slop>0`` — the in-order subset of
+    Lucene's sloppy phrase, exact for the reference's ``qs=1``), scored
+    by BM25 over the phrase's distinct terms.
 
     ``round_to``: round scores (half-up, matching Spark/DuckDB ``round``)
     BEFORE ranking, inside the scorer — stopword-bearing phrases produce
@@ -164,21 +168,47 @@ def phrase_topk(
                 idx = np.searchsorted(ids, cand)
                 lookup[t] = (idx, tfs, dls, flat, starts)
             keep = np.zeros(cand.size, dtype=bool)
+            window = len(seq_terms) - 1 + slop
             for ci in range(cand.size):
                 t0 = seq_terms[0]
                 idx, tfs, _, flat, starts = lookup[t0]
                 j = idx[ci]
                 s = flat[starts[j]: starts[j] + tfs[j]]
-                ok = True
+                if slop == 0:
+                    # exact adjacency: chained intersect(S + 1, pos(t))
+                    ok = True
+                    for t in seq_terms[1:]:
+                        idx, tfs, _, flat, starts = lookup[t]
+                        j = idx[ci]
+                        nxt = flat[starts[j]: starts[j] + tfs[j]]
+                        s = np.intersect1d(s + 1, nxt, assume_unique=True)
+                        if s.size == 0:
+                            ok = False
+                            break
+                    keep[ci] = ok
+                    continue
+                # sloppy: ordered-chain DP — for each position q of term
+                # j, carry the MAXIMAL chain start reachable (prefix-max
+                # over predecessors p < q); match iff some final q has
+                # q - start <= window
+                cur_pos, cur_start = s, s
+                ok = cur_pos.size > 0
                 for t in seq_terms[1:]:
                     idx, tfs, _, flat, starts = lookup[t]
                     j = idx[ci]
-                    nxt = flat[starts[j]: starts[j] + tfs[j]]
-                    s = np.intersect1d(s + 1, nxt, assume_unique=True)
-                    if s.size == 0:
+                    q = flat[starts[j]: starts[j] + tfs[j]]
+                    prefmax = np.maximum.accumulate(cur_start)
+                    kk_ = np.searchsorted(cur_pos, q, side="left") - 1
+                    valid = kk_ >= 0
+                    q = q[valid]
+                    if q.size == 0:
                         ok = False
                         break
-                keep[ci] = ok
+                    cur_start = prefmax[kk_[valid]]
+                    cur_pos = q
+                keep[ci] = ok and bool(
+                    np.any(cur_pos - cur_start <= window)
+                )
             matched = cand[keep]
             if matched.size == 0:
                 continue

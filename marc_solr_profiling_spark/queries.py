@@ -163,6 +163,17 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (edismax ``qs=1``, solrconfig.xml:68-82): the phrase's
+    terms must occur IN ORDER within a (m-1)+slop position window — one
+    intervening token allowed at slop 1."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, PHRASE_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, phrase=PHRASE_QUERY, phrase_slop=1,
+    )
+
+
 def q_search_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual /select shape: query + facet component in one
     request (solrconfig.xml:64-280) — facet counts over the MATCHING doc
@@ -506,6 +517,18 @@ def q_bm25_phrase_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_phrase_slop_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (qs=1) through the PHYSICAL positional index: the
+    ordered-chain DP over decoded position lists replaces the chained
+    adjacency intersection."""
+    from .operators.phrase import phrase_topk
+
+    idx = _shared_index(spark, sf_dir)
+    return phrase_topk(idx, PHRASE_QUERY, k=10, round_to=4, slop=1).select(
+        "doc_id", "score"
+    )
+
+
 def q_booklist_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Booklist side-input enrich (BooklistReader.java:24-60): point-lookup
     left join of a small derived booklist onto the doc table, adding the
@@ -672,25 +695,53 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — MUST alias columns identically to the Spark plans
 # ---------------------------------------------------------------------------
 
-def _bm25_sql(
-    having: str = "", terms: list | None = None,
-    phrase: list | None = None,
-) -> str:
-    qterms = _QTERMS if terms is None else terms
-    phrase_cte = phrase_join = ""
-    if phrase:
+def _duck_phrase_pred(phrase: list, slop: int) -> str:
+    """DuckDB predicate over ``tk`` mirroring ``phrase_match_expr``:
+    exact adjacency at slop 0, ordered window at slop > 0 (nested
+    list_filter per remaining term, shared window end)."""
+    m = len(phrase)
+    if slop == 0:
         adj = " AND ".join(
             f"tk[i + {j}] = '{t}'" for j, t in enumerate(phrase)
         )
         # range(1, n) in DuckDB is [1..n-1]; tk[] is 1-based like Spark's
         # element_at, so i + len(phrase) - 1 stays in bounds
+        return (
+            f"len(tk) >= {m} AND "
+            f"len(list_filter(range(1, len(tk) - {m - 2}),"
+            f" i -> {adj})) > 0"
+        )
+    hi = f"least(p0 + {m - 1 + slop}, len(tk))"
+
+    def step(j: int, prev: str) -> str:
+        var = f"p{j}"
+        cond = f"tk[{var}] = '{phrase[j]}'"
+        nxt = step(j + 1, var) if j + 1 < m else "true"
+        return (
+            f"(CASE WHEN {prev} + 1 <= {hi} THEN "
+            f"len(list_filter(range({prev} + 1, {hi} + 1),"
+            f" {var} -> {cond} AND {nxt})) > 0 ELSE false END)"
+        )
+
+    return (
+        f"len(tk) >= {m} AND "
+        f"len(list_filter(range(1, len(tk) - {m - 2}),"
+        f" p0 -> tk[p0] = '{phrase[0]}' AND {step(1, 'p0')})) > 0"
+    )
+
+
+def _bm25_sql(
+    having: str = "", terms: list | None = None,
+    phrase: list | None = None, phrase_slop: int = 0,
+) -> str:
+    qterms = _QTERMS if terms is None else terms
+    phrase_cte = phrase_join = ""
+    if phrase:
         phrase_cte = f""",
 tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
         FROM documents),
 pm AS (SELECT doc_id FROM tks
-       WHERE len(tk) >= {len(phrase)}
-         AND len(list_filter(range(1, len(tk) - {len(phrase) - 2}),
-                             i -> {adj})) > 0)"""
+       WHERE {_duck_phrase_pred(phrase, phrase_slop)})"""
         phrase_join = " JOIN pm USING (doc_id)"
     return f"""
 WITH {_TOK_CTE},
@@ -1020,6 +1071,12 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_phrase_phys_topk": _bm25_sql(
         terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS
     ),
+    "bm25_phrase_slop_topk": _bm25_sql(
+        terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS, phrase_slop=1
+    ),
+    "bm25_phrase_slop_phys_topk": _bm25_sql(
+        terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS, phrase_slop=1
+    ),
     "search_facet_lang": f"""
 WITH {_TOK_CTE},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
@@ -1239,6 +1296,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_stopword_topk": q_bm25_stopword_topk,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_phys_topk": q_bm25_phrase_phys_topk,
+    "bm25_phrase_slop_topk": q_bm25_phrase_slop_topk,
+    "bm25_phrase_slop_phys_topk": q_bm25_phrase_slop_phys_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
     "knn_ivf": q_knn_ivf,

@@ -35,8 +35,8 @@ def toks(spark):
     )
 
 
-def _matched(toks, phrase):
-    out = toks.filter(phrase_match_expr("tokens", phrase))
+def _matched(toks, phrase, slop=0):
+    out = toks.filter(phrase_match_expr("tokens", phrase, slop=slop))
     return sorted(r["doc_id"] for r in out.select("doc_id").collect())
 
 
@@ -65,6 +65,26 @@ def test_empty_phrase_matches_nothing(toks):
 def test_unclean_term_rejected(toks):
     with pytest.raises(ValueError):
         phrase_match_expr("tokens", ["quick'; --"])
+
+
+def test_slop_ordered_window(toks):
+    # slop 1: one intervening token allowed, order preserved
+    assert _matched(toks, ["quick", "brown"], slop=1) == [0, 1, 3, 6, 7]
+    # reversed still never matches (in-order semantics)
+    assert _matched(toks, ["brown", "quick"], slop=1) == [2, 6]
+    # doc 2 "brown quick": adjacency; doc 6 "... brown quick brown ..." has
+    # brown->quick adjacency too
+    # 3-term phrase: doc 0 = "the(1) ... brown(3) ... jumps(5)", span 4;
+    # window = (m-1) + slop, so slop 1 (window 3) misses, slop 2 matches
+    assert _matched(toks, ["the", "brown", "jumps"], slop=1) == []
+    assert _matched(toks, ["the", "brown", "jumps"], slop=2) == [0]
+    assert _matched(toks, ["the", "brown", "jumps"], slop=0) == []
+
+
+def test_slop_zero_equals_exact(toks):
+    for phrase in (["quick", "brown"], ["quick"], ["brown", "fox", "jumps"]):
+        exact = _matched(toks, phrase)
+        assert _matched(toks, phrase, slop=0) == exact
 
 
 def test_phrase_gate_on_bm25_plan(spark):

@@ -178,6 +178,30 @@ def test_incremental_update_keeps_positions(spark, pages, pos_index,
         assert gs == pytest.approx(ws, abs=2e-4)
 
 
+def test_phrase_topk_slop_physical(spark, tmp_path_factory):
+    docs = spark.createDataFrame(
+        [
+            ("u0", "alpha gap bravo end"),
+            ("u1", "alpha bravo end pad"),
+            ("u2", "bravo alpha end pad"),
+            ("u3", "alpha gap gap bravo"),
+        ],
+        ["url", "text"],
+    )
+    path = str(tmp_path_factory.mktemp("slopidx") / "index")
+    idx = build_index(spark, docs, path, n_salts=2, block_size=4,
+                      chain="simple", positions=True)
+    url_by_id = {r["doc_id"]: r["url"] for r in idx.docs.collect()}
+
+    def urls(slop):
+        got = phrase_topk(idx, "alpha bravo", k=10, slop=slop).collect()
+        return sorted(url_by_id[r["doc_id"]] for r in got)
+
+    assert urls(0) == ["u1"]
+    assert urls(1) == ["u0", "u1"]
+    assert urls(2) == ["u0", "u1", "u3"]
+
+
 def test_phrase_duplicate_terms(spark, tmp_path_factory):
     docs = spark.createDataFrame(
         [
