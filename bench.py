@@ -41,6 +41,7 @@ HEADLINE = [
     "bm25_and_phys_topk",
     "bm25_phrase_topk",
     "bm25_phrase_phys_topk",
+    "bm25_dismax_topk",
     "search_facet_lang",
     "lsh_candidates",
     "lsh_jaccard",

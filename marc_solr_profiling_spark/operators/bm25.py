@@ -171,6 +171,105 @@ def phrase_match_expr(
     ).otherwise(F.lit(False))
 
 
+def bm25_dismax_topk_plan(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[tuple],
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    tie: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Edismax dismax scoring over multiple fields — the reference's actual
+    query handler (``solrconfig.xml:64-83``: edismax with ``qf`` per-field
+    boosts and a tie-breaker): per query term, each field is scored
+    independently with ITS OWN collection stats (per-field df and avgdl,
+    exactly as Lucene computes norms/idf per field), the term's score is
+    ``max_f + tie * (sum_f - max_f)`` over the fields
+    (DisjunctionMaxQuery), and the doc score sums the per-term dismaxes.
+
+    ``fields``: sequence of ``(tokens_expr_or_col, boost)`` — each entry a
+    column/expression yielding the field's token array for a doc.
+
+    Scale shape: one tokenize pass per field over the SAME scan (Catalyst
+    collapses the projections), per-field partial-agg tf, a union of
+    compact (key, term, weighted score) rows, two groupBys on (key, term)
+    then (key) — all JVM-side, broadcast-joined query terms, ending in
+    TakeOrderedAndProject.
+    """
+    from .postings import term_freqs
+
+    spark = docs.sparkSession
+    qterms: list[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in qterms:
+            qterms.append(t)
+    if not qterms:
+        return spark.createDataFrame([], f"{key_col} long, score double")
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+
+    parts = []
+    for fi, (tokens_col, boost) in enumerate(fields):
+        toks = docs.select(
+            F.col(key_col),
+            (F.col(tokens_col) if isinstance(tokens_col, str)
+             else tokens_col).alias("tokens"),
+        )
+        with_dl = toks.select(
+            key_col, "tokens", F.size("tokens").alias("dl")
+        )
+        stats = with_dl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        tf = term_freqs(
+            with_dl.select(key_col, "tokens"), key_col=key_col
+        ).join(F.broadcast(qdf), "term")
+        dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        scored = (
+            tf.join(F.broadcast(dfq), "term")
+            .join(with_dl.select(key_col, "dl"), key_col)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                key_col,
+                "term",
+                (
+                    F.lit(float(boost))
+                    * F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0
+                    )
+                    * F.col("tf") * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("s"),
+            )
+        )
+        parts.append(scored)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    per_term = (
+        u.groupBy(key_col, "term")
+        .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+        .select(
+            key_col,
+            (F.col("mx") + float(tie) * (F.col("sm") - F.col("mx")))
+            .alias("ds"),
+        )
+    )
+    return (
+        per_term.groupBy(key_col)
+        .agg(F.round(F.sum("ds"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(int(k))
+    )
+
+
 def bm25_topk_sql_plan(
     docs: DataFrame,
     query: str,

@@ -163,6 +163,26 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edismax multi-field dismax (the reference's handler shape,
+    solrconfig.xml:64-83 ``qf`` + tie): a derived title field (first 8
+    tokens, boost 2.0) and the body (boost 1.0), per-field collection
+    stats, per-term max + 0.1*rest combine."""
+    from .operators.bm25 import bm25_dismax_topk_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_dismax_topk_plan(
+        docs.select(
+            "doc_id",
+            F.slice(tokens_simple("text"), 1, 8).alias("title_tk"),
+            tokens_simple("text").alias("body_tk"),
+        ),
+        FLAGSHIP_QUERY,
+        fields=[("title_tk", 2.0), ("body_tk", 1.0)],
+        key_col="doc_id", k=10, chain="simple", tie=0.1, round_to=4,
+    )
+
+
 def q_bm25_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase (edismax ``qs=1``, solrconfig.xml:68-82): the phrase's
     terms must occur IN ORDER within a (m-1)+slop position window — one
@@ -1074,6 +1094,39 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_phrase_slop_topk": _bm25_sql(
         terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS, phrase_slop=1
     ),
+    "bm25_dismax_topk": f"""
+WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+fdl AS (
+  SELECT doc_id, 'title' AS fld, 2.0 AS boost,
+         list_slice(tk, 1, 8) AS ftk, len(list_slice(tk, 1, 8)) AS dl
+  FROM tks
+  UNION ALL
+  SELECT doc_id, 'body', 1.0, tk, len(tk) FROM tks
+),
+fstats AS (SELECT fld, count(*) AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+tok AS (SELECT doc_id, fld, boost, unnest(ftk) AS term FROM fdl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+tf AS (SELECT doc_id, fld, boost, term, count(*) AS tf
+       FROM tok JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+dfq AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY 1, 2),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         boost * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+  FROM tf
+  JOIN dfq USING (fld, term)
+  JOIN (SELECT doc_id, fld, dl FROM fdl) d USING (doc_id, fld)
+  JOIN fstats USING (fld)
+),
+dt AS (SELECT doc_id, term, max(s) + 0.1 * (sum(s) - max(s)) AS ds
+       FROM s GROUP BY 1, 2)
+SELECT doc_id, round(sum(ds), 4) AS score
+FROM dt GROUP BY 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
     "bm25_phrase_slop_phys_topk": _bm25_sql(
         terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS, phrase_slop=1
     ),
@@ -1297,6 +1350,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_phys_topk": q_bm25_phrase_phys_topk,
     "bm25_phrase_slop_topk": q_bm25_phrase_slop_topk,
+    "bm25_dismax_topk": q_bm25_dismax_topk,
     "bm25_phrase_slop_phys_topk": q_bm25_phrase_slop_phys_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,

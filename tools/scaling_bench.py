@@ -94,6 +94,12 @@ def eff(lo_sec: float, hi_sec: float, factor: int = 4) -> float:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 220000
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # optional N / 4N override (e.g. "1 4": five concurrent cores total —
+    # well under the host's shared-bandwidth ceiling, so the pair measures
+    # the pipeline, not the local[] emulation limit)
+    lo_level = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    hi_level = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    with_ceiling = lo_level == 2 and hi_level == 8
     n_host = os.cpu_count() or 32
 
     # corpus generated ONCE, unpinned (full host) — every pinned
@@ -112,24 +118,30 @@ def main() -> None:
 
     results: dict[int, dict] = {}
     try:
-        # headline pair: concurrent, disjoint pinned cores
+        # headline pair: concurrent, disjoint pinned cores (lo takes the
+        # highest cores, hi the block just below — low vCPUs carry ~2.5x
+        # the hypervisor-neighbor steal)
         for rnd in range(n_rounds):
-            p2 = launch_level(2, n_host - 2, n_host - 1, n_docs,
-                              corpus_dir, f"/tmp/scale_r{rnd}_c2.log")
-            p8 = launch_level(8, n_host - 10, n_host - 3, n_docs,
-                              corpus_dir, f"/tmp/scale_r{rnd}_c8.log")
-            r8 = collect(p8, 8)
-            r2 = collect(p2, 2)
-            for r in (r2, r8):
+            plo = launch_level(
+                lo_level, n_host - lo_level, n_host - 1, n_docs,
+                corpus_dir, f"/tmp/scale_r{rnd}_c{lo_level}.log")
+            phi = launch_level(
+                hi_level, n_host - lo_level - hi_level,
+                n_host - lo_level - 1, n_docs,
+                corpus_dir, f"/tmp/scale_r{rnd}_c{hi_level}.log")
+            rhi = collect(phi, hi_level)
+            rlo = collect(plo, lo_level)
+            for r in (rlo, rhi):
                 print(f"# round {rnd} {json.dumps(r)}", file=sys.stderr)
                 merge_min(results, r)
 
-        # ceiling pair: sequential (8+32 > host cores), one round
-        p32 = launch_level(32, 0, n_host - 1, n_docs,
-                           corpus_dir, "/tmp/scale_c32.log")
-        r32 = collect(p32, 32)
-        print(f"# ceiling {json.dumps(r32)}", file=sys.stderr)
-        merge_min(results, r32)
+        if with_ceiling:
+            # ceiling pair: sequential (8+32 > host cores), one round
+            p32 = launch_level(32, 0, n_host - 1, n_docs,
+                               corpus_dir, "/tmp/scale_c32.log")
+            r32 = collect(p32, 32)
+            print(f"# ceiling {json.dumps(r32)}", file=sys.stderr)
+            merge_min(results, r32)
     finally:
         import shutil
 
@@ -143,15 +155,24 @@ def main() -> None:
             f"| {r['query_sec']} | {r['queries_per_sec']} |"
         )
     pair_rows = []
-    for lo_c, hi_c in [(2, 8), (8, 32)]:
+    pairs = [(lo_level, hi_level)] + ([(8, 32)] if with_ceiling else [])
+    for lo_c, hi_c in pairs:
         lo, hi = results[lo_c], results[hi_c]
         pair_rows.append(
             f"| {lo_c} -> {hi_c} | **{eff(lo['build_sec'], hi['build_sec'])}** "
             f"| **{eff(lo['query_sec'], hi['query_sec'])}** |"
         )
 
-    build_eff = eff(results[2]["build_sec"], results[8]["build_sec"])
-    query_eff = eff(results[2]["query_sec"], results[8]["query_sec"])
+    build_eff = eff(results[lo_level]["build_sec"],
+                    results[hi_level]["build_sec"])
+    query_eff = eff(results[lo_level]["query_sec"],
+                    results[hi_level]["query_sec"])
+    if not with_ceiling:
+        # non-default pair: print JSON only — BENCH.md is hand-curated
+        # from all evidence, don't clobber it with a partial table
+        print(json.dumps({"build_eff": build_eff, "query_eff": query_eff,
+                          "levels": results}))
+        return
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
