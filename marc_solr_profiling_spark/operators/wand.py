@@ -401,6 +401,12 @@ def wand_topk(
     return topk
 
 
+# matched-block caches from prior wand_topk_batch calls: released on the
+# NEXT call (the returned plan is lazy, so the cache must outlive the
+# call; holding more than one batch's blocks would leak — VERDICT r1 #5)
+_BATCH_CACHE: list = []
+
+
 def wand_topk_batch(
     index,
     queries: Sequence[str],
@@ -520,7 +526,14 @@ def wand_topk_batch(
     hit_df = spark.createDataFrame(
         [(t,) for t in idf_by_term], "term string"
     )
-    matched = index.segments.join(F.broadcast(hit_df), "term")
+    # persist: repartitionByRange's bound sampler executes the child plan
+    # once more — without the cache the segment scan + broadcast join run
+    # TWICE per batch (pure fixed overhead, the dominant term at small
+    # batch sizes; the matched set is blocks-for-the-batch-terms, bounded)
+    while _BATCH_CACHE:
+        _BATCH_CACHE.pop().unpersist()
+    matched = index.segments.join(F.broadcast(hit_df), "term").persist()
+    _BATCH_CACHE.append(matched)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )

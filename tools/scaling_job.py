@@ -45,10 +45,17 @@ def main() -> None:
     from marc_solr_profiling_spark.session import get_spark
     # shuffle width 4x cores: a straggler costs a quarter-wave, not a full
     # one (AQE coalesces any resulting tiny partitions back together)
+    # CONSTANT shuffle width across levels (not 4x cores): a real N-vs-4N
+    # cluster comparison holds the data layout fixed — the same job, the
+    # same shuffle partitioning, more executors. Scaling the width with
+    # the level hands the small level fewer/larger partitions (less
+    # per-task and per-Arrow-batch overhead), biasing the ratio UP for
+    # the small level and understating true scaling.
+    shuffle_width = 32
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=4 * cpus,
+        shuffle_partitions=shuffle_width,
     )
     # corpus parquet: pre-generated shared dir (SPARK_GRAFT_CORPUS_DIR, see
     # tools/gen_corpus.py — generation happens once, unpinned, outside the
@@ -73,15 +80,15 @@ def main() -> None:
             generate_web_pages(spark, n_docs, seed=42, partitions=256).write.mode(
                 "overwrite"
             ).option("parquet.enable.dictionary", "false").parquet(corpus_dir)
-        # Size input splits for ~4 read tasks per core at THIS parallelism
-        # level: the default 128 MB maxPartitionBytes bin-packs a small
-        # corpus into ~cores splits, so one straggler stretches the whole
-        # fused extract+tokenize wave. 256 corpus files keep bins granular.
+        # CONSTANT split count across levels (same reasoning as the fixed
+        # shuffle width above: identical input layout at every cluster
+        # size). 32 splits = 4 waves per core at the largest level and
+        # fine-grained balance at the smallest.
         total_bytes = sum(
             os.path.getsize(os.path.join(corpus_dir, f))
             for f in os.listdir(corpus_dir) if f.endswith(".parquet")
         )
-        split_bytes = max(1 << 22, -(-total_bytes // (4 * cpus)))
+        split_bytes = max(1 << 22, -(-total_bytes // shuffle_width))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         # production input: raw pages only; extraction fuses into the
