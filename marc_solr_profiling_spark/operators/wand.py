@@ -67,7 +67,16 @@ def _salt_partitions(index) -> int:
     load balance (a straggler then costs 1/4 of a wave, not a whole one),
     capped at the salt count — with RANGE partitioning (see _by_salt) each
     partition owns a contiguous slice of salt values, so n_salts partitions
-    is exact 1:1 and more would sit empty."""
+    is exact 1:1 and more would sit empty.
+
+    ``spark.marc.saltPartitions`` overrides the auto-size: cluster-size
+    comparisons (tools/scaling_bench.py) must hold the data layout CONSTANT
+    across parallelism levels — auto-sizing from core count would hand the
+    small level fewer, larger tasks (less per-task overhead) and bias the
+    measured scaling ratio."""
+    override = index.spark.conf.get("spark.marc.saltPartitions", None)
+    if override:
+        return max(1, int(override))
     cores = index.spark.sparkContext.defaultParallelism
     return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
 

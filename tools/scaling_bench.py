@@ -1,245 +1,182 @@
-"""Two-parallelism scaling evidence (sandbox substitution for the north
-rule's N vs 4N executor criterion).
+"""Two-cluster-size scaling evidence — equal-window throughput protocol (v4).
 
-Protocol (v3 — paired-concurrent, warm):
+Sandbox substitution for the north rule's N vs 4N executor criterion (no
+real cluster available). Levels local[1], local[2], local[4], local[8] run
+CONCURRENTLY, each JVM (and its Python workers) pinned with ``taskset`` to
+a disjoint core set (15 of the host's 32 cores busy — well under the
+shared-memory-bandwidth ceiling). Each level loops the identical job
+back-to-back inside a shared wall window; throughput = window-overlap
+credit x work / window. Pairs N->4N: 1->4 and 2->8.
 
-* Headline pair N=2 vs 4N=8: the two levels run CONCURRENTLY, each JVM
-  (and every Python worker it spawns) pinned with ``taskset`` to a
-  DISJOINT set of host cores (level 2 -> cores 30-31, level 8 -> cores
-  22-29).  The sandbox VM has noisy neighbors that swing effective IPC
-  2-3x on a scale of minutes (identical work measured at 94 vs 257
-  CPU-seconds with near-zero guest-visible steal), so sequential runs
-  compare different noise windows; concurrent runs see the SAME window,
-  making the N/4N ratio — the quantity under test — noise-robust.
-* Each JVM measures ``n_reps`` warm repetitions over the same input and
-  reports the minimum: per-JVM fixed overhead (session startup, Catalyst
-  codegen, Python worker spawn — measured S ~ 20-40 s) amortizes to zero
-  at the north rule's 10^12-doc scale, so the warm number is the correct
-  estimator of the component that must scale, the per-doc work.  (This is
-  the protocol the round-1 review accepted; a cold-JVM variant was tried
-  and measures mostly S + noise at this corpus size.)
-* ``n_rounds`` concurrent rounds, minimum per level across rounds: the
-  min estimates each level's quiet-window capability.
-* Ceiling pair 8 vs 32 cannot be pinned disjointly (2+8 <= 32 cores but
-  8+32 > 32), so it runs sequentially afterwards and is reported for
-  transparency only: at 32 local threads the single host's memory
-  bandwidth is the binding resource, which a real 4N-executor cluster
-  (4N hosts' bandwidth) does not share.
+Why windows instead of per-rep minimums (protocol v3): the sandbox VM has
+hypervisor neighbors that swing effective IPC 2-3x on a scale of minutes
+(identical work measured at 94 vs 257 CPU-seconds, near-zero
+guest-visible steal). Independent min-of-reps per level samples that
+noise distribution — whichever level lucked into the quietest window wins
+— producing ratios anywhere from 0.5 to 1.1 for the same pipeline. With
+one shared wall window, every level integrates over the SAME noise, and
+the ratio — the quantity under test — cancels it.
 
-Efficiency = (T_N / T_4N) / 4 — perfect linear scaling gives 1.0; the
-north rule requires >= 0.8.
+Credit for a rep [t0, t1] against window [W0, W1]:
+    credit = max(0, min(t1, W1) - max(t0, W0)) / (t1 - t0)
+i.e. a rep half inside the window counts half. Reps are identical, so
+this is an unbiased throughput estimate with quantization error bounded
+by 1 rep-fraction at each window edge.
 
-Usage: python tools/scaling_bench.py [n_docs] [n_rounds]
+A fifth, unpinned local[32] level runs AFTERWARDS (its own window) for
+the absolute-throughput row: it cannot be concurrent (1+2+4+8+32 > 32
+cores) and at 32 threads the single host's memory bandwidth — which a
+real 4N-executor cluster does not share — is the binding resource, so it
+is reported for transparency, not graded.
+
+Usage: python tools/scaling_bench.py [n_docs] [build_window_s] [query_window_s]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 N_QUERIES = 10000
-N_REPS = 2  # warm reps inside one JVM; min reported
+# (cpus, core_lo, core_hi): disjoint pinning, high cores — per-cpu
+# /proc/stat steal shows hypervisor neighbors land disproportionately on
+# low vCPUs (cpu0 ~2.5x the steal of cpu24+)
+LEVELS = [(8, 17, 24), (4, 27, 30), (2, 25, 26), (1, 31, 31)]
 
 
-def launch_level(cpus: int, core_lo: int, core_hi: int, n_docs: int,
-                 corpus_dir: str, log_path: str) -> subprocess.Popen:
-    """Start one pinned measurement JVM; returns the Popen handle.
-
-    Pinning covers the WHOLE process tree (JVM + Python workers): JDK and
-    Python size their pools from sched_getaffinity, so each level is a
-    faithful N-core cluster slice.  High-numbered cores: per-cpu
-    /proc/stat steal shows hypervisor neighbors land disproportionately
-    on low vCPUs (cpu0 ~2.5x the steal of cpu24+).
-    """
+def launch(cpus: int, core_lo: int, core_hi: int, n_docs: int,
+           corpus_dir: str, barrier: str, log_path: str) -> subprocess.Popen:
     env = dict(os.environ)
     env["SPARK_GRAFT_CORPUS_DIR"] = corpus_dir
     logf = open(log_path, "w")
     return subprocess.Popen(
         ["taskset", "-c", f"{core_lo}-{core_hi}",
          sys.executable, os.path.join(HERE, "scaling_job.py"),
-         str(cpus), str(n_docs), str(N_QUERIES), str(N_REPS)],
+         str(cpus), str(n_docs), str(N_QUERIES), barrier],
         stdout=subprocess.PIPE, stderr=logf, text=True, cwd=REPO, env=env,
     )
 
 
-def collect(proc: subprocess.Popen, cpus: int) -> dict:
-    out, _ = proc.communicate(timeout=4000)
-    if proc.returncode != 0:
-        raise RuntimeError(f"scaling job cpus={cpus} failed rc={proc.returncode}")
-    return json.loads(out.strip().splitlines()[-1])
+def credit(reps: list, w0: float, w1: float) -> float:
+    tot = 0.0
+    for t0, t1 in reps:
+        if t1 <= t0:
+            continue
+        tot += max(0.0, min(t1, w1) - max(t0, w0)) / (t1 - t0)
+    return tot
 
 
-def merge_min(results: dict[int, dict], r: dict) -> None:
-    c = r["cpus"]
-    best = results.get(c)
-    if best is None:
-        results[c] = dict(r)
-        return
-    for k in ("build_sec", "query_sec"):
-        best[k] = min(best[k], r[k])
-    best["build_docs_per_sec"] = round(best["n_docs"] / best["build_sec"], 1)
-    best["queries_per_sec"] = round(best["n_queries"] / best["query_sec"], 2)
-
-
-def eff(lo_sec: float, hi_sec: float, factor: int = 4) -> float:
-    return round((lo_sec / hi_sec) / factor, 3)
+def wait_files(paths: list, timeout: float) -> None:
+    t0 = time.time()
+    while not all(os.path.exists(p) for p in paths):
+        if time.time() - t0 > timeout:
+            missing = [p for p in paths if not os.path.exists(p)]
+            raise RuntimeError(f"timeout waiting for {missing}")
+        time.sleep(1.0)
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 220000
-    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    # optional N / 4N override (e.g. "1 4": five concurrent cores total —
-    # well under the host's shared-bandwidth ceiling, so the pair measures
-    # the pipeline, not the local[] emulation limit)
-    lo_level = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    hi_level = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    with_ceiling = lo_level == 2 and hi_level == 8
-    n_host = os.cpu_count() or 32
-
-    # corpus generated ONCE, unpinned (full host) — every pinned
-    # measurement JVM reads the identical files
-    import tempfile
+    build_win = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
+    query_win = float(sys.argv[3]) if len(sys.argv) > 3 else 420.0
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    corpus_dir = tempfile.mkdtemp(prefix="scale_corpus_", dir=tmp_root)
-    gen = subprocess.run(
-        [sys.executable, os.path.join(HERE, "gen_corpus.py"),
-         str(n_docs), corpus_dir],
-        capture_output=True, text=True, timeout=1200, cwd=REPO,
-    )
-    if gen.returncode != 0:
-        raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
+    own_corpus = corpus_dir is None or not os.path.exists(
+        os.path.join(corpus_dir, "_SUCCESS"))
+    if own_corpus:
+        corpus_dir = tempfile.mkdtemp(prefix="scale_corpus_", dir=tmp_root)
+        gen = subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_corpus.py"),
+             str(n_docs), corpus_dir],
+            capture_output=True, text=True, timeout=1200, cwd=REPO,
+        )
+        if gen.returncode != 0:
+            raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
+    barrier = tempfile.mkdtemp(prefix="scale_barrier_", dir=tmp_root)
 
-    results: dict[int, dict] = {}
+    procs = {}
+    results = {}
     try:
-        # headline pair: concurrent, disjoint pinned cores (lo takes the
-        # highest cores, hi the block just below — low vCPUs carry ~2.5x
-        # the hypervisor-neighbor steal)
-        for rnd in range(n_rounds):
-            plo = launch_level(
-                lo_level, n_host - lo_level, n_host - 1, n_docs,
-                corpus_dir, f"/tmp/scale_r{rnd}_c{lo_level}.log")
-            phi = launch_level(
-                hi_level, n_host - lo_level - hi_level,
-                n_host - lo_level - 1, n_docs,
-                corpus_dir, f"/tmp/scale_r{rnd}_c{hi_level}.log")
-            rhi = collect(phi, hi_level)
-            rlo = collect(plo, lo_level)
-            for r in (rlo, rhi):
-                print(f"# round {rnd} {json.dumps(r)}", file=sys.stderr)
-                merge_min(results, r)
+        for cpus, lo, hi in LEVELS:
+            procs[cpus] = launch(cpus, lo, hi, n_docs, corpus_dir, barrier,
+                                 f"/tmp/scale_v4_c{cpus}.log")
+        wait_files([os.path.join(barrier, f"ready_{c}") for c, _, _ in LEVELS],
+                   timeout=3000)
+        print("# all levels warm; opening build window", file=sys.stderr)
 
-        if with_ceiling:
-            # ceiling pair: sequential (8+32 > host cores), one round
-            p32 = launch_level(32, 0, n_host - 1, n_docs,
-                               corpus_dir, "/tmp/scale_c32.log")
-            r32 = collect(p32, 32)
-            print(f"# ceiling {json.dumps(r32)}", file=sys.stderr)
-            merge_min(results, r32)
+        b0 = time.time()
+        open(os.path.join(barrier, "start_build"), "w").close()
+        time.sleep(build_win)
+        b1 = time.time()
+        open(os.path.join(barrier, "stop_build"), "w").close()
+        wait_files(
+            [os.path.join(barrier, f"build_done_{c}") for c, _, _ in LEVELS],
+            timeout=2400)
+        print("# build window closed; opening query window", file=sys.stderr)
+
+        q0 = time.time()
+        open(os.path.join(barrier, "start_query"), "w").close()
+        time.sleep(query_win)
+        q1 = time.time()
+        open(os.path.join(barrier, "stop_query"), "w").close()
+
+        for cpus, p in procs.items():
+            out, _ = p.communicate(timeout=1800)
+            if p.returncode != 0:
+                raise RuntimeError(f"level {cpus} failed rc={p.returncode}")
+            results[cpus] = json.loads(out.strip().splitlines()[-1])
     finally:
-        import shutil
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+        shutil.rmtree(barrier, ignore_errors=True)
+        if own_corpus:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+    table = {}
+    for cpus, r in sorted(results.items()):
+        bc = credit(r["build_reps"], b0, b1)
+        qc = credit(r["query_reps"], q0, q1)
+        table[cpus] = {
+            "build_credit": round(bc, 3),
+            "query_credit": round(qc, 3),
+            "build_docs_per_sec": round(bc * n_docs / (b1 - b0), 1),
+            "queries_per_sec": round(qc * N_QUERIES / (q1 - q0), 2),
+            "build_reps": len(r["build_reps"]),
+            "query_reps": len(r["query_reps"]),
+        }
 
-    rows = []
-    for c in sorted(results):
-        r = results[c]
-        rows.append(
-            f"| local[{c}] | {r['build_sec']} | {r['build_docs_per_sec']} "
-            f"| {r['query_sec']} | {r['queries_per_sec']} |"
+    def eff(lo_c: int, hi_c: int, key: str) -> float:
+        return round(
+            (table[hi_c][key] / table[lo_c][key]) / (hi_c / lo_c), 3
         )
-    pair_rows = []
-    pairs = [(lo_level, hi_level)] + ([(8, 32)] if with_ceiling else [])
-    for lo_c, hi_c in pairs:
-        lo, hi = results[lo_c], results[hi_c]
-        pair_rows.append(
-            f"| {lo_c} -> {hi_c} | **{eff(lo['build_sec'], hi['build_sec'])}** "
-            f"| **{eff(lo['query_sec'], hi['query_sec'])}** |"
-        )
 
-    build_eff = eff(results[lo_level]["build_sec"],
-                    results[hi_level]["build_sec"])
-    query_eff = eff(results[lo_level]["query_sec"],
-                    results[hi_level]["query_sec"])
-    if not with_ceiling:
-        # non-default pair: print JSON only — BENCH.md is hand-curated
-        # from all evidence, don't clobber it with a partial table
-        print(json.dumps({"build_eff": build_eff, "query_eff": query_eff,
-                          "levels": results}))
-        return
-
-    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
-
-Sandbox substitution for the north rule's two-cluster-size criterion
-(no real cluster available): the SAME index-build + batch-BM25 job ran at
-parallelism N=2 and 4N=8 over identical input ({n_docs:,} deterministic
-Common-Crawl-shaped web pages, seed=42; the production path: HTML->text
-extraction fused into the analyzer/tokenize kernel + per-doc tf pass +
-salted varbyte segment build; {N_QUERIES} BM25 top-10 queries in one batch
-pass).
-
-**Protocol (paired-concurrent, warm, pinned):**
-
-1. *Disjoint pinning, concurrent levels.* Each level's JVM — and every
-   Python worker it spawns — is pinned with `taskset` to its own cores
-   (level 2 -> 2 cores, level 8 -> 8 different cores), and the two levels
-   run AT THE SAME TIME. The sandbox VM has noisy neighbors that swing
-   effective IPC 2-3x on a scale of minutes (identical work measured at
-   94 vs 257 CPU-seconds, near-zero guest-visible steal), so sequential
-   runs compare different noise windows; concurrent runs see the same
-   window and the N/4N ratio — the quantity under test — is noise-robust.
-   Pinning matters because `local[N]` alone only bounds task slots: a
-   task's JVM thread plus its chained Python worker run concurrently, so
-   an unpinned "2-core" level borrows ~2-3x its nominal cores from the
-   idle host. Pinned, each level is a faithful N-core cluster slice (JDK
-   and Python size their pools from sched_getaffinity).
-2. *Warm min-of-{N_REPS} reps per JVM.* Per-JVM fixed overhead (session
-   startup, Catalyst codegen, Python worker spawn; S ~ 20-40 s) amortizes
-   to zero at the north rule's 10^12-doc scale, so the warm minimum is
-   the correct estimator of the component that must scale — the per-doc
-   work. (A cold-JVM variant was tried; at this corpus size it measures
-   mostly S + noise.)
-3. *Min over {{n_rounds}} concurrent rounds* estimates each level's
-   quiet-window capability.
-4. The 8 -> 32 ceiling pair cannot be pinned disjointly (8+32 > 32 host
-   cores) and runs sequentially afterwards, reported for transparency.
-
-Generated by `python tools/scaling_bench.py {n_docs} {{n_rounds}}` on {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
-
-| parallelism | build sec | build docs/sec | query sec | queries/sec |
-|---|---|---|---|---|
-{chr(10).join(rows)}
-
-**Scaling efficiency (T_N / T_4N / 4), target >= 0.8:**
-
-| pair (N -> 4N) | index build | batch BM25 query |
-|---|---|---|
-{chr(10).join(pair_rows)}
-
-Headline pair: local[2] -> local[8] (concurrent, disjoint cores):
-**build {build_eff}, query {query_eff}**.
-
-Why the 8 -> 32 pair flattens: all 32 threads share ONE host's memory
-bandwidth, which a real cluster does not (4N executors = 4N hosts'
-bandwidth). No stage is serial — the build is one fused map pass
-(extract + analyze + per-doc tf) plus exactly one salted (term,salt)
-shuffle, and the query path is a pruned segment scan + per-salt
-independent scoring (n_salts=64 > cores at every level) — so the
-flattening is the local[] emulation ceiling, not a plan property.
-"""
-    md = md.replace("{n_rounds}", str(n_rounds))
-    out_path = os.path.join(REPO, "BENCH.md")
-    with open(out_path, "w") as f:
-        f.write(md)
-    print(json.dumps({"build_eff": build_eff, "query_eff": query_eff,
-                      "levels": results}))
-    print(f"wrote {out_path}")
+    pairs = {
+        f"{lo}->{hi}": {
+            "build": eff(lo, hi, "build_credit"),
+            "query": eff(lo, hi, "query_credit"),
+        }
+        for lo, hi in [(1, 4), (2, 8)]
+    }
+    summary = {
+        "n_docs": n_docs,
+        "build_window_sec": round(b1 - b0, 1),
+        "query_window_sec": round(q1 - q0, 1),
+        "levels": table,
+        "efficiency": pairs,
+    }
+    print(json.dumps(summary))
+    with open("/tmp/scale_v4_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
