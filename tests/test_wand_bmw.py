@@ -162,3 +162,24 @@ def test_sparse_table_range_max():
     got = _range_max(st, np.array(los), np.array(his))
     want = np.array([vals[lo:hi].max() for lo, hi in zip(los, his)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_salt_partitions_conf_override(spark):
+    """Cluster-size comparisons hold the scoring layout constant via
+    spark.marc.saltPartitions (tools/scaling_bench.py protocol v4)."""
+    from marc_solr_profiling_spark.operators.wand import _salt_partitions
+
+    class _Idx:
+        pass
+
+    idx = _Idx()
+    idx.spark = spark
+    idx.n_salts = 64
+    auto = _salt_partitions(idx)
+    assert 1 <= auto <= 64
+    spark.conf.set("spark.marc.saltPartitions", "7")
+    try:
+        assert _salt_partitions(idx) == 7
+    finally:
+        spark.conf.unset("spark.marc.saltPartitions")
+    assert _salt_partitions(idx) == auto
