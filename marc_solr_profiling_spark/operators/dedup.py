@@ -183,9 +183,13 @@ def ngram_jaccard_pairs(
     shingles too — documented approximation).
     Output: (key_a, key_b, jaccard) rounded to 6 decimals.
     """
-    sh = docs.select(
+    from . import _cache
+
+    _cache.begin("ngram_jaccard")
+    sh = _cache.hold("ngram_jaccard", docs.select(
         F.col(key_col), F.explode(shingles_expr(text_col, shingle_n)).alias("shingle")
-    ).persist()  # scanned 3x (sizes, df, pairing); shingling runs once
+    ))  # scanned 3x (sizes, df, pairing); shingling runs once; released
+    # on the NEXT call (the returned plan is lazy)
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
     shingle_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     rare = sh.join(shingle_df.filter(F.col("sdf") <= max_shingle_df), "shingle")
@@ -237,10 +241,13 @@ def lsh_jaccard_pairs(
     DOCS ONLY (a semi-join prunes the explode before the self-join).
     Output: (key_a, key_b, jaccard) with jaccard >= threshold.
     """
-    cand = minhash_lsh_candidates(
+    from . import _cache
+
+    _cache.begin("lsh_jaccard")
+    cand = _cache.hold("lsh_jaccard", minhash_lsh_candidates(
         docs, key_col=key_col, text_col=text_col, n_hashes=n_hashes,
         bands=bands, shingle_n=shingle_n, max_bucket=max_bucket,
-    ).persist()
+    ))
 
     sh = docs.select(
         F.col(key_col),
@@ -255,7 +262,7 @@ def lsh_jaccard_pairs(
     # shingle stream before the self-join (left_semi keeps the plan an
     # existence probe; the per-doc distinct shingle sets stay intact, so
     # sizes computed from sh_c are exact for candidate docs)
-    sh_c = sh.join(cand_docs, key_col, "left_semi").persist()
+    sh_c = _cache.hold("lsh_jaccard", sh.join(cand_docs, key_col, "left_semi"))
     sizes = sh_c.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh_c.select(F.col("shingle"), F.col(key_col).alias("key_a"))

@@ -410,10 +410,6 @@ def wand_topk(
     return topk
 
 
-# matched-block caches from prior wand_topk_batch calls: released on the
-# NEXT call (the returned plan is lazy, so the cache must outlive the
-# call; holding more than one batch's blocks would leak — VERDICT r1 #5)
-_BATCH_CACHE: list = []
 
 
 def wand_topk_batch(
@@ -538,11 +534,15 @@ def wand_topk_batch(
     # persist: repartitionByRange's bound sampler executes the child plan
     # once more — without the cache the segment scan + broadcast join run
     # TWICE per batch (pure fixed overhead, the dominant term at small
-    # batch sizes; the matched set is blocks-for-the-batch-terms, bounded)
-    while _BATCH_CACHE:
-        _BATCH_CACHE.pop().unpersist()
-    matched = index.segments.join(F.broadcast(hit_df), "term").persist()
-    _BATCH_CACHE.append(matched)
+    # batch sizes; the matched set is blocks-for-the-batch-terms, bounded).
+    # Held one generation via _cache: released on the NEXT batch call (the
+    # returned plan is lazy, so the cache must outlive this call).
+    from . import _cache
+
+    _cache.begin("wand_batch")
+    matched = _cache.hold(
+        "wand_batch", index.segments.join(F.broadcast(hit_df), "term")
+    )
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )
