@@ -119,7 +119,9 @@ def phrase_topk(
     if not seq_terms:
         return empty
     uniq_terms = list(dict.fromkeys(seq_terms))
-    drows = index.dictionary.filter(F.col("term").isin(uniq_terms)).collect()
+    drows = index.cached_dictionary().filter(
+        F.col("term").isin(uniq_terms)
+    ).collect()
     if len(drows) < len(uniq_terms):
         # conjunction: a phrase term absent from the corpus matches nothing
         return empty

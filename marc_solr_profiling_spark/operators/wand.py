@@ -356,7 +356,9 @@ def wand_topk(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qterms:
         return empty
-    drows = index.dictionary.filter(F.col("term").isin(qterms)).collect()
+    drows = index.cached_dictionary().filter(
+        F.col("term").isin(qterms)
+    ).collect()
     # (few terms: a literal In is fine here; the batch path broadcast-joins)
     if not drows:
         return empty
@@ -447,7 +449,9 @@ def wand_topk_batch(
     # generates enormous codegen (multi-second compile); a broadcast hash
     # join keeps the probe per-row and the plan small
     qterms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
-    drows = index.dictionary.join(F.broadcast(qterms_df), "term").collect()
+    drows = index.cached_dictionary().join(
+        F.broadcast(qterms_df), "term"
+    ).collect()
     idf_by_term = {r["term"]: bm25_idf(index.n_docs, int(r["df"])) for r in drows}
     avgdl = index.avgdl
     kk = int(k)

@@ -94,6 +94,19 @@ class InvertedIndex:
     def dictionary(self) -> DataFrame:
         return self.store.read_stage(self.spark, "dictionary")
 
+    def cached_dictionary(self) -> DataFrame:
+        """The dictionary persisted in executor memory — the Lucene
+        term-dictionary-in-RAM analog for repeated query batches. At
+        10^12-doc scale the dictionary is still executor-resident (it is
+        per-TERM, not per-doc), so a persist — never a driver collect — is
+        the scale-correct cache. Lazily materialized on first query;
+        released with the session."""
+        cached = getattr(self, "_dict_cached", None)
+        if cached is None:
+            cached = self.dictionary.persist()
+            self._dict_cached = cached
+        return cached
+
 
 def build_index(
     spark: SparkSession,
@@ -182,32 +195,58 @@ def build_index(
 
     tf = store.read_stage(spark, "tf")
 
-    if need_docs:
-        # derived from the committed tf snapshot (compact rows), joined back
-        # to the (pruned) key column of the input — no re-tokenization
-        doc_lens = tf.select("doc_id", "doc_len").dropDuplicates(["doc_id"])
-        if key_col != "doc_id":
-            doc_tbl = doc_lens.join(
-                with_ids.select("doc_id", key_col), "doc_id"
-            )
-        else:
-            doc_tbl = doc_lens
-        # sorted within partitions (row-group pruning on doc_id) without a
-        # range repartition: the range sampler costs an extra pass, and the
-        # doc table is only ever point-joined, never range-scanned
-        store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
-
-    for cached in persisted:
-        cached.unpersist()
-
     if not store.stage_complete("stats"):
-        ds = store.read_stage(spark, "docs")
-        stats = ds.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
+        # stats straight off the committed tf snapshot — NOT via the docs
+        # stage: total_tokens = sum(tf) (one pruned-column scan, scalar
+        # partial agg, no shuffle) and n_docs = one tf row per (term, doc)
+        # + a zero-token sentinel per empty doc, so counting first-posting
+        # rows... is a distinct — instead the INPUT row count (parquet
+        # metadata count, no data read). Decoupling stats from docs lets
+        # the segments stage start right after tf, and the docs commit run
+        # CONCURRENTLY with it (thread below) — the round-1 chain
+        # tf -> docs -> stats -> segments serialized ~5-17 s of small-stage
+        # wall per build that a multi-job scheduler absorbs for free.
+        if with_ids is not None:
+            n_docs_val = with_ids.count()
+        else:
+            n_docs_val = docs.count()
+        total_tokens = tf.agg(F.sum("tf")).collect()[0][0] or 0
+        avgdl_val = (float(total_tokens) / n_docs_val) if n_docs_val else 0.0
+        stats = spark.createDataFrame(
+            [(int(n_docs_val), avgdl_val, int(total_tokens))],
+            "n_docs long, avgdl double, total_tokens long",
         )
         store.commit_stage("stats", stats)
+
+    docs_err: list[BaseException] = []
+    docs_thread = None
+    if need_docs:
+        def _commit_docs() -> None:
+            try:
+                # derived from the committed tf snapshot (compact rows),
+                # joined back to the (pruned) key column of the input — no
+                # re-tokenization
+                doc_lens = tf.select("doc_id", "doc_len").dropDuplicates(
+                    ["doc_id"]
+                )
+                if key_col != "doc_id":
+                    doc_tbl = doc_lens.join(
+                        with_ids.select("doc_id", key_col), "doc_id"
+                    )
+                else:
+                    doc_tbl = doc_lens
+                # sorted within partitions (row-group pruning on doc_id)
+                # without a range repartition: the range sampler costs an
+                # extra pass, and the doc table is only ever point-joined,
+                # never range-scanned
+                store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
+            except BaseException as e:  # surfaced after join()
+                docs_err.append(e)
+
+        import threading
+
+        docs_thread = threading.Thread(target=_commit_docs, name="docs-commit")
+        docs_thread.start()
 
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
@@ -226,6 +265,14 @@ def build_index(
         # repartitionByRange here would re-run the whole segment build just
         # to sample range bounds.
         store.commit_stage("segments", segs)
+
+    if docs_thread is not None:
+        docs_thread.join()
+        if docs_err:
+            raise docs_err[0]
+
+    for cached in persisted:
+        cached.unpersist()
 
     if not store.stage_complete("dictionary"):
         # derived from the (compact) segment blocks instead of a second full

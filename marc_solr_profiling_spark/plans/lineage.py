@@ -21,6 +21,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -41,6 +42,9 @@ class IndexStore:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self.manifest_path = os.path.join(path, "manifest.json")
+        # independent stages (docs || segments) commit from concurrent
+        # driver threads; the manifest read-modify-write must be atomic
+        self._lock = threading.Lock()
 
     # -- manifest -----------------------------------------------------------
     def _read_manifest(self) -> dict:
@@ -130,13 +134,14 @@ class IndexStore:
                         "rows": pq.ParquetFile(os.path.join(out, name)).metadata.num_rows,
                     }
                 )
-            m = self._read_manifest()
-            m["stages"][stage] = {
-                "committed_at": time.time(),
-                "rows": int(sum(x["rows"] for x in lineage)),
-                "partitions": lineage,
-            }
-            self._write_manifest(m)
+            with self._lock:
+                m = self._read_manifest()
+                m["stages"][stage] = {
+                    "committed_at": time.time(),
+                    "rows": int(sum(x["rows"] for x in lineage)),
+                    "partitions": lineage,
+                }
+                self._write_manifest(m)
         return spark.read.parquet(self.stage_path(stage))
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
