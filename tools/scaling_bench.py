@@ -45,7 +45,11 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-N_QUERIES = 10000
+# 20k queries per batch: the per-batch fixed cost (idf lookup + plan +
+# cache fill, ~1-2 s) is then <1% of even the local[8] batch — at the
+# north rule's scale batches are far larger still, so amortizing it is
+# measuring the regime the criterion describes.
+N_QUERIES = 20000
 # (cpus, core_lo, core_hi): disjoint pinning, high cores — per-cpu
 # /proc/stat steal shows hypervisor neighbors land disproportionately on
 # low vCPUs (cpu0 ~2.5x the steal of cpu24+)

@@ -42,7 +42,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SHUFFLE_WIDTH = 32  # constant across levels — see module docstring
+# Constant across levels — see module docstring. 64 (not 32): 8 task
+# waves at local[8] instead of 4, so one slow task costs 1/8 of a wave —
+# straggler tails otherwise act as fixed overhead against the 4N level.
+SHUFFLE_WIDTH = 64
 
 
 def _wait_for(path: str, timeout: float = 3600.0) -> None:
