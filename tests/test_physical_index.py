@@ -130,3 +130,40 @@ def test_config_change_invalidates(spark, tmp_path_factory):
         m = json.load(f)
     assert m["fingerprint"] != fp1
     assert idx.segments.agg(F.max("salt")).collect()[0][0] <= 7
+
+
+def test_partial_resume_after_tf(spark, tmp_path_factory):
+    """Crash-after-tf resume: only tf committed, every later stage (stats,
+    docs-in-thread, segments, dictionary) rebuilds from the snapshot and
+    the result is identical to an uninterrupted build."""
+    pages = generate_web_pages(spark, 60, seed=7, partitions=2)
+    full_path = str(tmp_path_factory.mktemp("idx4") / "full")
+    idx_full = build_index(spark, pages, full_path, n_salts=4, block_size=32)
+
+    part_path = str(tmp_path_factory.mktemp("idx4") / "partial")
+    build_index(spark, pages, part_path, n_salts=4, block_size=32)
+    # simulate a crash that lost everything committed after tf
+    with open(os.path.join(part_path, "manifest.json")) as f:
+        m = json.load(f)
+    tf_committed_at = m["stages"]["tf"]["committed_at"]
+    for stage in ("docs", "stats", "segments", "dictionary"):
+        del m["stages"][stage]
+        import shutil
+
+        shutil.rmtree(os.path.join(part_path, stage))
+    with open(os.path.join(part_path, "manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    idx_resumed = build_index(spark, pages, part_path, n_salts=4, block_size=32)
+    m2 = idx_resumed.store.lineage()
+    # tf untouched, later stages rebuilt
+    assert m2["stages"]["tf"]["committed_at"] == tf_committed_at
+    assert set(m2["stages"]) == {"docs", "tf", "stats", "segments", "dictionary"}
+    # identical stats and identical query results
+    assert idx_resumed.n_docs == idx_full.n_docs
+    assert idx_resumed.avgdl == pytest.approx(idx_full.avgdl)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in wand_topk(idx_resumed, "voyage", k=5, with_url=False).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(idx_full, "voyage", k=5, with_url=False).collect()]
+    assert got == want
