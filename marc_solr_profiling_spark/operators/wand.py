@@ -65,7 +65,7 @@ B = 0.75
 def _salt_partitions(index) -> int:
     """Salt-repartition width for the scoring stage: ~4 tasks per core for
     load balance (a straggler then costs 1/4 of a wave, not a whole one),
-    capped at the salt count — with RANGE partitioning (see _by_salt) each
+    capped at the salt count — with the exact placement of _by_salt each
     partition owns a contiguous slice of salt values, so n_salts partitions
     is exact 1:1 and more would sit empty.
 
@@ -81,18 +81,59 @@ def _salt_partitions(index) -> int:
     return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
 
 
+# P -> probe keys (keys[p] hash-partitions into partition p). Murmur3 with
+# Spark's fixed seed is deterministic, so the memo is valid across sessions.
+_PROBE_KEYS: dict[int, list] = {}
+
+
+def _probe_keys(spark, n_parts: int) -> list:
+    """For each target partition p in [0, n_parts), a bigint key whose
+    Spark hash places it there: HashPartitioning's partition id is
+    pmod(murmur3(expr), n), the same murmur3 (seed 42) exposed as F.hash,
+    so one metadata-scale probe job predicts placement exactly."""
+    keys = _PROBE_KEYS.get(n_parts)
+    if keys is not None:
+        return keys
+    found: dict = {}
+    lo, width = 0, max(4096, 64 * n_parts)
+    while len(found) < n_parts:
+        rows = (
+            spark.range(lo, lo + width)
+            .select("id", F.pmod(F.hash("id"), F.lit(n_parts)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            found.setdefault(r["p"], int(r["id"]))
+        lo += width
+    keys = [found[p] for p in range(n_parts)]
+    _PROBE_KEYS[n_parts] = keys
+    return keys
+
+
 def _by_salt(matched: DataFrame, index) -> DataFrame:
     """Co-locate complete per-document contributions: every row of one salt
-    in exactly one partition.
+    in exactly one partition, with EXACT balance and no extra pass.
 
-    repartitionByRange, NOT hash: hashing S salt values into S partitions
-    packs 2-4 salts into some partitions while ~37% sit empty (birthday
-    effect) — a 3-salt partition is a 3x straggler when the wave count is
-    low. Range partitioning splits the (uniform) salt domain into
-    contiguous slices: ~1 salt per partition at full width, exact balance
-    at lower widths. Cost: the range sampler runs the child scan once more
-    — metadata-scale next to the Python scoring stage it feeds."""
-    return matched.repartitionByRange(_salt_partitions(index), "salt")
+    Plain hash repartitioning on salt packs 2-4 salts into some partitions
+    while ~37% sit empty (birthday effect) — a 3-salt partition is a 3x
+    straggler when the wave count is low. Range partitioning balances
+    exactly but its bound sampler executes the child plan once more (the
+    round-2a shape; it forced a persist of the matched blocks on every
+    batch call). Here the salt domain is KNOWN — uniform integers in
+    [0, n_salts) — so placement is computed, not sampled: salt s maps to
+    target partition s*P//n_salts (contiguous slices, exact balance), and
+    a literal array of probe keys (_probe_keys) turns that target into a
+    value Spark's hash partitioner provably routes there. Zero extra jobs
+    per query, one tiny memoized probe job per session per width."""
+    n_parts = _salt_partitions(index)
+    n_salts = max(1, int(getattr(index, "n_salts", 16)))
+    pkeys = _probe_keys(index.spark, n_parts)
+    salt_key = [pkeys[(s * n_parts) // n_salts] for s in range(n_salts)]
+    route = F.element_at(
+        F.lit(salt_key).cast("array<bigint>"),
+        (F.col("salt") + 1).cast("int"),
+    )
+    return matched.repartition(n_parts, route.alias("_salt_route"))
 
 
 def _analyze_query(query: str, chain: str) -> List[str]:
@@ -535,18 +576,9 @@ def wand_topk_batch(
     hit_df = spark.createDataFrame(
         [(t,) for t in idf_by_term], "term string"
     )
-    # persist: repartitionByRange's bound sampler executes the child plan
-    # once more — without the cache the segment scan + broadcast join run
-    # TWICE per batch (pure fixed overhead, the dominant term at small
-    # batch sizes; the matched set is blocks-for-the-batch-terms, bounded).
-    # Held one generation via _cache: released on the NEXT batch call (the
-    # returned plan is lazy, so the cache must outlive this call).
-    from . import _cache
-
-    _cache.begin("wand_batch")
-    matched = _cache.hold(
-        "wand_batch", index.segments.join(F.broadcast(hit_df), "term")
-    )
+    # no persist needed: _by_salt's computed placement has no sampler, so
+    # the segment scan + broadcast join execute exactly once per batch
+    matched = index.segments.join(F.broadcast(hit_df), "term")
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="qid int, doc_id long, score double"
     )
