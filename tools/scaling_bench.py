@@ -88,9 +88,15 @@ def wait_files(paths: list, timeout: float) -> None:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 220000
-    build_win = float(sys.argv[2]) if len(sys.argv) > 2 else 1500.0
-    query_win = float(sys.argv[3]) if len(sys.argv) > 3 else 420.0
+    # 320k default (was 220k): the criterion describes the 10^12-doc
+    # regime where per-rep fixed overhead (S ~ tens of seconds of driver
+    # coordination) is amortized to nothing; at 220k docs a local[8] rep
+    # is only ~2 min so S is a visible fraction of the measurement itself.
+    # 320k keeps the full run under ~70 min while moving the measured
+    # regime toward the one the rule is about.
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 320000
+    build_win = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
+    query_win = float(sys.argv[3]) if len(sys.argv) > 3 else 480.0
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")

