@@ -249,6 +249,153 @@ def tokenize_and_count(
     return docs.select(key_col, in_col).mapInPandas(kernel, schema=schema)
 
 
+def tokenize_and_count_packed(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chain: str = DEFAULT_CHAIN,
+    html_col: str | None = None,
+    positions: bool = False,
+) -> DataFrame:
+    """Fused analyze+count emitting ONE ROW PER DOCUMENT:
+
+        (key, doc_len, terms: array<string>, tfs: array<int>
+         [, pos: array<binary>])
+
+    with ``terms`` the doc's distinct terms (term-sorted within the doc)
+    and ``tfs``/``pos`` aligned. Same values as :func:`tokenize_and_count`
+    exploded — this is the build-path wire format: the per-posting row
+    form repeats the doc id, doc length and (for hot terms) the term
+    string once PER POSTING, so the exploded tf table shuffles ~3x the
+    bytes and ~200x the rows of the packed one. At the 10^12-doc design
+    point the (term,salt) segment shuffle is the build's only full-volume
+    exchange, so its byte count is the build's scarce resource; packing is
+    the map-side combine that protects it (a doc's postings all carry the
+    doc's salt, so per-SALT partitioning of packed rows preserves the
+    (term,salt) co-location the segment kernel needs).
+
+    Empty docs emit ``(key, 0, [], [])`` — no NULL sentinel needed; the
+    doc-side table derives from this output with no dedup shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.analyzer import ANALYZERS
+    from ..sources.html import extract_text_from_html
+
+    analyze = ANALYZERS[chain]
+    schema = f"{key_col} long, doc_len int, terms array<string>, tfs array<int>"
+    if positions:
+        schema += ", pos array<binary>"
+    in_col = html_col if html_col is not None else text_col
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if html_col is not None:
+                token_lists = [
+                    analyze(extract_text_from_html(h)) for h in pdf[in_col]
+                ]
+            else:
+                token_lists = [analyze(t) for t in pdf[in_col]]
+            n_rows = len(token_lists)
+            lens = np.fromiter(
+                (len(t) for t in token_lists), dtype=np.int64, count=n_rows
+            )
+            keys_all = pdf[key_col].to_numpy()
+            empty_s = np.empty(0, dtype=object)
+            empty_i = np.empty(0, dtype=np.int32)
+            out_terms: list = [empty_s] * n_rows
+            out_tfs: list = [empty_i] * n_rows
+            out_pos: list = [[]] * n_rows
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object)
+                     for t, ok in zip(token_lists, nz) if ok]
+                )
+                keys = np.repeat(keys_all[nz], lens[nz])
+                # same (doc, term) counting pass as tokenize_and_count:
+                # factorize + integer pair sort, runs = per-doc-term tf
+                codes, uniques = pd.factorize(flat)
+                kcodes, _ = pd.factorize(keys)
+                pair = kcodes.astype(np.int64) * len(uniques) + codes
+                order = np.argsort(pair, kind="stable")
+                ps = pair[order]
+                change = np.ones(ps.size, dtype=bool)
+                change[1:] = ps[1:] != ps[:-1]
+                starts = np.flatnonzero(change)
+                tf = np.diff(np.append(starts, ps.size)).astype(np.int32)
+                sel = order[starts]
+                terms_sorted = uniques[codes[sel]]
+                # doc boundaries among the (doc, term) runs: kcodes are
+                # first-appearance codes over np.repeat(keys_all[nz]), so
+                # run-groups come out in batch order of the nz docs
+                ksel = kcodes[sel]
+                dchange = np.ones(ksel.size, dtype=bool)
+                dchange[1:] = ksel[1:] != ksel[:-1]
+                dstarts = np.flatnonzero(dchange)
+                nz_rows = np.flatnonzero(nz)
+                term_splits = np.split(terms_sorted, dstarts[1:])
+                tf_splits = np.split(tf, dstarts[1:])
+                for j, row_i in enumerate(nz_rows):
+                    out_terms[row_i] = term_splits[j]
+                    out_tfs[row_i] = tf_splits[j]
+                if positions:
+                    from .varbyte import (delta_gaps_blocked,
+                                          varbyte_encode_sliced)
+
+                    doc_offs = np.repeat(
+                        np.concatenate(([0], np.cumsum(lens[nz])[:-1])),
+                        lens[nz],
+                    )
+                    pos_all = (
+                        np.arange(flat.size, dtype=np.int64) - doc_offs + 1
+                    )
+                    pos_sorted = pos_all[order].astype(np.uint64)
+                    ends = np.append(starts[1:], ps.size)
+                    gaps = delta_gaps_blocked(pos_sorted, starts)
+                    pos_bytes = varbyte_encode_sliced(gaps, starts, ends)
+                    bounds = dstarts[1:].tolist() + [ksel.size]
+                    lo = 0
+                    for j, row_i in enumerate(nz_rows):
+                        out_pos[row_i] = pos_bytes[lo:bounds[j]]
+                        lo = bounds[j]
+            data = {
+                key_col: keys_all,
+                "doc_len": lens.astype(np.int32),
+                "terms": out_terms,
+                "tfs": out_tfs,
+            }
+            if positions:
+                data["pos"] = out_pos
+            yield pd.DataFrame(data)
+
+    return docs.select(key_col, in_col).mapInPandas(kernel, schema=schema)
+
+
+def explode_packed_tf(packed: DataFrame,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Catalyst-side adapter: packed per-doc rows -> the per-posting row
+    form ``(term, key, doc_len, tf[, pos])``. Zero-token docs emit no
+    rows (posting consumers filtered the NULL sentinel anyway)."""
+    has_pos = "pos" in packed.columns
+    zipped = F.arrays_zip(
+        "terms", "tfs", *(["pos"] if has_pos else [])
+    )
+    e = packed.select(key_col, "doc_len", F.explode(zipped).alias("z"))
+    cols = [
+        F.col("z.terms").alias("term"),
+        F.col(key_col),
+        F.col("doc_len"),
+        F.col("z.tfs").alias("tf"),
+    ]
+    if has_pos:
+        cols.append(F.col("z.pos").alias("pos"))
+    return e.select(*cols)
+
+
 def doc_stats(docs_with_tokens: DataFrame, key_col: str = "url",
               tokens_col: str = "tokens") -> DataFrame:
     """(key, doc_len). Includes zero-length docs (empty text) — they count

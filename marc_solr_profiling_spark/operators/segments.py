@@ -68,6 +68,81 @@ SEGMENT_SCHEMA_POS = T.StructType(
 )
 
 
+def _blocks_from_arrays(
+    terms: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_arr,
+    avgdl: float,
+    block_size: int,
+    k1: float,
+    b: float,
+) -> dict:
+    """Partition-wide block construction from flat posting arrays (shared
+    by the exploded-row and packed-row kernels). Sorts (term, salt,
+    doc_id) on factorized int codes, finds group/block boundaries by
+    change-point detection, and computes gaps/varbyte/caps in single
+    vectorized passes — see build_segments for the full rationale."""
+    from .varbyte import delta_gaps_blocked, varbyte_encode_sliced
+
+    n = terms.shape[0]
+    with_pos = pos_arr is not None
+    codes, uniques = pd.factorize(terms)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[np.argsort(uniques, kind="stable")] = np.arange(len(uniques))
+    order = np.lexsort((doc_ids, salts, rank[codes]))
+    terms = terms[order]
+    salts = salts[order]
+    doc_ids = doc_ids[order]
+    tfs = tfs[order]
+    dls = dls[order]
+    if with_pos:
+        pos_arr = pos_arr[order]
+    wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    g_starts = np.flatnonzero(change)
+    g_ends = np.append(g_starts[1:], n)
+    sizes = g_ends - g_starts
+    nblk = -(-sizes // block_size)  # ceil
+    grp_of_blk = np.repeat(np.arange(g_starts.size), nblk)
+    blk_offsets = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+    block_id = np.arange(grp_of_blk.size) - blk_offsets[grp_of_blk]
+    b_starts = g_starts[grp_of_blk] + block_id * block_size
+    b_ends = np.minimum(b_starts + block_size, g_ends[grp_of_blk])
+
+    tf_cum = np.concatenate(([0.0], np.cumsum(tfs)))
+    tf_sum = (tf_cum[b_ends] - tf_cum[b_starts]).astype(np.int64)
+    gaps = delta_gaps_blocked(doc_ids, b_starts)
+    doc_gaps = varbyte_encode_sliced(gaps, b_starts, b_ends)
+    tf_bytes = varbyte_encode_sliced(tfs.astype(np.uint64), b_starts, b_ends)
+    dl_bytes = varbyte_encode_sliced(dls.astype(np.uint64), b_starts, b_ends)
+    max_w = np.maximum.reduceat(wnorm, b_starts)
+
+    out = {
+        "term": terms[b_starts],
+        "salt": salts[b_starts].astype(np.int32),
+        "block_id": block_id.astype(np.int32),
+        "n_postings": (b_ends - b_starts).astype(np.int32),
+        "first_doc": doc_ids[b_starts].astype(np.int64),
+        "last_doc": doc_ids[b_ends - 1].astype(np.int64),
+        "doc_gaps": doc_gaps,
+        "tfs": tf_bytes,
+        "dls": dl_bytes,
+        "max_wnorm": max_w,
+        "tf_sum": tf_sum,
+    }
+    if with_pos:
+        out["positions"] = [
+            b"".join(pos_arr[s:e])
+            for s, e in zip(b_starts.tolist(), b_ends.tolist())
+        ]
+    return out
+
+
 def build_segments(
     tf_with_dl: DataFrame,
     avgdl: float,
@@ -101,84 +176,31 @@ def build_segments(
         # sort happens below in numpy. Group boundaries are then numpy
         # change-point detection; block boundaries, delta gaps and varbyte
         # bytes are all computed partition-wide and sliced.
-        from .varbyte import delta_gaps_blocked, varbyte_encode_sliced
-
         lst = list(batches)
         if not lst:
             return
         pdf = pd.concat(lst, ignore_index=True)
-        n = len(pdf)
-        if n == 0:
+        if len(pdf) == 0:
             return
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
-        tfs = pdf["tf"].to_numpy().astype(np.float64)
-        dls = pdf["doc_len"].to_numpy().astype(np.float64)
-        pos_arr = pdf["pos"].to_numpy() if with_pos else None
-        # partition-wide (term, salt, doc_id) sort done HERE, not as a JVM
-        # sortWithinPartitions: factorize to int codes, rank the (small)
-        # distinct-term set lexicographically, then one integer lexsort —
-        # O(n) hashing + O(V log V) string sort + O(n log n) int sort beats
-        # Tungsten's per-row UTF8 comparisons, and the rows were crossing
-        # into this worker anyway. Output stays term-sorted, so parquet
-        # row-group min/max pruning on query terms is preserved.
-        codes, uniques = pd.factorize(terms)
-        rank = np.empty(len(uniques), dtype=np.int64)
-        rank[np.argsort(uniques, kind="stable")] = np.arange(len(uniques))
-        order = np.lexsort((doc_ids, salts, rank[codes]))
-        terms = terms[order]
-        salts = salts[order]
-        doc_ids = doc_ids[order]
-        tfs = tfs[order]
-        dls = dls[order]
-        if with_pos:
-            pos_arr = pos_arr[order]
-        wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        change = np.ones(n, dtype=bool)
-        if n > 1:
-            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        g_starts = np.flatnonzero(change)
-        g_ends = np.append(g_starts[1:], n)
-        # vectorized block layout: groups split into ceil(size/block_size)
-        # blocks; per-block group index + within-group block_id via repeat
-        sizes = g_ends - g_starts
-        nblk = -(-sizes // block_size)  # ceil
-        grp_of_blk = np.repeat(np.arange(g_starts.size), nblk)
-        blk_offsets = np.concatenate(([0], np.cumsum(nblk)[:-1]))
-        block_id = np.arange(grp_of_blk.size) - blk_offsets[grp_of_blk]
-        b_starts = g_starts[grp_of_blk] + block_id * block_size
-        b_ends = np.minimum(b_starts + block_size, g_ends[grp_of_blk])
-
-        tf_cum = np.concatenate(([0.0], np.cumsum(tfs)))
-        tf_sum = (tf_cum[b_ends] - tf_cum[b_starts]).astype(np.int64)
-        gaps = delta_gaps_blocked(doc_ids, b_starts)
-        doc_gaps = varbyte_encode_sliced(gaps, b_starts, b_ends)
-        tf_bytes = varbyte_encode_sliced(tfs.astype(np.uint64), b_starts, b_ends)
-        dl_bytes = varbyte_encode_sliced(dls.astype(np.uint64), b_starts, b_ends)
-        max_w = np.maximum.reduceat(wnorm, b_starts)
-
-        out = {
-            "term": terms[b_starts],
-            "salt": salts[b_starts].astype(np.int32),
-            "block_id": block_id.astype(np.int32),
-            "n_postings": (b_ends - b_starts).astype(np.int32),
-            "first_doc": doc_ids[b_starts].astype(np.int64),
-            "last_doc": doc_ids[b_ends - 1].astype(np.int64),
-            "doc_gaps": doc_gaps,
-            "tfs": tf_bytes,
-            "dls": dl_bytes,
-            "max_wnorm": max_w,
-            "tf_sum": tf_sum,
-        }
-        if with_pos:
-            # pure byte rearrangement: O(total payload) with one small
-            # join per block (no re-encode, no per-posting dispatch)
-            out["positions"] = [
-                b"".join(pos_arr[s:e])
-                for s, e in zip(b_starts.tolist(), b_ends.tolist())
-            ]
-        yield pd.DataFrame(out)
+        # partition-wide (term, salt, doc_id) sort happens inside
+        # _blocks_from_arrays, not as a JVM sortWithinPartitions:
+        # factorize to int codes, rank the (small) distinct-term set
+        # lexicographically, then one integer lexsort — O(n) hashing +
+        # O(V log V) string sort + O(n log n) int sort beats Tungsten's
+        # per-row UTF8 comparisons, and the rows were crossing into this
+        # worker anyway. Output stays term-sorted, so parquet row-group
+        # min/max pruning on query terms is preserved.
+        yield pd.DataFrame(
+            _blocks_from_arrays(
+                pdf["term"].to_numpy(),
+                pdf["salt"].to_numpy(),
+                pdf["doc_id"].to_numpy().astype(np.uint64),
+                pdf["tf"].to_numpy().astype(np.float64),
+                pdf["doc_len"].to_numpy().astype(np.float64),
+                pdf["pos"].to_numpy() if with_pos else None,
+                avgdl, block_size, k1, b,
+            )
+        )
 
     with_pos = "pos" in tf_with_dl.columns
     # drop zero-token sentinel rows emitted by the fused tokenize+count pass
@@ -193,6 +215,109 @@ def build_segments(
     arranged = salted.repartition("term", "salt")
     schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
     return arranged.mapInPandas(make_blocks, schema=schema)
+
+
+def build_segments_packed(
+    packed: DataFrame,
+    avgdl: float,
+    n_salts: int = 16,
+    block_size: int = 128,
+    key_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    range_buckets: int = 1,
+) -> DataFrame:
+    """Segment blocks from PACKED per-doc postings
+    (``tokenize_and_count_packed`` rows) — the scale path.
+
+    Shuffle shape: ONE repartition of per-doc rows by salt. A doc's
+    postings all carry ``salt = xxhash64(doc_id) % n_salts``, so routing
+    whole docs by salt preserves the invariant the kernel (and the query
+    scorer) needs — every (term, salt) group lands complete in exactly one
+    partition — while moving ~3x fewer bytes and ~2 orders of magnitude
+    fewer rows than the exploded (term, doc, tf) form: the doc id, doc
+    length and hot-term strings are never repeated per posting. Term skew
+    is gone entirely at the exchange: partitions hold equal doc shares
+    regardless of the term distribution (a stopword's postings spread
+    across all salts), so no AQE skew handling is ever needed here.
+
+    Salt -> partition placement is computed, not hashed or sampled
+    (operators/routing.py): exact balance, no birthday packing, no range
+    sampler re-executing the child plan.
+
+    ``range_buckets``: sub-split each salt by doc_id range (quantile
+    bounds, one tiny sample job) when a single salt's docs exceed one
+    task's memory budget — partition count becomes n_salts*range_buckets
+    and blocks of a (term, salt) group stay range-disjoint ACROSS buckets,
+    which is exactly the invariant the block-max query scorer relies on.
+    At the sandbox scales one bucket per salt suffices; at the 10^12-doc
+    point this is the knob that bounds kernel memory instead of n_salts
+    (which queries also key on).
+    """
+    from .routing import exact_route_expr
+
+    with_pos = "pos" in packed.columns
+    spark = packed.sparkSession
+
+    salted = packed.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)).cast("int")
+    )
+    route_key = F.col("salt")
+    n_keys = n_salts
+    if range_buckets > 1:
+        qs = [i / range_buckets for i in range(1, range_buckets)]
+        bounds = salted.stat.approxQuantile(key_col, qs, 0.001)
+        bexpr = F.lit(0)
+        for bound in bounds:
+            bexpr = bexpr + F.when(F.col(key_col) > bound, 1).otherwise(0)
+        route_key = F.col("salt") * range_buckets + bexpr
+        n_keys = n_salts * range_buckets
+    route = exact_route_expr(spark, route_key, n_keys, n_keys)
+    arranged = salted.repartition(n_keys, route.alias("_salt_route"))
+
+    def make_blocks_packed(batches) -> "pd.DataFrame":
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # numpy explode: repeat each doc's (id, salt, len) once per term
+        tlists = pdf["terms"].to_numpy()
+        nterms = np.fromiter(
+            (len(t) for t in tlists), dtype=np.int64, count=len(tlists)
+        )
+        nz = nterms > 0
+        if not nz.any():
+            return
+        terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t, ok in zip(tlists, nz) if ok]
+        )
+        tfs = np.concatenate(
+            [np.asarray(t) for t, ok in zip(pdf["tfs"].to_numpy(), nz) if ok]
+        ).astype(np.float64)
+        doc_ids = np.repeat(
+            pdf[key_col].to_numpy()[nz], nterms[nz]
+        ).astype(np.uint64)
+        salts = np.repeat(pdf["salt"].to_numpy()[nz], nterms[nz])
+        dls = np.repeat(
+            pdf["doc_len"].to_numpy()[nz], nterms[nz]
+        ).astype(np.float64)
+        pos_arr = None
+        if with_pos:
+            pos_arr = np.concatenate(
+                [np.asarray(p, dtype=object)
+                 for p, ok in zip(pdf["pos"].to_numpy(), nz) if ok]
+            )
+        yield pd.DataFrame(
+            _blocks_from_arrays(
+                terms, salts, doc_ids, tfs, dls, pos_arr,
+                avgdl, block_size, k1, b,
+            )
+        )
+
+    schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
+    return arranged.mapInPandas(make_blocks_packed, schema=schema)
 
 
 def decode_block_positions(

@@ -81,35 +81,6 @@ def _salt_partitions(index) -> int:
     return max(1, min(int(getattr(index, "n_salts", 16)), 4 * cores))
 
 
-# P -> probe keys (keys[p] hash-partitions into partition p). Murmur3 with
-# Spark's fixed seed is deterministic, so the memo is valid across sessions.
-_PROBE_KEYS: dict[int, list] = {}
-
-
-def _probe_keys(spark, n_parts: int) -> list:
-    """For each target partition p in [0, n_parts), a bigint key whose
-    Spark hash places it there: HashPartitioning's partition id is
-    pmod(murmur3(expr), n), the same murmur3 (seed 42) exposed as F.hash,
-    so one metadata-scale probe job predicts placement exactly."""
-    keys = _PROBE_KEYS.get(n_parts)
-    if keys is not None:
-        return keys
-    found: dict = {}
-    lo, width = 0, max(4096, 64 * n_parts)
-    while len(found) < n_parts:
-        rows = (
-            spark.range(lo, lo + width)
-            .select("id", F.pmod(F.hash("id"), F.lit(n_parts)).alias("p"))
-            .collect()
-        )
-        for r in rows:
-            found.setdefault(r["p"], int(r["id"]))
-        lo += width
-    keys = [found[p] for p in range(n_parts)]
-    _PROBE_KEYS[n_parts] = keys
-    return keys
-
-
 def _by_salt(matched: DataFrame, index) -> DataFrame:
     """Co-locate complete per-document contributions: every row of one salt
     in exactly one partition, with EXACT balance and no extra pass.
@@ -119,20 +90,15 @@ def _by_salt(matched: DataFrame, index) -> DataFrame:
     straggler when the wave count is low. Range partitioning balances
     exactly but its bound sampler executes the child plan once more (the
     round-2a shape; it forced a persist of the matched blocks on every
-    batch call). Here the salt domain is KNOWN — uniform integers in
-    [0, n_salts) — so placement is computed, not sampled: salt s maps to
-    target partition s*P//n_salts (contiguous slices, exact balance), and
-    a literal array of probe keys (_probe_keys) turns that target into a
-    value Spark's hash partitioner provably routes there. Zero extra jobs
-    per query, one tiny memoized probe job per session per width."""
+    batch call). The salt domain is KNOWN — uniform integers in
+    [0, n_salts) — so placement is computed, not sampled (see
+    operators/routing.py). Zero extra jobs per query, one tiny memoized
+    probe job per session per width."""
+    from .routing import exact_route_expr
+
     n_parts = _salt_partitions(index)
     n_salts = max(1, int(getattr(index, "n_salts", 16)))
-    pkeys = _probe_keys(index.spark, n_parts)
-    salt_key = [pkeys[(s * n_parts) // n_salts] for s in range(n_salts)]
-    route = F.element_at(
-        F.lit(salt_key).cast("array<bigint>"),
-        (F.col("salt") + 1).cast("int"),
-    )
+    route = exact_route_expr(index.spark, F.col("salt"), n_salts, n_parts)
     return matched.repartition(n_parts, route.alias("_salt_route"))
 
 

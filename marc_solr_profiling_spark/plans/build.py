@@ -17,8 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZERS
-from ..operators.postings import tokenize_and_count, with_tokens
-from ..operators.segments import build_segments
+from ..operators.postings import (
+    explode_packed_tf,
+    tokenize_and_count,
+    tokenize_and_count_packed,
+    with_tokens,
+)
+from ..operators.segments import build_segments, build_segments_packed
 from .lineage import IndexStore, config_fingerprint
 
 
@@ -136,7 +141,13 @@ def build_index(
 
     Stages (each a committed snapshot; a re-run skips completed ones):
       docs        (doc_id, url, doc_len)
-      tf          (term, doc_id, tf, doc_len)
+      tf          PACKED per-doc postings:
+                  (doc_id, doc_len, terms array, tfs array[, pos array])
+                  — one row per document; the exploded (term, doc, tf)
+                  row form repeats the doc id/length and hot-term strings
+                  once PER POSTING, so packing cuts the tf stage and the
+                  segment shuffle to ~1/3 of the bytes and ~1/200 of the
+                  rows (use ``explode_packed_tf`` for a row view)
       stats       (n_docs, avgdl, total_tokens)  [1 row]
       dictionary  (term, df, cf)
       segments    (term, salt, block_id, ..., doc_gaps, tfs, max_wnorm)
@@ -155,7 +166,7 @@ def build_index(
                 "key_col": key_col,
                 "id_col": id_col,
                 "positions": positions,
-                "version": 2,
+                "version": 3,  # v3: packed per-doc tf stage
             }
         )
     )
@@ -183,11 +194,12 @@ def build_index(
         # (doc_id, text) here — never carry html payloads into the Python
         # worker (RawRecordReader's project-then-parse discipline,
         # SURVEY.md §4). Tokenize + per-doc tf counting are FUSED into one
-        # mapInPandas pass (tokenize_and_count): token arrays never cross
-        # the Arrow boundary, and the pass is shuffle-free — the only real
-        # shuffle of the whole build is the salted (term, salt)
-        # repartition inside build_segments.
-        tf = tokenize_and_count(
+        # mapInPandas pass and PACKED per doc: token arrays never cross
+        # the Arrow boundary, per-posting rows never exist on the wire,
+        # and the pass is shuffle-free — the only real shuffle of the
+        # whole build is the salted repartition inside
+        # build_segments_packed.
+        tf = tokenize_and_count_packed(
             with_ids, key_col="doc_id", text_col=text_col, chain=chain,
             html_col=html_col, positions=positions,
         )
@@ -196,21 +208,16 @@ def build_index(
     tf = store.read_stage(spark, "tf")
 
     if not store.stage_complete("stats"):
-        # stats straight off the committed tf snapshot — NOT via the docs
-        # stage: total_tokens = sum(tf) (one pruned-column scan, scalar
-        # partial agg, no shuffle) and n_docs = one tf row per (term, doc)
-        # + a zero-token sentinel per empty doc, so counting first-posting
-        # rows... is a distinct — instead the INPUT row count (parquet
-        # metadata count, no data read). Decoupling stats from docs lets
-        # the segments stage start right after tf, and the docs commit run
-        # CONCURRENTLY with it (thread below) — the round-1 chain
-        # tf -> docs -> stats -> segments serialized ~5-17 s of small-stage
+        # stats straight off the committed tf snapshot: n_docs is the tf
+        # stage's manifest row count (one packed row per doc — zero jobs),
+        # total_tokens = sum(doc_len) (one pruned-column scan over n_docs
+        # ints, scalar partial agg, no shuffle). Decoupling stats from
+        # docs lets the segments stage start right after tf, and the docs
+        # commit run CONCURRENTLY with it (thread below) — a serial chain
+        # tf -> docs -> stats -> segments would pay ~5-17 s of small-stage
         # wall per build that a multi-job scheduler absorbs for free.
-        if with_ids is not None:
-            n_docs_val = with_ids.count()
-        else:
-            n_docs_val = docs.count()
-        total_tokens = tf.agg(F.sum("tf")).collect()[0][0] or 0
+        n_docs_val = int(store.lineage()["stages"]["tf"]["rows"])
+        total_tokens = tf.agg(F.sum("doc_len")).collect()[0][0] or 0
         avgdl_val = (float(total_tokens) / n_docs_val) if n_docs_val else 0.0
         stats = spark.createDataFrame(
             [(int(n_docs_val), avgdl_val, int(total_tokens))],
@@ -223,12 +230,11 @@ def build_index(
     if need_docs:
         def _commit_docs() -> None:
             try:
-                # derived from the committed tf snapshot (compact rows),
-                # joined back to the (pruned) key column of the input — no
+                # derived from the committed tf snapshot — one packed row
+                # per doc, so (doc_id, doc_len) needs NO dedup shuffle —
+                # joined back to the (pruned) key column of the input; no
                 # re-tokenization
-                doc_lens = tf.select("doc_id", "doc_len").dropDuplicates(
-                    ["doc_id"]
-                )
+                doc_lens = tf.select("doc_id", "doc_len")
                 if key_col != "doc_id":
                     doc_tbl = doc_lens.join(
                         with_ids.select("doc_id", key_col), "doc_id"
@@ -250,11 +256,8 @@ def build_index(
 
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
-        seg_cols = ["term", "doc_id", "tf", "doc_len"] + (
-            ["pos"] if positions else []
-        )
-        segs = build_segments(
-            tf.select(*seg_cols),
+        segs = build_segments_packed(
+            tf,
             avgdl=avgdl,
             n_salts=n_salts,
             block_size=block_size,
@@ -317,7 +320,7 @@ def incremental_update(
 
     ``delta_docs`` rows REPLACE base docs with the same id (upsert).
     """
-    old_tf = index.store.read_stage(spark, "tf")
+    old_tf = index.store.read_stage(spark, "tf")  # packed per-doc rows
     old_docs = index.store.read_stage(spark, "docs")
     # positional base index -> the delta must carry positions too, and the
     # merged segments keep the .pos payloads
@@ -343,15 +346,15 @@ def incremental_update(
         with_ids = delta_docs.withColumn("doc_id", F.col(id_col).cast("long"))
         doc_keys = [c for c in old_docs.columns if c != "doc_len"]
         with_ids = with_ids.select(*dict.fromkeys(doc_keys + [text_col]))
-        # fused analyze+count for the delta (same pass as the full build);
-        # persist: it feeds both the doc-side derivation and the tf union
-        delta_tf = tokenize_and_count(
+        # fused analyze+count for the delta (same packed pass as the full
+        # build); persist: it feeds both the doc-side derivation and the
+        # tf union
+        delta_tf = tokenize_and_count_packed(
             with_ids, key_col="doc_id", text_col=text_col, chain=index.chain,
             positions=positions,
         ).persist()
-        delta_doc_lens = delta_tf.select("doc_id", "doc_len").dropDuplicates(
-            ["doc_id"]
-        )
+        # packed rows are one per doc already — no dedup shuffle
+        delta_doc_lens = delta_tf.select("doc_id", "doc_len")
         if doc_keys != ["doc_id"]:
             delta_doc_lens = delta_doc_lens.join(
                 with_ids.select(*doc_keys), "doc_id"
@@ -371,7 +374,7 @@ def incremental_update(
                 "n_salts": n_salts,
                 "block_size": block_size,
                 "positions": positions,
-                "version": 2,
+                "version": 3,  # v3: packed per-doc tf stage
             }
         )
     )
@@ -402,12 +405,8 @@ def incremental_update(
         )
     if not store.stage_complete("segments"):
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
-        seg_cols = ["term", "doc_id", "tf", "doc_len"] + (
-            ["pos"] if positions else []
-        )
-        segs = build_segments(
-            tf.select(*seg_cols),
-            avgdl=avgdl, n_salts=n_salts, block_size=block_size,
+        segs = build_segments_packed(
+            tf, avgdl=avgdl, n_salts=n_salts, block_size=block_size,
         )
         store.commit_stage("segments", segs)
     if not store.stage_complete("dictionary"):
