@@ -71,6 +71,20 @@ def assign_doc_ids(docs: DataFrame, key_col: str = "url",
     return out
 
 
+def _resolve_range_buckets(range_buckets: int | str, spark: SparkSession,
+                           n_salts: int, n_docs: int) -> int:
+    """``"auto"``: enough doc-range buckets per salt that the segment
+    stage has >= defaultParallelism partitions — but only on corpora big
+    enough (>= 64k docs) that the extra quantile-bounds job is noise;
+    tiny builds keep one bucket per salt and skip it entirely."""
+    if range_buckets != "auto":
+        return max(1, int(range_buckets))
+    if n_docs < 64_000:
+        return 1
+    p = spark.sparkContext.defaultParallelism
+    return max(1, -(-p // n_salts))
+
+
 class InvertedIndex:
     """Handle to a built physical index (paths + cached stats)."""
 
@@ -126,6 +140,7 @@ def build_index(
     id_col: str | None = None,
     html_col: str | None = None,
     positions: bool = False,
+    range_buckets: int | str = "auto",
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
 
@@ -155,6 +170,12 @@ def build_index(
     ``id_col``: pass the name of an existing unique numeric column to use
     it as doc_id directly (skips the assignment sort); otherwise dense ids
     are assigned in ``key_col`` order.
+
+    ``range_buckets``: sub-split each salt by doc-id range in the segment
+    shuffle (see ``build_segments_packed``). ``"auto"`` sizes it so the
+    segment stage has at least ``defaultParallelism`` partitions on
+    non-trivial corpora (>= 64k docs; tiny builds skip the quantile job
+    and run one bucket per salt).
     """
     store = IndexStore(path)
     store.set_fingerprint(
@@ -261,6 +282,10 @@ def build_index(
             avgdl=avgdl,
             n_salts=n_salts,
             block_size=block_size,
+            range_buckets=_resolve_range_buckets(
+                range_buckets, spark, n_salts,
+                int(store.lineage()["stages"]["tf"]["rows"]),
+            ),
         )
         # make_blocks emits rows already sorted by (term, salt, block) —
         # parquet row-group min/max on term therefore prunes query-term
@@ -302,6 +327,7 @@ def incremental_update(
     id_col: str = "doc_id",
     n_salts: int = 16,
     block_size: int = 128,
+    range_buckets: int | str = "auto",
 ) -> InvertedIndex:
     """Apply a delta (new/updated docs + deletes) to a built index, producing
     a NEW index snapshot at ``out_path`` — the Spark restatement of the
@@ -407,6 +433,10 @@ def incremental_update(
         avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
         segs = build_segments_packed(
             tf, avgdl=avgdl, n_salts=n_salts, block_size=block_size,
+            range_buckets=_resolve_range_buckets(
+                range_buckets, spark, n_salts,
+                int(store.lineage()["stages"]["tf"]["rows"]),
+            ),
         )
         store.commit_stage("segments", segs)
     if not store.stage_complete("dictionary"):
