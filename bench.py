@@ -42,6 +42,7 @@ HEADLINE = [
     "bm25_phrase_topk",
     "bm25_phrase_phys_topk",
     "bm25_dismax_topk",
+    "bm25_dismax_phys_topk",
     "search_facet_lang",
     "lsh_candidates",
     "lsh_jaccard",

@@ -182,6 +182,7 @@ def bm25_dismax_topk_plan(
     b: float = B,
     tie: float = 0.1,
     round_to: int = 4,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Edismax dismax scoring over multiple fields — the reference's actual
     query handler (``solrconfig.xml:64-83``: edismax with ``qf`` per-field
@@ -262,9 +263,16 @@ def bm25_dismax_topk_plan(
             .alias("ds"),
         )
     )
+    # edismax mm over BASE terms: a term matched in any field counts once
+    # (the per_term rows are already one per (doc, base term))
+    scored = per_term.groupBy(key_col).agg(
+        F.round(F.sum("ds"), round_to).alias("score"),
+        F.count("*").alias("_n_matched"),
+    )
+    if min_match is not None:
+        scored = scored.filter(F.col("_n_matched") >= int(min_match))
     return (
-        per_term.groupBy(key_col)
-        .agg(F.round(F.sum("ds"), round_to).alias("score"))
+        scored.select(key_col, "score")
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(int(k))
     )

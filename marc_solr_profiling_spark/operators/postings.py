@@ -375,6 +375,133 @@ def tokenize_and_count_packed(
     return docs.select(key_col, in_col).mapInPandas(kernel, schema=schema)
 
 
+def _pack_token_lists(token_lists, keys_all, prefix: str | None = None):
+    """Per-doc (distinct term, tf) packing shared by the single- and
+    multi-field packed kernels: factorize + integer pair sort + run-length
+    counting (see ``tokenize_and_count_packed`` for the rationale).
+
+    ``prefix``: prepended to every DISTINCT term (once per batch-unique
+    term, not per token) — the multi-field build uses it to fold the field
+    name into the term key so the downstream segment/dictionary machinery
+    stays field-agnostic.
+
+    Returns ``(lens int64[n], out_terms list[ndarray], out_tfs
+    list[ndarray])`` aligned with the input rows (empty docs get empty
+    arrays)."""
+    import numpy as np
+    import pandas as pd
+
+    n_rows = len(token_lists)
+    lens = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=n_rows
+    )
+    empty_s = np.empty(0, dtype=object)
+    empty_i = np.empty(0, dtype=np.int32)
+    out_terms: list = [empty_s] * n_rows
+    out_tfs: list = [empty_i] * n_rows
+    nz = lens > 0
+    if nz.any():
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object)
+             for t, ok in zip(token_lists, nz) if ok]
+        )
+        keys = np.repeat(np.asarray(keys_all)[nz], lens[nz])
+        codes, uniques = pd.factorize(flat)
+        if prefix is not None:
+            uniques = np.asarray(
+                [prefix + u for u in uniques], dtype=object
+            )
+        kcodes, _ = pd.factorize(keys)
+        pair = kcodes.astype(np.int64) * len(uniques) + codes
+        order = np.argsort(pair, kind="stable")
+        ps = pair[order]
+        change = np.ones(ps.size, dtype=bool)
+        change[1:] = ps[1:] != ps[:-1]
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, ps.size)).astype(np.int32)
+        sel = order[starts]
+        terms_sorted = uniques[codes[sel]]
+        ksel = kcodes[sel]
+        dchange = np.ones(ksel.size, dtype=bool)
+        dchange[1:] = ksel[1:] != ksel[:-1]
+        dstarts = np.flatnonzero(dchange)
+        nz_rows = np.flatnonzero(nz)
+        term_splits = np.split(terms_sorted, dstarts[1:])
+        tf_splits = np.split(tf, dstarts[1:])
+        for j, row_i in enumerate(nz_rows):
+            out_terms[row_i] = term_splits[j]
+            out_tfs[row_i] = tf_splits[j]
+    return lens, out_terms, out_tfs
+
+
+def tokenize_and_count_packed_fields(
+    docs: DataFrame,
+    fields,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chain: str = DEFAULT_CHAIN,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Multi-field fused analyze+count: ONE ROW PER (DOCUMENT, FIELD):
+
+        (key, field, doc_len, terms: array<string>, tfs: array<int>)
+
+    with every term key prefixed ``field + sep`` — the Lucene-style
+    field-scoped term dictionary (a ``title:spark`` posting list is a
+    different list than ``body:spark``), expressed as a key prefix so the
+    packed segment build / dictionary / block-max query machinery stays
+    exactly the single-field code.
+
+    ``fields``: sequence of ``(name, token_limit)`` — each field is the
+    analyzed token stream of ``text_col``, optionally truncated to its
+    first ``token_limit`` tokens (``None`` = all). One analyzer pass per
+    document serves every field (the reference's copyField pattern:
+    schema.xml copies one source into several differently-searched
+    fields without re-tokenizing the source per field).
+
+    EVERY doc emits a row for EVERY field (empty docs too, doc_len=0) —
+    per-field collection stats (n_docs, avgdl) derive from this output
+    with no second scan, matching Lucene's per-field norms.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.analyzer import ANALYZERS
+
+    analyze = ANALYZERS[chain]
+    field_list = [(str(n), lim) for n, lim in fields]
+    schema = (
+        f"{key_col} long, field string, doc_len int,"
+        " terms array<string>, tfs array<int>"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            token_lists = [analyze(t) for t in pdf[text_col]]
+            keys_all = pdf[key_col].to_numpy()
+            frames = []
+            for fname, limit in field_list:
+                flists = (
+                    token_lists if limit is None
+                    else [t[:limit] for t in token_lists]
+                )
+                lens, out_terms, out_tfs = _pack_token_lists(
+                    flists, keys_all, prefix=fname + sep
+                )
+                frames.append(pd.DataFrame({
+                    key_col: keys_all,
+                    "field": fname,
+                    "doc_len": lens.astype(np.int32),
+                    "terms": out_terms,
+                    "tfs": out_tfs,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return docs.select(key_col, text_col).mapInPandas(kernel, schema=schema)
+
+
 def explode_packed_tf(packed: DataFrame,
                       key_col: str = "doc_id") -> DataFrame:
     """Catalyst-side adapter: packed per-doc rows -> the per-posting row

@@ -75,7 +75,7 @@ def _blocks_from_arrays(
     tfs: np.ndarray,
     dls: np.ndarray,
     pos_arr,
-    avgdl: float,
+    avgdl,
     block_size: int,
     k1: float,
     b: float,
@@ -100,6 +100,10 @@ def _blocks_from_arrays(
     dls = dls[order]
     if with_pos:
         pos_arr = pos_arr[order]
+    if isinstance(avgdl, np.ndarray):
+        # per-posting avgdl (multi-field build: each field has its own
+        # collection average, like Lucene's per-field norms)
+        avgdl = avgdl[order]
     wnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     change = np.ones(n, dtype=bool)
     if n > 1:
@@ -226,6 +230,7 @@ def build_segments_packed(
     k1: float = K1,
     b: float = B,
     range_buckets: int = 1,
+    avgdl_col: str | None = None,
 ) -> DataFrame:
     """Segment blocks from PACKED per-doc postings
     (``tokenize_and_count_packed`` rows) — the scale path.
@@ -253,6 +258,11 @@ def build_segments_packed(
     At the sandbox scales one bucket per salt suffices; at the 10^12-doc
     point this is the knob that bounds kernel memory instead of n_salts
     (which queries also key on).
+
+    ``avgdl_col``: name of a per-row avgdl column (multi-field build —
+    each packed row is one (doc, field) and carries ITS field's
+    collection average); when given, the scalar ``avgdl`` is ignored and
+    block-max norms are computed with the per-field value.
     """
     from .routing import exact_route_expr
 
@@ -309,10 +319,15 @@ def build_segments_packed(
                 [np.asarray(p, dtype=object)
                  for p, ok in zip(pdf["pos"].to_numpy(), nz) if ok]
             )
+        avg = avgdl
+        if avgdl_col is not None:
+            avg = np.repeat(
+                pdf[avgdl_col].to_numpy()[nz], nterms[nz]
+            ).astype(np.float64)
         yield pd.DataFrame(
             _blocks_from_arrays(
                 terms, salts, doc_ids, tfs, dls, pos_arr,
-                avgdl, block_size, k1, b,
+                avg, block_size, k1, b,
             )
         )
 

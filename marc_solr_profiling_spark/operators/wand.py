@@ -169,6 +169,11 @@ def _score_blocks_bmw(
     avgdl: float,
     min_match: int = 1,
     theta0: float = -math.inf,
+    group_of: dict[str, int] | None = None,
+    n_groups: int = 0,
+    tie: float = 0.0,
+    avgdl_by_term: dict[str, float] | None = None,
+    round_to: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Score ONE SALT's matched blocks with block-max pruning.
 
@@ -179,12 +184,39 @@ def _score_blocks_bmw(
     from previously scored salts (pruning stays exact: theta only ever
     UNDERSTATES the final k-th score).
 
+    DISMAX mode (``group_of`` given): term keys are field-scoped
+    (``field<sep>term``); ``group_of`` maps each key to its base query
+    term. Per (doc, base term) the combine is DisjunctionMaxQuery's
+    ``max + tie * (sum - max)`` over the per-field scores (boosts are
+    folded into ``idf_by_term``), and the doc total sums the per-term
+    dismaxes. The block-max UB machinery is UNCHANGED and stays exact:
+    the additive sum over keys bounds the dismax combine whenever
+    ``tie <= 1`` (dismax = (1-tie)*max + tie*sum <= sum), and a partial
+    observation only understates both max and sum, so phase-1 thetas
+    remain lower bounds. ``min_match`` counts distinct BASE terms.
+
+    ``avgdl_by_term``: per-key collection average (multi-field indexes
+    have per-field avgdl); keys absent fall back to the scalar.
+
+    ``round_to``: rank by half-up-rounded scores (the oracle contract for
+    tie-heavy dismax results). Pruning thresholds are slackened by one
+    rounding grid step (eps = 10^-round_to): a doc can displace the raw
+    k-th in ROUNDED order only if its raw score is within half a step, so
+    every survivor's blocks keep UB >= theta - eps and stay decoded.
+    ``theta`` is tracked on RAW scores throughout (never overstated by
+    round-up).
+
     Returns (doc_ids, scores) of the salt's top-k among docs matching at
     least ``min_match`` distinct query terms, the number of blocks skipped
     without decoding, and the updated theta.
     """
     uniq_terms = pd.unique(pdf["term"])
     n_terms = len(uniq_terms)
+    eps = 0.0 if round_to is None else 10.0 ** (-round_to)
+    grp_arr = (
+        None if group_of is None
+        else np.asarray([group_of[t] for t in uniq_terms], dtype=np.int64)
+    )
 
     # per-term block tables, blocks sorted by first_doc (disjoint ascending
     # within a (term, salt) group by construction — segments.py)
@@ -231,6 +263,13 @@ def _score_blocks_bmw(
     n_blocks = ub_all.size
 
     idf_arr = np.asarray([idf_by_term[t] for t in uniq_terms])
+    avgdl_arr = (
+        np.full(n_terms, avgdl)
+        if avgdl_by_term is None
+        else np.asarray(
+            [avgdl_by_term.get(t, avgdl) for t in uniq_terms]
+        )
+    )
 
     ids_parts: list[np.ndarray] = []
     w_parts: list[np.ndarray] = []
@@ -243,7 +282,7 @@ def _score_blocks_bmw(
         tfs = varbyte_decode(d["tfs"][j]).astype(np.float64)
         dls = varbyte_decode(d["dls"][j]).astype(np.float64)
         w = idf_arr[ti] * tfs * (K1 + 1.0) / (
-            tfs + K1 * (1.0 - B + B * dls / avgdl)
+            tfs + K1 * (1.0 - B + B * dls / avgdl_arr[ti])
         )
         ids_parts.append(ids)
         w_parts.append(w)
@@ -256,9 +295,30 @@ def _score_blocks_bmw(
         all_ids = np.concatenate(ids_parts)
         all_w = np.concatenate(w_parts)
         uniq, inv = np.unique(all_ids, return_inverse=True)
+        if grp_arr is None:
+            totals = np.zeros(uniq.size)
+            np.add.at(totals, inv, all_w)
+            counts = np.bincount(inv, minlength=uniq.size)
+            return uniq, totals, counts
+        # dismax: two-level accumulate — per (doc, base term) max+sum
+        # over field-scoped keys, combine, then sum per doc
+        all_g = np.concatenate(
+            [np.full(p.size, grp_arr[ti], dtype=np.int64)
+             for p, ti in zip(ids_parts, t_parts)]
+        )
+        gkey = inv.astype(np.int64) * n_groups + all_g
+        ukey, kinv = np.unique(gkey, return_inverse=True)
+        mx = np.full(ukey.size, -np.inf)
+        np.maximum.at(mx, kinv, all_w)
+        sm = np.zeros(ukey.size)
+        np.add.at(sm, kinv, all_w)
+        ds = mx + tie * (sm - mx)
+        docpos = ukey // n_groups
         totals = np.zeros(uniq.size)
-        np.add.at(totals, inv, all_w)
-        counts = np.bincount(inv, minlength=uniq.size)
+        np.add.at(totals, docpos, ds)
+        # distinct base terms per doc (a term matched in several fields
+        # counts once — edismax mm semantics)
+        counts = np.bincount(docpos, minlength=uniq.size)
         return uniq, totals, counts
 
     # phase 1: decode in UB order until k qualifying docs, derive theta
@@ -268,7 +328,7 @@ def _score_blocks_bmw(
     n_seen = 0
     while i < n_blocks:
         # stop early if every remaining block is already below theta0
-        if ub_all[i] < theta:
+        if ub_all[i] < theta - eps:
             break
         while i < n_blocks and n_seen < target:
             decode(i)
@@ -295,7 +355,7 @@ def _score_blocks_bmw(
     if math.isfinite(theta):
         asc = np.argsort(term_max, kind="stable")
         cum = np.cumsum(term_max[asc])
-        non_ess = {int(x) for x in asc[cum < theta]}
+        non_ess = {int(x) for x in asc[cum < theta - eps]}
 
     # phase 2: skip every remaining block whose UB can't reach theta
     # (strict <: a block whose UB EQUALS theta may hold a tied doc whose
@@ -304,7 +364,7 @@ def _score_blocks_bmw(
     n_skipped = 0
     pending: list[int] = []
     for bi in range(i, n_blocks):
-        if ub_all[bi] < theta:
+        if ub_all[bi] < theta - eps:
             n_skipped += 1
         elif int(ref_all[bi, 0]) in non_ess:
             pending.append(bi)
@@ -334,11 +394,18 @@ def _score_blocks_bmw(
         return e.astype(np.int64), e, n_skipped, theta
     m = counts >= min_match
     uniq, totals = uniq[m], totals[m]
-    sel = _topk_exact(uniq, totals, k)
-    top_ids, top_scores = uniq[sel], totals[sel]
-    if top_scores.size >= k:
-        theta = max(theta, top_scores[k - 1])
-    return top_ids, top_scores, n_skipped, theta
+    # theta tracks RAW scores (a rounded k-th could overstate by up to
+    # half a grid step and turn the eps slack unsound)
+    if totals.size >= k:
+        theta = max(
+            theta, np.partition(totals, totals.size - k)[totals.size - k]
+        )
+    ranked = totals
+    if round_to is not None:
+        scale = 10.0 ** round_to
+        ranked = np.floor(totals * scale + 0.5) / scale
+    sel = _topk_exact(uniq, ranked, k)
+    return uniq[sel], ranked[sel], n_skipped, theta
 
 
 def wand_topk(
@@ -419,6 +486,106 @@ def wand_topk(
     return topk
 
 
+
+
+def dismax_topk(
+    index,
+    query: str,
+    qf: dict[str, float],
+    tie: float = 0.1,
+    k: int = 10,
+    min_match: int = 1,
+    round_to: int | None = None,
+    with_url: bool = False,
+    skip_acc=None,
+) -> DataFrame:
+    """Edismax multi-field top-k over a MULTI-FIELD physical index
+    (plans/multifield.py) — the reference's actual default handler shape
+    (``solrconfig.xml:64-83``: edismax ``qf`` per-field boosts + ``tie``):
+
+        score(d) = sum over query terms t of
+                     max_f(s_f) + tie * (sum_f(s_f) - max_f(s_f))
+        s_f      = boost_f * BM25_f(t, d)   [per-field df, avgdl, norms]
+
+    Execution is the SAME salted block-max mapInPandas scorer as
+    :func:`wand_topk` — field-scoped term keys are just more terms to the
+    block machinery; the dismax combine replaces the additive accumulate
+    (see ``_score_blocks_bmw`` dismax mode), and pruning stays exact
+    because the additive UB bounds the dismax total for ``tie <= 1``.
+
+    ``qf``: {field_name: boost}. ``min_match`` counts distinct BASE query
+    terms (a term matched only in the title still counts once).
+    ``round_to``: rank by rounded scores (oracle tie contract) with
+    eps-slackened pruning.
+    """
+    if not 0.0 <= float(tie) <= 1.0:
+        raise ValueError("tie must be in [0, 1] (dismax UB needs it)")
+    spark = index.spark
+    sep = getattr(index, "sep", "\x1f")
+    qterms = _analyze_query(query, index.chain)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qterms:
+        return empty
+    keys = [f + sep + t for f in qf for t in qterms]
+    drows = index.cached_dictionary().filter(
+        F.col("term").isin(keys)
+    ).collect()
+    if not drows:
+        return empty
+    group_of: dict[str, int] = {}
+    idf_by_term: dict[str, float] = {}
+    avgdl_by_term: dict[str, float] = {}
+    for r in drows:
+        key = r["term"]
+        fld, _, base = key.partition(sep)
+        n_docs_f, avgdl_f = index.field_stats[fld]
+        # boost folds into the per-key weight: caps (idf*max_wnorm) then
+        # bound the BOOSTED field score, keeping the UB machinery exact
+        idf_by_term[key] = float(qf[fld]) * bm25_idf(n_docs_f, int(r["df"]))
+        avgdl_by_term[key] = avgdl_f
+        group_of[key] = qterms.index(base)
+    kk = int(k)
+    mm = int(min_match)
+    n_groups = len(qterms)
+    tie_f = float(tie)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        theta = -math.inf
+        id_parts, score_parts = [], []
+        n_skipped = 0
+        for _, sub in pdf.groupby("salt", sort=False):
+            ids, scores, nsk, theta = _score_blocks_bmw(
+                sub, idf_by_term, kk, 0.0, min_match=mm, theta0=theta,
+                group_of=group_of, n_groups=n_groups, tie=tie_f,
+                avgdl_by_term=avgdl_by_term, round_to=round_to,
+            )
+            id_parts.append(ids)
+            score_parts.append(scores)
+            n_skipped += nsk
+        if skip_acc is not None:
+            skip_acc.add(int(n_skipped))
+        all_ids = np.concatenate(id_parts)
+        all_scores = np.concatenate(score_parts)
+        sel = _topk_exact(all_ids, all_scores, kk)
+        yield pd.DataFrame(
+            {"doc_id": all_ids[sel], "score": all_scores[sel]}
+        )
+
+    matched = index.segments.filter(F.col("term").isin(keys))
+    candidates = _by_salt(matched, index).mapInPandas(
+        score, schema="doc_id long, score double"
+    )
+    topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
+    if with_url:
+        topk = topk.join(index.docs.select("doc_id", "url"), "doc_id", "left")
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk
 
 
 def wand_topk_batch(

@@ -549,6 +549,34 @@ def q_bm25_phrase_slop_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_dismax_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edismax multi-field dismax through the PHYSICAL index (VERDICT r2
+    item 1): field-prefixed term keys over the salted varbyte segments
+    (plans/multifield.py — per-field df/avgdl/norms, the Lucene field-
+    scoped dictionary) scored by the block-max WAND kernel with the
+    DisjunctionMaxQuery ``max + tie*rest`` combine. Same DuckDB twin as
+    the scan-side dismax — proving the physical multi-field path is
+    value-identical."""
+    import hashlib
+
+    from .operators.wand import dismax_topk
+    from .plans.multifield import build_multifield_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_multifield_index(
+        spark, docs, _scratch(f"msps_mfidx_{tag}"),
+        fields=[("title", 8), ("body", None)],
+        key_col="doc_id", id_col="doc_id", text_col="text",
+        chain="simple", n_salts=8, block_size=64,
+    )
+    out = dismax_topk(
+        idx, FLAGSHIP_QUERY, qf={"title": 2.0, "body": 1.0},
+        tie=0.1, k=10, round_to=4,
+    )
+    return out.select("doc_id", "score")
+
+
 def q_booklist_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Booklist side-input enrich (BooklistReader.java:24-60): point-lookup
     left join of a small derived booklist onto the doc table, adding the
@@ -1335,6 +1363,10 @@ FROM c GROUP BY 1
 """,
 }
 
+# the physical multi-field dismax answers the SAME query as the scan-side
+# plan — one oracle proves both paths value-identical
+ORACLE_SQL["bm25_dismax_phys_topk"] = ORACLE_SQL["bm25_dismax_topk"]
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -1351,6 +1383,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_phys_topk": q_bm25_phrase_phys_topk,
     "bm25_phrase_slop_topk": q_bm25_phrase_slop_topk,
     "bm25_dismax_topk": q_bm25_dismax_topk,
+    "bm25_dismax_phys_topk": q_bm25_dismax_phys_topk,
     "bm25_phrase_slop_phys_topk": q_bm25_phrase_slop_phys_topk,
     "search_facet_lang": q_search_facet_lang,
     "lsh_candidates": q_lsh_candidates,
