@@ -163,63 +163,88 @@ def phrase_topk(
                     break
             if cand is None or cand.size == 0:
                 continue
-            # adjacency verification per candidate doc: chained
-            # intersect(S + 1, pos(t)) over the phrase's term sequence
+            # adjacency verification, vectorized across ALL candidates at
+            # once: each candidate's positions are shifted into a private
+            # range (candidate_index * stride, stride > max position +
+            # window), so one global sorted array per term carries every
+            # candidate's positions and the chained adjacency / ordered-
+            # chain DP runs as ONE numpy pass per phrase term instead of a
+            # per-candidate Python loop (the r2 100x-scale liability).
+            # Cross-candidate leakage is impossible: a chain that crosses
+            # a stride boundary fails the <= window check by construction.
+            window = len(seq_terms) - 1 + slop
+            n_cand = cand.size
             lookup = {}
+            seg: dict[str, np.ndarray] = {}
+            max_pos = 0
             for t, (ids, tfs, dls, flat, starts) in decoded.items():
                 idx = np.searchsorted(ids, cand)
-                lookup[t] = (idx, tfs, dls, flat, starts)
-            keep = np.zeros(cand.size, dtype=bool)
-            window = len(seq_terms) - 1 + slop
-            for ci in range(cand.size):
-                t0 = seq_terms[0]
-                idx, tfs, _, flat, starts = lookup[t0]
-                j = idx[ci]
-                s = flat[starts[j]: starts[j] + tfs[j]]
-                if slop == 0:
-                    # exact adjacency: chained intersect(S + 1, pos(t))
-                    ok = True
-                    for t in seq_terms[1:]:
-                        idx, tfs, _, flat, starts = lookup[t]
-                        j = idx[ci]
-                        nxt = flat[starts[j]: starts[j] + tfs[j]]
-                        s = np.intersect1d(s + 1, nxt, assume_unique=True)
-                        if s.size == 0:
-                            ok = False
-                            break
-                    keep[ci] = ok
-                    continue
-                # sloppy: ordered-chain DP — for each position q of term
-                # j, carry the MAXIMAL chain start reachable (prefix-max
-                # over predecessors p < q); match iff some final q has
-                # q - start <= window
-                cur_pos, cur_start = s, s
-                ok = cur_pos.size > 0
+                lookup[t] = (idx, tfs, dls)
+                lens = tfs[idx].astype(np.int64)
+                tot = int(lens.sum())
+                csum = np.concatenate(([0], np.cumsum(lens)))
+                intra = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(csum[:-1], lens)
+                )
+                p = flat[np.repeat(starts[idx], lens) + intra]
+                if p.size:
+                    max_pos = max(max_pos, int(p.max()))
+                seg[t] = (np.repeat(
+                    np.arange(n_cand, dtype=np.int64), lens
+                ), p)
+            stride = np.int64(max_pos + window + 2)
+
+            def gpos(t: str) -> np.ndarray:
+                doc_of, p = seg[t]
+                # ascending: candidates ascend, positions ascend per doc
+                return doc_of * stride + p
+
+            if slop == 0:
+                # exact adjacency: chained intersect(S + 1, pos(t));
+                # offsets keep docs disjoint (p + 1 < stride always)
+                s = gpos(seq_terms[0])
                 for t in seq_terms[1:]:
-                    idx, tfs, _, flat, starts = lookup[t]
-                    j = idx[ci]
-                    q = flat[starts[j]: starts[j] + tfs[j]]
+                    if s.size == 0:
+                        break
+                    s = np.intersect1d(s + 1, gpos(t), assume_unique=True)
+                matched_ci = (
+                    np.unique(s // stride) if s.size
+                    else np.empty(0, dtype=np.int64)
+                )
+            else:
+                # sloppy ordered-chain DP: for each position q of the next
+                # term, carry the MAXIMAL chain start among predecessors
+                # p < q (global prefix-max is safe: an earlier candidate's
+                # start is strictly smaller than any own-candidate start,
+                # so it can win only when the candidate has no own
+                # predecessor — and then q - start >= stride > window
+                # fails the final check)
+                cur_pos = gpos(seq_terms[0])
+                cur_start = cur_pos
+                for t in seq_terms[1:]:
+                    if cur_pos.size == 0:
+                        break
+                    q = gpos(t)
                     prefmax = np.maximum.accumulate(cur_start)
                     kk_ = np.searchsorted(cur_pos, q, side="left") - 1
                     valid = kk_ >= 0
                     q = q[valid]
-                    if q.size == 0:
-                        ok = False
-                        break
                     cur_start = prefmax[kk_[valid]]
                     cur_pos = q
-                keep[ci] = ok and bool(
-                    np.any(cur_pos - cur_start <= window)
-                )
-            matched = cand[keep]
-            if matched.size == 0:
+                if cur_pos.size:
+                    good = (cur_pos - cur_start) <= window
+                    matched_ci = np.unique(cur_pos[good] // stride)
+                else:
+                    matched_ci = np.empty(0, dtype=np.int64)
+            if matched_ci.size == 0:
                 continue
+            matched = cand[matched_ci]
             # BM25 over distinct terms, corpus-wide stats
             totals = np.zeros(matched.size)
-            sel = np.flatnonzero(keep)
             for t in uniq_terms:
-                idx, tfs, dls, _, _ = lookup[t]
-                j = idx[sel]
+                idx, tfs, dls = lookup[t]
+                j = idx[matched_ci]
                 tf = tfs[j].astype(np.float64)
                 dl = dls[j]
                 totals += (
