@@ -124,7 +124,11 @@ def phrase_match_expr(
     if slop < 0:
         raise ValueError("slop must be >= 0")
     for t in phrase_terms:
-        if not t.replace("'", "").isalnum():
+        # strict: terms are interpolated into single-quoted SQL literals,
+        # so anything beyond alphanumerics (apostrophes included) is
+        # rejected rather than escaped — every analyzer chain here emits
+        # alnum-only tokens, so a non-alnum "term" is a caller bug
+        if not t.isalnum():
             raise ValueError(f"phrase term {t!r} not analyzer-clean")
     if slop == 0:
         conds = " AND ".join(

@@ -262,8 +262,10 @@ def tokenize_and_count_packed(
         (key, doc_len, terms: array<string>, tfs: array<int>
          [, pos: array<binary>])
 
-    with ``terms`` the doc's distinct terms (term-sorted within the doc)
-    and ``tfs``/``pos`` aligned. Same values as :func:`tokenize_and_count`
+    with ``terms`` the doc's distinct terms (within-doc order is
+    UNSPECIFIED — batch-wide first-appearance factorize codes, not
+    lexicographic; consumers must not binary-search a row's terms) and
+    ``tfs``/``pos`` aligned. Same values as :func:`tokenize_and_count`
     exploded — this is the build-path wire format: the per-posting row
     form repeats the doc id, doc length and (for hot terms) the term
     string once PER POSTING, so the exploded tf table shuffles ~3x the

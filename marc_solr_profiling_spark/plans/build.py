@@ -275,29 +275,35 @@ def build_index(
         docs_thread = threading.Thread(target=_commit_docs, name="docs-commit")
         docs_thread.start()
 
-    if not store.stage_complete("segments"):
-        avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
-        segs = build_segments_packed(
-            tf,
-            avgdl=avgdl,
-            n_salts=n_salts,
-            block_size=block_size,
-            range_buckets=_resolve_range_buckets(
-                range_buckets, spark, n_salts,
-                int(store.lineage()["stages"]["tf"]["rows"]),
-            ),
-        )
-        # make_blocks emits rows already sorted by (term, salt, block) —
-        # parquet row-group min/max on term therefore prunes query-term
-        # scans (the Iceberg sort-order analog) with NO extra shuffle: a
-        # repartitionByRange here would re-run the whole segment build just
-        # to sample range bounds.
-        store.commit_stage("segments", segs)
-
-    if docs_thread is not None:
-        docs_thread.join()
-        if docs_err:
-            raise docs_err[0]
+    try:
+        if not store.stage_complete("segments"):
+            avgdl = float(
+                store.read_stage(spark, "stats").collect()[0]["avgdl"]
+            )
+            segs = build_segments_packed(
+                tf,
+                avgdl=avgdl,
+                n_salts=n_salts,
+                block_size=block_size,
+                range_buckets=_resolve_range_buckets(
+                    range_buckets, spark, n_salts,
+                    int(store.lineage()["stages"]["tf"]["rows"]),
+                ),
+            )
+            # make_blocks emits rows already sorted by (term, salt, block)
+            # — parquet row-group min/max on term therefore prunes
+            # query-term scans (the Iceberg sort-order analog) with NO
+            # extra shuffle: a repartitionByRange here would re-run the
+            # whole segment build just to sample range bounds.
+            store.commit_stage("segments", segs)
+    finally:
+        # join even when the segments commit raises: otherwise the
+        # non-daemon docs thread keeps writing to a failed build's store
+        # and its own error would go unreported
+        if docs_thread is not None:
+            docs_thread.join()
+    if docs_err:
+        raise docs_err[0]
 
     for cached in persisted:
         cached.unpersist()

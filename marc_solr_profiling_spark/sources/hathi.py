@@ -139,8 +139,12 @@ def make_856_fields(datafields: List[DataField]) -> List[DataField]:
         ident = _first_subfield(df, "u")
         if ident is None:
             continue
-        label = _first_subfield(df, "z") or ""
-        sortlabel = label if label else ident
+        label = _first_subfield(df, "z")
+        # the reference keys its TreeMap on the label whenever $z is
+        # PRESENT — even empty (labelField != null check); only an absent
+        # $z falls back to the identifier
+        sortlabel = label if label is not None else ident
+        label = label or ""
         by_label[sortlabel] = (HANDLE_PREFIX + ident.strip(), rights, label)
     out = list(datafields)
     for sortlabel in sorted(by_label, key=natural_sort_key):

@@ -85,6 +85,23 @@ def test_make_856_full_view_only_natural_order():
     assert "z" not in dict(links[0][3])
 
 
+def test_make_856_empty_z_keys_on_label_not_ident():
+    # $z present-but-empty keys the sort map on the (empty) LABEL, like
+    # the reference's labelField != null check: two empty-label items
+    # collapse keep-LAST, and the empty key sorts before any ident key
+    items = [
+        ("974", " ", " ", [("u", "mdp.first"), ("r", "pd"), ("z", "")]),
+        ("974", " ", " ", [("u", "mdp.second"), ("r", "pd"), ("z", "")]),
+        ("974", " ", " ", [("u", "mdp.plain"), ("r", "pd")]),
+    ]
+    out = make_856_fields(items)
+    links = [f for f in out if f[0] == "856"]
+    assert [dict(f[3])["u"] for f in links] == [
+        HANDLE_PREFIX + "mdp.second",  # empty label key, last wins
+        HANDLE_PREFIX + "mdp.plain",   # no $z at all -> ident key
+    ]
+
+
 def test_parse_hathi_json_end_to_end():
     latin = ("245", "1", "0", [("6", "01"), ("a", "Title")])
     vern = ("245", "1", "0", [("6", "01"), ("a", "Заглавие")])
