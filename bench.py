@@ -50,6 +50,7 @@ HEADLINE = [
     "simhash_neardup",
     "knn_ivf",
     "year_facet",
+    "format_mixin_facet",
 ]
 
 

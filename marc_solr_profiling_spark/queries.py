@@ -678,6 +678,102 @@ def q_format_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_format_mixin_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFormatMixin content+media taxonomy facet (GetFormatMixin.java:
+    210-2078, incl. hasFullText :2023): leader/008/007/502/020/856 derived
+    deterministically from md5(doc_id), run through the ported mixin
+    expressions (functions/getformat.py), each doc's TYPE SET exploded and
+    facet-counted. The DuckDB twin re-derives the membership set as an
+    independent UNION-of-CASE-branches tree — a true semantic oracle for
+    the content/media/online combine."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    h1, h2, h3, h4, h5, h6 = [F.substring(h, i, 1) for i in range(1, 7)]
+    # family -> leader 06/07 (books, serial, computers, maps, visual,
+    # music, type-without-profile, nothing-at-all)
+    b06 = (
+        F.when(h1 < "4", "a").when(h1 < "6", "a").when(h1 < "8", "m")
+        .when(h1 < "a", "e").when(h1 < "c", "g").when(h1 == "c", "j")
+        .when(h1 == "d", "n").otherwise("h")
+    )
+    b07 = F.when((h1 >= "4") & (h1 < "6"), "s").otherwise("m")
+    # refinement char: per-profile first/second/unknown
+    rc = (
+        F.when(h2 < "6",
+               F.when(h1 < "6", "n").when(h1 < "8", "g")
+               .when(h1 < "a", "e").otherwise("v"))
+        .when(h2 < "b",
+              F.when(h1 < "6", "p").when(h1 < "8", "j")
+              .when(h1 < "a", "d").otherwise("w"))
+        .otherwise("z")
+    )
+    # one 008 with rc at every profile's refinement byte (21/25/26/33):
+    # only the profile-selected byte is read
+    f008 = F.concat(
+        F.lit(" " * 21), rc, F.lit(" " * 3), rc, rc, F.lit(" " * 6),
+        rc, F.lit(" " * 6),
+    )
+    f007 = (
+        F.when(h3 < "4", F.array(F.lit("sd f")))
+        .when(h3 < "8", F.array(F.lit("vd cv")))
+        .when(h3 < "c", F.array(F.lit("cr |")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    has_502 = h4 == "0"
+    has_020 = h5 < "8"
+    f856s = F.when(
+        h6 < "8",
+        F.array(F.struct(
+            F.lit("0").alias("ind2"),
+            F.lit("http://example.org/full").alias("url"),
+            F.lit(None).cast("string").alias("note"),
+        )),
+    ).otherwise(
+        F.array().cast("array<struct<ind2:string,url:string,note:string>>")
+    )
+    derived = docs.select(
+        "doc_id",
+        F.concat(F.lit("00000 "), b06, b07, F.lit(" " * 16)).alias("leader"),
+        f008.alias("f008"),
+        F.lit(None).cast("array<string>").alias("f006s"),
+        f007.alias("f007s"),
+        has_502.alias("has_502"),
+        has_020.alias("has_020"),
+        f856s.alias("f856s"),
+    )
+    # staged selects: each mixin expression is aliased ONCE per stage —
+    # Catalyst's CollapseProject keeps non-cheap aliases referenced more
+    # than once un-inlined, so the combine below doesn't multiply the
+    # (large) content/media when-trees the way a single nested Column
+    # expression would (measured: ~50s of plan build/analysis collapsed
+    # to sub-second)
+    from .functions.getformat import (
+        add_online_types_expr, content_types_expr, has_full_text_expr,
+        media_types_expr,
+    )
+
+    staged = derived.select(
+        content_types_expr(
+            has_502="has_502", has_020="has_020"
+        ).alias("_content"),
+        media_types_expr().alias("_media"),
+        has_full_text_expr("f856s").alias("_online"),
+    ).select(
+        F.array_distinct(
+            F.concat(F.col("_content"), F.col("_media"))
+        ).alias("_types"),
+        "_online",
+    ).select(
+        add_online_types_expr(F.col("_types"), F.col("_online"))
+        .alias("_final")
+    )
+    types = staged.select(F.explode("_final").alias("type"))
+    return (
+        types.groupBy("type").agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("type"))
+    )
+
+
 def q_pub_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pub-date logic surface (PublicationUtils.java:44-834): noisy 008
     date1 strings derived deterministically from doc_id (dddd / dddu /
@@ -1367,6 +1463,73 @@ FROM c GROUP BY 1
 # plan — one oracle proves both paths value-identical
 ORACLE_SQL["bm25_dismax_phys_topk"] = ORACLE_SQL["bm25_dismax_topk"]
 
+# GetFormatMixin facet: the DuckDB twin re-derives each doc's TYPE SET
+# from the same md5 chars as an independent UNION-of-branches tree
+# (content CASE incl. thesis suppression + empty fallbacks, media list,
+# online/EBook additions), deduped per doc, then counted
+ORACLE_SQL["format_mixin_facet"] = """
+WITH c AS (
+  SELECT doc_id,
+         substr(md5(doc_id::VARCHAR), 1, 1) AS h1,
+         substr(md5(doc_id::VARCHAR), 2, 1) AS h2,
+         substr(md5(doc_id::VARCHAR), 3, 1) AS h3,
+         substr(md5(doc_id::VARCHAR), 4, 1) AS h4,
+         substr(md5(doc_id::VARCHAR), 5, 1) AS h5,
+         substr(md5(doc_id::VARCHAR), 6, 1) AS h6
+  FROM documents
+), base AS (
+  SELECT doc_id, h1, h3,
+         (h4 = '0') AS thesis,
+         (h5 < '8') AS has020,
+         (h6 < '8') AS online,
+         CASE WHEN h2 < '6' THEN 1 WHEN h2 < 'b' THEN 2 ELSE 3 END AS rci
+  FROM c
+), content AS (
+  SELECT doc_id, CASE
+    WHEN h1 < '4' THEN 'Book'
+    WHEN h1 < '6' THEN CASE rci WHEN 1 THEN 'Newspaper'
+                                WHEN 2 THEN 'Periodical'
+                                ELSE 'Serial' END
+    WHEN h1 < '8' THEN CASE rci WHEN 1 THEN 'ComputerGame'
+                                WHEN 2 THEN 'ComputerOnlineSystem'
+                                ELSE 'ComputerFile' END
+    WHEN h1 < 'a' THEN CASE rci WHEN 1 THEN 'Atlas'
+                                WHEN 2 THEN 'Globe'
+                                ELSE 'Map' END
+    WHEN h1 < 'c' THEN CASE rci WHEN 1 THEN 'Video'
+                                WHEN 2 THEN 'Toy'
+                                ELSE 'ProjectedMedium' END
+    WHEN h1 = 'c' THEN 'MusicRecording'
+    WHEN h1 = 'd' THEN CASE WHEN thesis THEN NULL
+                            WHEN has020 THEN 'Book'
+                            ELSE 'SpecialInstructionalMaterial' END
+    ELSE CASE WHEN thesis THEN NULL
+              WHEN has020 THEN 'Book' ELSE NULL END
+  END AS type FROM base
+), allrows AS (
+  SELECT DISTINCT doc_id, type FROM (
+    SELECT doc_id, type FROM content WHERE type IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'Thesis' FROM base WHERE thesis
+    UNION ALL
+    SELECT doc_id, unnest(
+      CASE WHEN h3 < '4' THEN ['SoundDisc', 'SoundDiscCD']
+           WHEN h3 < '8' THEN ['VideoDVD']
+           WHEN h3 < 'c' THEN ['Online']
+           ELSE [] END) AS type
+    FROM base
+    UNION ALL
+    SELECT doc_id, 'Online' FROM base WHERE online
+    UNION ALL
+    SELECT b.doc_id, 'EBook'
+    FROM base b JOIN content t ON b.doc_id = t.doc_id
+    WHERE b.online AND t.type = 'Book'
+  )
+)
+SELECT type, COUNT(*) AS count FROM allrows
+GROUP BY type ORDER BY count DESC, type ASC
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -1408,6 +1571,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "merge_upsert": q_merge_upsert,
     "format_facet": q_format_facet,
+    "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
     "booklist_enrich": q_booklist_enrich,

@@ -92,6 +92,20 @@ def get_spark(
         ))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # every explode() in this engine generates from a COMPUTED array
+        # (tokenizer output, mixin type sets), never a scan column with
+        # stats. InferFiltersFromGenerate copies the generator's whole
+        # expression into an inferred isnotnull/size filter, which predicate
+        # pushdown then substitutes through the projects — for the big
+        # decision-tree expressions (functions/getformat.py) that turned a
+        # 1.8 s facet into 45 s of scan-rule traversal over a duplicated
+        # megabyte-scale predicate. The inferred filter can't reach parquet
+        # stats here anyway, so it's pure optimizer overhead.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
