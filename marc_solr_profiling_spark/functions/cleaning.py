@@ -54,6 +54,19 @@ def clean_data_udf() -> Column:
     return _clean
 
 
+def clean_array_udf() -> Column:
+    """cleanData over every element of an array<string> column (the shape
+    getAllSubfields needs: one cleaned value per field instance)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _clean(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda arr: [clean_data(v) for v in arr], na_action="ignore"
+        )
+
+    return _clean
+
+
 # ---------------------------------------------------------------------------
 # Year extraction — DateUtils.getYearFromString (DateUtils.java:46-115)
 # pattern families: 'dddd', 'ddd?', 'dd--', '[dddd]', 'i.e. dddd'

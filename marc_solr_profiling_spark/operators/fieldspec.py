@@ -228,6 +228,83 @@ def field_list_expr(spec: str,
     )
 
 
+# every code a MARC subfield can carry: the regex universe for
+# getAllSubfields subfield patterns is this finite alphabet
+_CODE_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+)
+
+
+def codes_matching_regex(pattern: str) -> list[str]:
+    """Evaluate an arbitrary subfield-code regex against the single-char
+    code alphabet. The reference compiles the spec's code part as a full
+    Java regex and `matches()` it per code (MarcUtils.java:541-585); since
+    codes are single characters, the whole regex collapses driver-side to
+    a literal membership set — the executor plan stays a pure `isin`."""
+    pat = re.compile(pattern if pattern else ".")
+    return [c for c in _CODE_ALPHABET if pat.fullmatch(c)]
+
+
+def all_subfields_expr(
+    field_spec: str,
+    separator: str | None = " ",
+    datafields: str = "datafields",
+    clean: bool = True,
+) -> Column:
+    """``getAllSubfields(record, fieldSpec, separator)``
+    (MarcUtils.java:541-585): one value per matching field instance — the
+    concatenation of subfields whose code fully matches the piece's regex
+    (arbitrary pattern: char class, alternation, negation; empty = all) —
+    cleaned and set-deduplicated in first-occurrence order.
+
+    The subfield regex is pre-collapsed to a code set (see
+    :func:`codes_matching_regex`), so the executor-side plan is
+    filter/transform/array_join whole-stage codegen; only the terminal
+    cleanData fixpoint leaves the JVM (Arrow-batched, one call per row).
+    """
+    sep = separator if separator is not None else " "
+
+    def _piece_values(tag: str, codes: list[str]) -> Column:
+        # single-param lambdas only: a 2-arg lambda would be read by
+        # F.filter/F.transform as the (element, index) form
+        matching = F.filter(F.col(datafields), lambda f: f["tag"] == tag)
+        vals = F.transform(
+            matching,
+            lambda f: F.array_join(
+                F.transform(
+                    F.filter(
+                        f["subfields"],
+                        lambda s: s["code"].isin(codes) & s["value"].isNotNull(),
+                    ),
+                    lambda s: F.trim(s["value"]),
+                ),
+                sep,
+            ),
+        )
+        return F.filter(vals, lambda v: v != "")
+
+    pieces = []
+    for piece in field_spec.split(":"):
+        piece = piece.strip()
+        if len(piece) < 3:
+            continue  # reference logs invalid tag and skips
+        pieces.append(
+            _piece_values(piece[:3], codes_matching_regex(piece[3:]))
+        )
+    if not pieces:
+        return F.array().cast(T.ArrayType(T.StringType()))
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = F.concat(merged, p)
+    if clean:
+        from marc_solr_profiling_spark.functions.cleaning import clean_array_udf
+
+        merged = clean_array_udf()(merged)
+    return F.array_distinct(merged)
+
+
 def all_alpha_subfields_expr(tag: str, mode: str = "all",
                              datafields: str = "datafields") -> Column:
     """``getAllAlphaSubfields`` (MarcUtils.java:881-918, 938-967): only

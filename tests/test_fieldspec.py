@@ -298,3 +298,82 @@ def test_music_collection_gate(spark):
     got = [r["c"] for r in df.select(
         music_collection_expr("fmt", "callnums").alias("c")).collect()]
     assert got == ["music", "music", "music", None, None, None]
+
+
+# --- getAllSubfields with full subfield-code regexes -----------------------
+# (MarcUtils.java:541-585: the code part of each spec piece is an arbitrary
+# regex fully matched against the one-char code)
+
+
+def test_all_subfields_plain_codes(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    # a single code is a valid one-char regex
+    assert _one(marc_df, all_subfields_expr("245a")) == ["The title"]
+    # reference quirk preserved: "ab" is a TWO-char regex that can never
+    # fully match a one-char code, so it selects nothing — multi-code
+    # specs must use bracket syntax (MarcUtils.java:583 matches())
+    assert _one(marc_df, all_subfields_expr("245ab")) == []
+    assert _one(marc_df, all_subfields_expr("245[ab]")) == [
+        "The title a subtitle"
+    ]
+
+
+def test_all_subfields_char_class(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    # bracket pattern with ranges and exception
+    assert _one(marc_df, all_subfields_expr("245[a-c]")) == [
+        "The title a subtitle by Someone"
+    ]
+    assert _one(marc_df, all_subfields_expr("650[^x]")) == ["Cats", "Dogs"]
+
+
+def test_all_subfields_alternation(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    assert _one(marc_df, all_subfields_expr("245(a|c)")) == [
+        "The title by Someone"
+    ]
+    # alternation without parens
+    assert _one(marc_df, all_subfields_expr("650a|x")) == [
+        "Cats History",
+        "Dogs",
+    ]
+
+
+def test_all_subfields_empty_spec_means_all(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    assert _one(marc_df, all_subfields_expr("650")) == ["Cats History", "Dogs"]
+
+
+def test_all_subfields_separator_and_clean(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    assert _one(marc_df, all_subfields_expr("245[ab]", separator="--")) == [
+        "The title--a subtitle"
+    ]
+    # trailing-punct subfield value is cleaned (Utils.cleanData applied to
+    # each per-field value)
+    assert _one(marc_df, all_subfields_expr("100a")) == ["Author, Ann"]
+
+
+def test_all_subfields_multi_piece_set_dedup(marc_df):
+    from marc_solr_profiling_spark.operators.fieldspec import all_subfields_expr
+
+    # duplicate pieces collapse via LinkedHashSet semantics
+    assert _one(marc_df, all_subfields_expr("650a:650a")) == ["Cats", "Dogs"]
+
+
+def test_codes_matching_regex():
+    from marc_solr_profiling_spark.operators.fieldspec import (
+        codes_matching_regex,
+    )
+
+    assert codes_matching_regex("[a-c]") == ["a", "b", "c"]
+    assert codes_matching_regex("a|z") == ["a", "z"]
+    assert "x" not in codes_matching_regex("[^x0-9]")
+    assert len(codes_matching_regex("")) == len(
+        codes_matching_regex(".")
+    )
