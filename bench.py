@@ -38,6 +38,7 @@ HEADLINE = [
     "facet_event_type",
     "bm25_and_topk",
     "bm25_stopword_topk",
+    "bm25_synonym_topk",
     "bm25_and_phys_topk",
     "bm25_phrase_topk",
     "bm25_phrase_phys_topk",

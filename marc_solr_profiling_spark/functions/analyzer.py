@@ -172,6 +172,115 @@ ANALYZERS: dict[str, Callable[[str | None], List[str]]] = {
     "simple": analyze_simple,
 }
 
+
+# --------------------------------------------------------------------------
+# Stopword + synonym filter chains (test/solr/conf/schema.xml:171-207:
+# text_general / text_en field types). The index chain applies the stop
+# filter only; the query chain additionally expands synonyms — the one
+# index/query asymmetry in the reference's analyzer definitions.
+# --------------------------------------------------------------------------
+
+
+def parse_synonyms(lines: Iterable[str]) -> dict:
+    """Parse Solr ``synonyms.txt`` lines into token -> expansion tuple.
+
+    Two forms (SynonymFilterFactory, expand=true):
+      * ``a, b, c``  — every member maps to the whole group;
+      * ``a => b, c`` — the left side maps to the right side only (the
+        left token itself is replaced).
+    Comments (#) and blanks ignored; matching is on the already-analyzed
+    lowercase token.
+    """
+    table: dict[str, tuple] = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            targets = tuple(t.strip().lower() for t in rhs.split(",") if t.strip())
+            for src in lhs.split(","):
+                src = src.strip().lower()
+                if src:
+                    table[src] = targets
+        else:
+            group = tuple(t.strip().lower() for t in line.split(",") if t.strip())
+            for src in group:
+                table[src] = group
+    return table
+
+
+def stop_filter_pos(
+    tokens: List[str], stopwords: frozenset
+) -> List[tuple]:
+    """StopFilter with enablePositionIncrements=true: drop stopword
+    tokens but keep the position gaps they leave, so downstream phrase
+    matching sees ``"war of the worlds"`` as war@0 worlds@3."""
+    return [(t, i) for i, t in enumerate(tokens) if t not in stopwords]
+
+
+class SolrTextChain:
+    """A configurable stop/synonym chain over one of the base analyzers.
+
+    Mirrors the reference's ``text_general`` (stop before synonyms on the
+    query side) and ``text_en`` (synonyms before stop) orderings via
+    ``synonyms_before_stop``. Synonyms apply to the QUERY chain only, as
+    in the schema; the index chain is tokenizer + stop filter.
+    """
+
+    def __init__(
+        self,
+        base: str = "simple",
+        stopwords: Iterable[str] = (),
+        synonyms: dict | Iterable[str] | None = None,
+        synonyms_before_stop: bool = False,
+    ):
+        self.base_name = base
+        self.base = ANALYZERS[base]
+        self.stopwords = frozenset(w.lower() for w in stopwords)
+        if synonyms is None:
+            self.synonyms: dict = {}
+        elif isinstance(synonyms, dict):
+            self.synonyms = synonyms
+        else:
+            self.synonyms = parse_synonyms(synonyms)
+        self.synonyms_before_stop = synonyms_before_stop
+
+    # -- index side --------------------------------------------------------
+
+    def index_tokens(self, s: str | None) -> List[str]:
+        return [t for t in self.base(s) if t not in self.stopwords]
+
+    def index_tokens_pos(self, s: str | None) -> List[tuple]:
+        return stop_filter_pos(self.base(s), self.stopwords)
+
+    # -- query side --------------------------------------------------------
+
+    def query_groups(self, s: str | None) -> List[List[str]]:
+        """Analyzed query as one OR-group per surviving position: a token
+        with synonyms becomes the ordered member list (Lucene
+        SynonymQuery shape), others a singleton."""
+        tokens = self.base(s)
+        if self.synonyms_before_stop:
+            expanded = [list(self.synonyms.get(t, (t,))) for t in tokens]
+            return [
+                grp
+                for grp in expanded
+                if not all(m in self.stopwords for m in grp)
+            ]
+        return [
+            list(self.synonyms.get(t, (t,)))
+            for t in tokens
+            if t not in self.stopwords
+        ]
+
+
+def stop_filter_expr(tokens_col, stopwords: Iterable[str]):
+    """JVM-side stop filter over an array<string> tokens column — the
+    index-chain stop stage stays in whole-stage codegen."""
+    stop_list = sorted({w.lower() for w in stopwords})
+    return F.filter(tokens_col, lambda t: ~t.isin(stop_list))
+
 # --------------------------------------------------------------------------
 # Spark surface: Arrow-batched pandas UDFs + native-expression variants
 # --------------------------------------------------------------------------

@@ -379,6 +379,88 @@ def bm25_topk_sql_plan(
     )
 
 
+def bm25_synonym_topk_plan(
+    docs: DataFrame,
+    query: str,
+    chain,
+    key_col: str = "doc_id",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 top-k through a stopword + synonym analyzer chain
+    (``SolrTextChain``): the index side is tokenizer + stop filter; the
+    query side additionally expands synonyms — the index/query asymmetry
+    of the reference's text_general/text_en field types
+    (test/solr/conf/schema.xml:171-207).
+
+    Each query position becomes an OR-group (Lucene SynonymQuery shape):
+    group tf = sum of member tfs, group df = docs containing ANY member.
+    Stopword removal happens JVM-side (array filter in codegen) and
+    changes doc_len, so idf/length normalization see the filtered corpus,
+    as a Lucene index built with a StopFilter would.
+    """
+    from ..functions.analyzer import stop_filter_expr
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    spark = docs.sparkSession
+    groups = chain.query_groups(query)
+    # dedupe groups by membership, preserving first-occurrence order
+    seen: set = set()
+    uniq: List[List[str]] = []
+    for g in groups:
+        key = tuple(g)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(g)
+    if not uniq:
+        return docs.select(key_col).limit(0).withColumn("score", F.lit(0.0))
+
+    toks = with_tokens(docs, chain=chain.base_name)
+    if chain.stopwords:
+        toks = toks.withColumn(
+            "tokens", stop_filter_expr(F.col("tokens"), chain.stopwords)
+        )
+    tf = term_freqs(toks, key_col=key_col)
+    ds = _doc_stats(toks, key_col=key_col)
+    cs = collection_stats(ds)
+
+    qdf = spark.createDataFrame(
+        [(m, gi) for gi, g in enumerate(uniq) for m in g],
+        schema="term string, grp int",
+    )
+    gtf = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy(key_col, "grp")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    gdf = gtf.groupBy("grp").agg(F.count("*").alias("df"))
+    matched = (
+        gtf.join(F.broadcast(gdf), "grp")
+        .join(ds, key_col)
+        .crossJoin(F.broadcast(cs))
+    )
+    score_expr = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+        )
+    )
+    return (
+        matched.withColumn("group_score", score_expr)
+        .groupBy(key_col)
+        .agg(F.round(F.sum("group_score"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "score")
+    )
+
+
 def bm25_score_all(
     tf: DataFrame,
     doc_stats: DataFrame,

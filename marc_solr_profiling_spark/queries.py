@@ -510,6 +510,32 @@ def q_bm25_stopword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+# stopword + synonym chain demo: 'a'/'the' are stopwords; 'quick' is
+# absent from the corpus and reaches docs only through its synonym 'fast'
+# (the query-side-only expansion of test/solr/conf/schema.xml:171-183)
+SYNONYM_QUERY = "the quick scan a sort"
+_SYN_STOPWORDS = ("a", "the")
+_SYN_GROUPS = {"quick": ("quick", "fast"), "fast": ("fast", "quick")}
+
+
+def q_bm25_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through a text_general-style analyzer chain: index side =
+    tokenizer + stop filter (JVM-side array filter; doc_len shrinks
+    accordingly), query side additionally expands synonyms into
+    OR-groups scored with union-df + summed-tf (SynonymQuery shape).
+    The stopword 'the'/'a' removal and the quick->fast recall are both
+    observable in the oracle twin."""
+    from .functions.analyzer import SolrTextChain
+    from .operators.bm25 import bm25_synonym_topk_plan
+
+    chain = SolrTextChain(
+        base="simple", stopwords=_SYN_STOPWORDS, synonyms=_SYN_GROUPS
+    )
+    return bm25_synonym_topk_plan(
+        _load(spark, sf_dir, "documents"), SYNONYM_QUERY, chain, k=10
+    )
+
+
 def q_bm25_and_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (q.op=AND) BM25 through the PHYSICAL index: min_match =
     all terms enforced inside the block-max scorer itself (per-doc distinct
@@ -1211,6 +1237,29 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_and_phys_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
     "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
     "bm25_stopword_topk": _bm25_sql(terms=_STOP_QTERMS),
+    "bm25_synonym_topk": """
+WITH ftoks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> t NOT IN ('a', 'the')) AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM ftoks),
+dl AS (SELECT doc_id, len(tk) AS doc_len FROM ftoks),
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q(term, grp) AS (VALUES ('quick', 0), ('fast', 0), ('scan', 1), ('sort', 2)),
+gtf AS (SELECT doc_id, grp, count(*) AS tf
+        FROM tok JOIN q USING (term) GROUP BY 1, 2),
+gdf AS (SELECT grp, count(*) AS df FROM gtf GROUP BY 1)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4) AS score
+FROM gtf JOIN gdf USING (grp) JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
     "bm25_phrase_topk": _bm25_sql(terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS),
     "bm25_phrase_phys_topk": _bm25_sql(
         terms=_PHRASE_TERMS, phrase=_PHRASE_TERMS
@@ -1542,6 +1591,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_and_phys_topk": q_bm25_and_phys_topk,
     "bm25_mm_topk": q_bm25_mm_topk,
     "bm25_stopword_topk": q_bm25_stopword_topk,
+    "bm25_synonym_topk": q_bm25_synonym_topk,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_phys_topk": q_bm25_phrase_phys_topk,
     "bm25_phrase_slop_topk": q_bm25_phrase_slop_topk,

@@ -87,3 +87,92 @@ def test_icu_fold_idempotent():
     s = "Ωéÿ ﬁre"  # includes a compatibility ligature
     once = icu_fold(s)
     assert icu_fold(once) == once
+
+
+# --- stopword + synonym chains (test/solr/conf/schema.xml:171-207) ---------
+
+
+def test_parse_synonyms_group_and_mapping():
+    from marc_solr_profiling_spark.functions.analyzer import parse_synonyms
+
+    table = parse_synonyms([
+        "# comment",
+        "quick, fast",
+        "colour => color",
+        "",
+    ])
+    assert table["quick"] == ("quick", "fast")
+    assert table["fast"] == ("quick", "fast")
+    # one-way mapping replaces the source token
+    assert table["colour"] == ("color",)
+    assert "color" not in table
+
+
+def test_chain_index_side_stops_no_synonyms():
+    from marc_solr_profiling_spark.functions.analyzer import SolrTextChain
+
+    chain = SolrTextChain(
+        base="simple", stopwords=["the", "a"],
+        synonyms={"quick": ("quick", "fast")},
+    )
+    # index side: stop filter only, synonyms never applied
+    assert chain.index_tokens("The quick brown fox") == [
+        "quick", "brown", "fox"
+    ]
+
+
+def test_chain_query_side_expands_synonyms():
+    from marc_solr_profiling_spark.functions.analyzer import SolrTextChain
+
+    chain = SolrTextChain(
+        base="simple", stopwords=["the", "a"],
+        synonyms={"quick": ("quick", "fast"), "fast": ("fast", "quick")},
+    )
+    assert chain.query_groups("the quick scan") == [
+        ["quick", "fast"], ["scan"]
+    ]
+
+
+def test_chain_stop_synonym_ordering_asymmetry():
+    from marc_solr_profiling_spark.functions.analyzer import SolrTextChain
+
+    # a synonym whose target is itself a stopword: text_general order
+    # (stop first) drops the source before expansion never happens;
+    # text_en order (synonyms first) expands, then stop removes only
+    # all-stopword groups
+    syn = {"an": ("an", "one")}
+    general = SolrTextChain("simple", stopwords=["an"], synonyms=syn,
+                            synonyms_before_stop=False)
+    en = SolrTextChain("simple", stopwords=["an"], synonyms=syn,
+                       synonyms_before_stop=True)
+    assert general.query_groups("an apple") == [["apple"]]
+    assert en.query_groups("an apple") == [["an", "one"], ["apple"]]
+
+
+def test_stop_filter_position_increments():
+    from marc_solr_profiling_spark.functions.analyzer import (
+        SolrTextChain, stop_filter_pos,
+    )
+
+    # enablePositionIncrements=true: gaps survive for phrase matching
+    assert stop_filter_pos(
+        ["war", "of", "the", "worlds"], frozenset({"of", "the"})
+    ) == [("war", 0), ("worlds", 3)]
+    chain = SolrTextChain("simple", stopwords=["of", "the"])
+    assert chain.index_tokens_pos("War of the Worlds") == [
+        ("war", 0), ("worlds", 3)
+    ]
+
+
+def test_stop_filter_expr_jvm_side(spark):
+    import pyspark.sql.functions as F
+
+    from marc_solr_profiling_spark.functions.analyzer import stop_filter_expr
+
+    df = spark.createDataFrame(
+        [(["the", "quick", "fox"],)], "tokens array<string>"
+    )
+    got = df.select(
+        stop_filter_expr(F.col("tokens"), ["the", "a"]).alias("t")
+    ).first()["t"]
+    assert got == ["quick", "fox"]
