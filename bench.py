@@ -118,6 +118,52 @@ def main() -> None:
         per_query["wand_batch_50"] = round(query_sec, 3)
         total += query_sec
 
+        # sparse batch: 50 rare+hot queries with pairwise-disjoint terms
+        # (every fan-in = 1) — the auto switch must route this to the
+        # per-query block-max kernel and actually prune blocks. The flat
+        # ~31-term documents vocabulary cannot express a sparse batch, so
+        # this row uses the repo's deterministic Zipfian page generator
+        # (same corpus as the physical-index test tier); the rare term
+        # pins theta high and the hot term's blocks become prunable.
+        from marc_solr_profiling_spark.corpus import generate_web_pages
+
+        sparse_path = tempfile.mkdtemp(prefix="bench_idx_sparse_")
+        try:
+            pages = generate_web_pages(
+                spark, 5000, seed=42, partitions=cpus
+            ).cache()
+            pages.count()
+            sparse_idx = build_index(
+                spark, pages, sparse_path, n_salts=8, block_size=16
+            )
+            hot = [
+                r["term"]
+                for r in sparse_idx.dictionary.orderBy(F.desc("df"))
+                .limit(120).collect()
+            ]
+            rare = [
+                r["term"]
+                for r in sparse_idx.dictionary
+                .filter(F.col("df").between(20, 200))
+                .orderBy(F.asc("df")).limit(60).collect()
+            ]
+            n_pairs = min(50, len(rare), max(0, len(hot) - 20))
+            sparse_batch = [
+                f"{rare[i]} {hot[20 + i]}" for i in range(n_pairs)
+            ]
+            sparse_acc = spark.sparkContext.accumulator(0)
+            t0 = time.time()
+            wand_topk_batch(
+                sparse_idx, sparse_batch, k=10, skip_acc=sparse_acc
+            ).count()
+            sparse_sec = time.time() - t0
+            per_query["wand_batch_50_sparse"] = round(sparse_sec, 3)
+            total += sparse_sec
+            sparse_blocks_skipped = int(sparse_acc.value)
+            pages.unpersist()
+        finally:
+            shutil.rmtree(sparse_path, ignore_errors=True)
+
         # block-max effectiveness: posting blocks pruned WITHOUT decoding on
         # a mixed rare+stopword multi-term query (VERDICT r1 done-criterion:
         # blocks_skipped > 0 on multi-term queries). The demo index uses
@@ -164,6 +210,7 @@ def main() -> None:
         "index_build_docs_per_sec": round(n_docs / build_sec, 1),
         "bm25_topk_queries_per_sec": round(50 / query_sec, 2),
         "wand_blocks_skipped_multiterm": blocks_skipped,
+        "wand_batch_sparse_blocks_skipped": sparse_blocks_skipped,
     }
     print(json.dumps(out))
 

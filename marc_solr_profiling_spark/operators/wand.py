@@ -174,6 +174,7 @@ def _score_blocks_bmw(
     tie: float = 0.0,
     avgdl_by_term: dict[str, float] | None = None,
     round_to: int | None = None,
+    decode_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Score ONE SALT's matched blocks with block-max pruning.
 
@@ -277,10 +278,27 @@ def _score_blocks_bmw(
 
     def decode(bi: int) -> None:
         ti, j = ref_all[bi]
-        d = per[uniq_terms[ti]]
-        ids = delta_decode(d["gaps"][j]).astype(np.int64)
-        tfs = varbyte_decode(d["tfs"][j]).astype(np.float64)
-        dls = varbyte_decode(d["dls"][j]).astype(np.float64)
+        t = uniq_terms[ti]
+        d = per[t]
+        # ``decode_cache`` (sparse-batch mode): raw block decodes are
+        # shared across the queries of one salt — a block needed by two
+        # queries is byte-decoded once; the (cheap, vectorized) weight
+        # computation stays per-call because idf context can differ
+        if decode_cache is not None:
+            ck = (t, int(d["first"][j]))
+            raw = decode_cache.get(ck)
+            if raw is None:
+                raw = (
+                    delta_decode(d["gaps"][j]).astype(np.int64),
+                    varbyte_decode(d["tfs"][j]).astype(np.float64),
+                    varbyte_decode(d["dls"][j]).astype(np.float64),
+                )
+                decode_cache[ck] = raw
+            ids, tfs, dls = raw
+        else:
+            ids = delta_decode(d["gaps"][j]).astype(np.int64)
+            tfs = varbyte_decode(d["tfs"][j]).astype(np.float64)
+            dls = varbyte_decode(d["dls"][j]).astype(np.float64)
         w = idf_arr[ti] * tfs * (K1 + 1.0) / (
             tfs + K1 * (1.0 - B + B * dls / avgdl_arr[ti])
         )
@@ -592,23 +610,41 @@ def wand_topk_batch(
     index,
     queries: Sequence[str],
     k: int = 10,
+    mode: str = "auto",
+    sparse_share_threshold: float = 0.25,
+    skip_acc=None,
 ) -> DataFrame:
     """Many queries in one pass: (qid, doc_id, score, rank).
 
     One segment scan serves all queries (the batch query driver of
     SURVEY.md §M3): blocks matching ANY query term are repartitioned by
-    salt once; each partition decodes every matched block ONCE and scores
-    every query against its doc subset, emitting a bounded top-k per
-    (qid, partition). (Per-query block-max pruning would force per-query
-    re-decoding; in a dense batch every block is needed by some query, so
-    decode-once dominates.)
+    salt once. Two partition-local kernels, chosen by ``mode``:
 
-    Global merge: per-partition bounded candidate sets (<= k rows per qid
-    each) are combined by a partial-aggregatable groupBy — map-side
-    combine builds per-partition lists, the reduce side concatenates and
-    takes the k smallest (neg_score, doc_id) structs JVM-side. This is the
-    tree-reduce top-k merge: no window, no per-row sort shuffle (the
-    round-1 row_number window sorted the full candidate set per qid).
+    * **dense** — each partition decodes every matched block ONCE and
+      scores every query against its doc subset. In a dense batch (hot
+      terms shared by many queries) every block is needed by some query,
+      so decode-once dominates and per-query pruning would only force
+      re-decoding.
+    * **sparse** — per-query block-max pruning (``_score_blocks_bmw``)
+      with a shared per-salt decode cache: when queries rarely share
+      terms, most blocks serve exactly one query, so the pruning skips
+      whole posting ranges the dense kernel would decode; the cache makes
+      the residual overlap free. ``skip_acc`` (optional Spark
+      accumulator) collects the pruned-without-decoding block count.
+
+    ``mode="auto"`` decides driver-side from the dictionary: the share of
+    matched posting volume (df-weighted) belonging to terms used by MORE
+    than one query. Below ``sparse_share_threshold`` the batch is sparse.
+    The statistic costs nothing extra — the per-term dfs are already
+    collected for idf.
+
+    Global merge (both modes): per-partition bounded candidate sets
+    (<= k rows per qid each) are combined by a partial-aggregatable
+    groupBy — map-side combine builds per-partition lists, the reduce
+    side concatenates and takes the k smallest (neg_score, doc_id)
+    structs JVM-side. This is the tree-reduce top-k merge: no window, no
+    per-row sort shuffle (the round-1 row_number window sorted the full
+    candidate set per qid).
     """
     spark = index.spark
     per_q_terms: dict[int, List[str]] = {
@@ -633,6 +669,21 @@ def wand_topk_batch(
         qid: [t for t in ts if t in idf_by_term]
         for qid, ts in per_q_terms.items()
     }
+
+    if mode == "auto":
+        df_by_term = {r["term"]: int(r["df"]) for r in drows}
+        fanin: dict[str, int] = {}
+        for ts in qid_terms.values():
+            for t in ts:
+                fanin[t] = fanin.get(t, 0) + 1
+        total_df = sum(df_by_term[t] for t in fanin) or 1
+        shared_df = sum(
+            df_by_term[t] for t, n in fanin.items() if n > 1
+        )
+        mode = (
+            "sparse" if shared_df / total_df < sparse_share_threshold
+            else "dense"
+        )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -706,14 +757,66 @@ def wand_topk_batch(
             }
         )
 
+    def score_sparse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        thetas: dict[int, float] = {qid: -math.inf for qid in qid_terms}
+        id_parts: dict[int, list] = {qid: [] for qid in qid_terms}
+        sc_parts: dict[int, list] = {qid: [] for qid in qid_terms}
+        n_skipped = 0
+        for _, sub in pdf.groupby("salt", sort=False):
+            # the decode cache lives per salt: block identity is
+            # (term, first_doc), unique only within one salt's disjoint
+            # ascending ranges
+            cache: dict = {}
+            present = set(pd.unique(sub["term"]))
+            for qid, terms in qid_terms.items():
+                qt = [t for t in terms if t in present]
+                if not qt:
+                    continue
+                qsub = sub[sub["term"].isin(qt)]
+                ids, scores, nsk, thetas[qid] = _score_blocks_bmw(
+                    qsub, idf_by_term, kk, avgdl,
+                    theta0=thetas[qid], decode_cache=cache,
+                )
+                n_skipped += nsk
+                id_parts[qid].append(ids)
+                sc_parts[qid].append(scores)
+        if skip_acc is not None:
+            skip_acc.add(int(n_skipped))
+        out_qid, out_ids, out_scores = [], [], []
+        for qid in qid_terms:
+            if not id_parts[qid]:
+                continue
+            all_ids = np.concatenate(id_parts[qid])
+            all_sc = np.concatenate(sc_parts[qid])
+            sel = _topk_exact(all_ids, all_sc, kk)
+            out_qid.append(np.full(sel.size, qid, dtype=np.int32))
+            out_ids.append(all_ids[sel])
+            out_scores.append(all_sc[sel])
+        if not out_qid:
+            return
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_scores),
+            }
+        )
+
     hit_df = spark.createDataFrame(
         [(t,) for t in idf_by_term], "term string"
     )
     # no persist needed: _by_salt's computed placement has no sampler, so
     # the segment scan + broadcast join execute exactly once per batch
     matched = index.segments.join(F.broadcast(hit_df), "term")
+    kernel = score_sparse if mode == "sparse" else score
     candidates = _by_salt(matched, index).mapInPandas(
-        score, schema="qid int, doc_id long, score double"
+        kernel, schema="qid int, doc_id long, score double"
     )
     # tree-reduce top-k merge: (neg_score, doc_id) structs sort ascending ==
     # (score desc, doc_id asc); collect_list partial-aggregates map-side,

@@ -167,3 +167,52 @@ def test_partial_resume_after_tf(spark, tmp_path_factory):
     want = [(r["doc_id"], round(r["score"], 9))
             for r in wand_topk(idx_full, "voyage", k=5, with_url=False).collect()]
     assert got == want
+
+
+def test_wand_batch_sparse_mode_rank_identical(index, oracle_index):
+    # per-query block-max pruning with the shared decode cache must be
+    # rank- and score-identical to the dense decode-once kernel
+    queries = generate_query_set(50, seed=42)
+    url_by_id = {
+        r["doc_id"]: r["url"] for r in index.docs.select("doc_id", "url").collect()
+    }
+    res = wand_topk_batch(index, queries, k=10, mode="sparse").collect()
+    by_qid: dict[int, list] = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        want = oracle_index.topk(q, k=10)
+        got = sorted(by_qid.get(qid, []))
+        assert len(got) == len(want), f"qid={qid} q={q!r}"
+        for (rank, doc_id, score), (wurl, wscore) in zip(got, want):
+            assert url_by_id[doc_id] == wurl, f"qid={qid} rank={rank}"
+            assert score == pytest.approx(wscore, rel=1e-9)
+
+
+def test_wand_batch_sparse_skips_blocks(spark, index):
+    # a disjoint-term sparse batch must actually prune blocks; the auto
+    # switch must pick the sparse kernel for it
+    terms = [
+        r["term"]
+        for r in index.dictionary.orderBy(F.desc("df")).limit(40).collect()
+    ]
+    # 20 queries, pairwise-disjoint term pairs -> every fan-in is 1
+    batch = [f"{terms[2 * i]} {terms[2 * i + 1]}" for i in range(20)]
+    acc = spark.sparkContext.accumulator(0)
+    res = wand_topk_batch(index, batch, k=3, skip_acc=acc)
+    assert res.count() > 0
+    assert int(acc.value) > 0, "sparse batch should prune blocks"
+
+
+def test_wand_batch_auto_picks_dense_for_hot_overlap(spark, index):
+    # every query shares the same hot terms -> shared df share is 1.0 ->
+    # auto must stay dense (skip accumulator untouched by dense kernel)
+    terms = [
+        r["term"]
+        for r in index.dictionary.orderBy(F.desc("df")).limit(3).collect()
+    ]
+    batch = [" ".join(terms)] * 8
+    acc = spark.sparkContext.accumulator(0)
+    res = wand_topk_batch(index, batch, k=3, skip_acc=acc)
+    assert res.count() > 0
+    assert int(acc.value) == 0
