@@ -163,18 +163,22 @@ _MEDIA_FORM = {
 
 
 def _switch(ch: Column, mapping: dict, default) -> Column:
-    """FLAT when-chain over a one-char column (one CaseWhen node with N
-    branches — nesting one CaseWhen per entry in the else-arm makes the
-    optimizer crawl a depth-N tree on every rule pass; measured ~50s of
-    plan time on the combined mixin expression vs sub-second flat).
+    """Char-map lookup as a FOLDABLE literal map: ``create_map`` over
+    literals constant-folds to one MapData evaluated once per plan, and
+    ``try_element_at`` (NULL on miss, ANSI-safe) compiles to a hash probe
+    — versus a 30-branch CaseWhen chain whose generated code grows
+    linearly and, summed over the mixin's ~15 maps and their expression-
+    level duplication, pushed the whole Project past the huge-method
+    limit and out of whole-stage codegen entirely (interpreted per-row —
+    the one fallback that cannot be allowed on the 100 TB path).
     ``default`` is a literal string, a Column, or None (-> NULL)."""
-    items = sorted(mapping.items())
-    expr = F.when(ch == items[0][0], items[0][1])
-    for c, v in items[1:]:
-        expr = expr.when(ch == c, v)
+    pairs = [F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    got = F.try_element_at(F.create_map(*pairs), ch)
     if default is None:
-        return expr
-    return expr.otherwise(default)
+        return got
+    if not isinstance(default, Column):
+        default = F.lit(default)
+    return F.coalesce(got, default)
 
 
 def _lchar(col: Column, pos0: int) -> Column:
@@ -225,24 +229,81 @@ def _content_from_format_field(
 ) -> Column:
     """One 008 (shift=0) or 006 (shift=7) field's content-type
     contribution; NULL when the profile is unknown (the reference logs a
-    minor error and adds nothing)."""
+    minor error and adds nothing).
+
+    Structured so ``dtype`` appears EXACTLY ONCE: the refinement inner
+    CASE yields NULL for (short field | unmatched char | unrefined
+    profile) and a single coalesce falls back to ``dtype``. The naive
+    shape embedded dtype in 5 branches; for the leader path dtype is a
+    ~30-branch tree, so the duplication quintupled the generated code."""
 
     def refined(spec: tuple) -> Column:
         pos, mapping = spec
         pos -= shift
-        short = F.length(field) <= pos  # length-1 < pos -> default type
-        return F.when(short, dtype).otherwise(
-            _switch(_lchar(field, pos), mapping, dtype)
+        # short field (length-1 < pos) -> NULL -> default type
+        return F.when(
+            F.length(field) > pos, _switch(_lchar(field, pos), mapping, None)
         )
 
-    return (
-        F.when(profile.isin("books", "music", "mixed"), dtype)
-        .when(profile == "computers", refined(_CONTENT_COMPUTERS))
+    inner = (
+        F.when(profile == "computers", refined(_CONTENT_COMPUTERS))
         .when(profile == "maps", refined(_CONTENT_MAPS))
         .when(profile == "serial", refined(_CONTENT_SERIAL))
         .when(profile == "visual", refined(_CONTENT_VISUAL))
-        .otherwise(F.lit(None).cast("string"))
+    )  # books/music/mixed -> NULL -> dtype via the coalesce below
+    known = profile.isin(
+        "books", "music", "mixed", "computers", "maps", "serial", "visual"
     )
+    return F.when(known, F.coalesce(inner, dtype))
+
+
+def _content_raw(ltype: Column, lprofile: Column, c008: Column,
+                 sixes: Column) -> Column:
+    """008 contribution (leader-derived type/profile) then each 006 (own
+    type/profile, positions shifted -7), filtered and deduplicated —
+    the pre-thesis/pre-fallback set of getContentTypes."""
+    from_008 = F.when(
+        c008.isNotNull(),
+        _content_from_format_field(c008, ltype, lprofile, 0),
+    )
+
+    def per_006(fld: Column) -> Column:
+        t6, p6 = _type_profile(fld, "006")
+        return _content_from_format_field(fld, t6, p6, 7)
+
+    raw = F.concat(F.array(from_008), F.transform(sixes, per_006))
+    return F.array_distinct(
+        F.filter(raw, lambda x: x.isNotNull() & (x != ""))
+    )
+
+
+def _content_finish(result: Column, ltype: Column,
+                    has_502: Column | None,
+                    has_020: Column | None) -> Column:
+    """Thesis override + 020/leader-type empty fallback
+    (GetFormatMixin.java:795-823). NOTE: ``result`` is embedded three
+    times — pass a (cheap) column reference, not a deep tree; the staged
+    ``with_mixin_types`` does exactly that."""
+    if has_502 is not None:
+        # addToTop(Thesis) + remove(Manuscript) (GetFormatMixin.java:795-803)
+        result = F.when(
+            has_502,
+            F.array_distinct(
+                F.concat(
+                    F.array(F.lit("Thesis")),
+                    F.array_remove(result, "Manuscript"),
+                )
+            ),
+        ).otherwise(result)
+    fallback = F.when(
+        has_020 if has_020 is not None else F.lit(False),
+        F.array(F.lit("Book")),
+    ).otherwise(
+        F.when(ltype != "", F.array(ltype)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return F.when(F.size(result) == 0, fallback).otherwise(result)
 
 
 def content_types_expr(
@@ -253,49 +314,19 @@ def content_types_expr(
     has_020: str | None = None,
 ) -> Column:
     """Ordered deduplicated content types (getContentTypes,
-    GetFormatMixin.java:312-825): 008 contribution first (leader-derived
-    type/profile), then each 006 (its own type/profile, positions shifted
-    -7), then the thesis override and the 020/leader-type empty fallback."""
+    GetFormatMixin.java:312-825) as ONE column expression. Fine for
+    single-record fetches and tests; for a full-corpus pass prefer
+    ``with_mixin_types`` — its named-column staging keeps every Project
+    small enough for whole-stage codegen."""
     ldr = F.coalesce(F.col(leader), F.lit(""))
     ltype, lprofile = _type_profile(ldr, "leader")
-    c008 = F.col(f008)
-    from_008 = F.when(
-        c008.isNotNull(),
-        _content_from_format_field(c008, ltype, lprofile, 0),
+    sixes = F.coalesce(F.col(f006s), F.array().cast("array<string>"))
+    result = _content_raw(ltype, lprofile, F.col(f008), sixes)
+    return _content_finish(
+        result, ltype,
+        F.col(has_502) if has_502 is not None else None,
+        F.col(has_020) if has_020 is not None else None,
     )
-    sixes = F.coalesce(
-        F.col(f006s), F.array().cast("array<string>")
-    )
-
-    def per_006(fld: Column) -> Column:
-        t6, p6 = _type_profile(fld, "006")
-        return _content_from_format_field(fld, t6, p6, 7)
-
-    raw = F.concat(F.array(from_008), F.transform(sixes, per_006))
-    result = F.array_distinct(
-        F.filter(raw, lambda x: x.isNotNull() & (x != ""))
-    )
-    if has_502 is not None:
-        # addToTop(Thesis) + remove(Manuscript) (GetFormatMixin.java:795-803)
-        result = F.when(
-            F.col(has_502),
-            F.array_distinct(
-                F.concat(
-                    F.array(F.lit("Thesis")),
-                    F.array_remove(result, "Manuscript"),
-                )
-            ),
-        ).otherwise(result)
-    # empty fallback (GetFormatMixin.java:807-823)
-    fallback = F.when(
-        F.col(has_020) if has_020 is not None else F.lit(False),
-        F.array(F.lit("Book")),
-    ).otherwise(
-        F.when(ltype != "", F.array(ltype)).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
-    return F.when(F.size(result) == 0, fallback).otherwise(result)
 
 
 def primary_content_type_expr(**kwargs) -> Column:
@@ -326,16 +357,23 @@ def _media_from_007(fld: Column) -> Column:
     bad = (F.length(fld) <= 2) | ~b2.isin(" ", "|", "-")
     empty = F.array().cast("array<string>")
 
-    single = None
-    for g0, (mapping, dflt) in _MEDIA_007.items():
-        branch = _switch(b1, mapping, dflt)
-        single = (
-            F.when(b0 == g0, branch) if single is None
-            else single.when(b0 == g0, branch)
-        )
-    for g0, v in _MEDIA_007_FLAT.items():
-        single = single.when(b0 == g0, v)
-    single = single.when(b0 == "t", _switch(b1, *_MEDIA_TEXT))
+    # the per-b0 nested (b1 map, default) switches flatten into TWO
+    # foldable map lookups — (b0+b1) pair hits, then the per-b0 default
+    # (which also carries the b1-independent flat codes) — instead of a
+    # when-chain embedding eleven 10-20-branch CaseWhens
+    pair_map = {
+        g0 + c: v
+        for g0, (mapping, _) in _MEDIA_007.items()
+        for c, v in mapping.items()
+    }
+    pair_map.update({"t" + c: v for c, v in _MEDIA_TEXT[0].items()})
+    dflt_map = {g0: d for g0, (_, d) in _MEDIA_007.items()}
+    dflt_map["t"] = _MEDIA_TEXT[1]
+    dflt_map.update(_MEDIA_007_FLAT)
+    single = F.coalesce(
+        _switch(F.concat(b0, b1), pair_map, None),
+        _switch(b0, dflt_map, None),
+    )
 
     # sound: 's' + 'd' adds SoundDisc plus a CD/LP refinement from byte 3
     b3 = _lchar(fld, 3)
@@ -358,9 +396,9 @@ def _media_from_007(fld: Column) -> Column:
     arr = (
         F.when(b0 == "s", sound_arr)
         .when(b0 == "v", F.array(video))
-        .otherwise(
-            F.when(single.isNotNull(), F.array(single)).otherwise(empty)
-        )
+        # filter-of-singleton references ``single`` once; the
+        # isNotNull-guard shape embedded its whole tree twice
+        .otherwise(F.filter(F.array(single), lambda x: x.isNotNull()))
     )
     return F.when(bad, empty).otherwise(arr)
 
@@ -508,6 +546,68 @@ def content_and_media_types_expr(
     if f856s is None:
         return types
     return add_online_types_expr(types, has_full_text_expr(f856s))
+
+
+def with_mixin_types(
+    df,
+    leader: str = "leader",
+    f008: str = "f008",
+    f006s: str = "f006s",
+    f007s: str = "f007s",
+    title_h: str | None = None,
+    has_502: str | None = None,
+    has_020: str | None = None,
+    f856s: str | None = None,
+    out: str = "mixin_types",
+):
+    """Full-corpus mixin classifier as a STAGED DataFrame transform —
+    the scale path for getContentTypesAndMediaTypes + addOnlineTypes.
+
+    Each heavy sub-expression (leader type, raw content set, media set,
+    fulltext flag) is aliased exactly once in its own Project; downstream
+    stages reference the named column. Catalyst's CollapseProject keeps
+    non-cheap aliases that are referenced more than once un-inlined, so
+    the thesis/fallback/online combiners — which each embed their input
+    2-3 times — never multiply the big trees the way the single nested
+    ``content_and_media_types_expr`` Column does. Combined with the
+    foldable-map ``_switch``, every generated Project stays under the JIT
+    huge-method limit and inside whole-stage codegen (verified in
+    tests/test_getformat.py::test_with_mixin_types_codegen).
+
+    Appends ``out`` (array<string>) and drops the intermediates."""
+    ldr = F.coalesce(F.col(leader), F.lit(""))
+    ltype, lprofile = _type_profile(ldr, "leader")
+    sixes = F.coalesce(F.col(f006s), F.array().cast("array<string>"))
+    staged = df.withColumns({
+        "_mx_ltype": ltype,
+        "_mx_content_raw": _content_raw(
+            ltype, lprofile, F.col(f008), sixes
+        ),
+        "_mx_media": media_types_expr(
+            leader=leader, f008=f008, f006s=f006s, f007s=f007s,
+            title_h=title_h,
+        ),
+        "_mx_online": (
+            has_full_text_expr(f856s) if f856s is not None else F.lit(False)
+        ),
+    })
+    staged = staged.withColumn(
+        "_mx_content",
+        _content_finish(
+            F.col("_mx_content_raw"), F.col("_mx_ltype"),
+            F.col(has_502) if has_502 is not None else None,
+            F.col(has_020) if has_020 is not None else None,
+        ),
+    ).withColumn(
+        "_mx_types",
+        F.array_distinct(F.concat("_mx_content", "_mx_media")),
+    ).withColumn(
+        out, add_online_types_expr(F.col("_mx_types"), F.col("_mx_online"))
+    )
+    return staged.drop(
+        "_mx_ltype", "_mx_content_raw", "_mx_media", "_mx_online",
+        "_mx_content", "_mx_types",
+    )
 
 
 def primary_content_type_plus_online_expr(

@@ -767,31 +767,14 @@ def q_format_mixin_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_020.alias("has_020"),
         f856s.alias("f856s"),
     )
-    # staged selects: each mixin expression is aliased ONCE per stage —
-    # Catalyst's CollapseProject keeps non-cheap aliases referenced more
-    # than once un-inlined, so the combine below doesn't multiply the
-    # (large) content/media when-trees the way a single nested Column
-    # expression would (measured: ~50s of plan build/analysis collapsed
-    # to sub-second)
-    from .functions.getformat import (
-        add_online_types_expr, content_types_expr, has_full_text_expr,
-        media_types_expr,
-    )
+    # with_mixin_types stages each heavy sub-expression behind a named
+    # column (see its docstring): keeps the plan-build sub-second and
+    # every Project inside whole-stage codegen
+    from .functions.getformat import with_mixin_types
 
-    staged = derived.select(
-        content_types_expr(
-            has_502="has_502", has_020="has_020"
-        ).alias("_content"),
-        media_types_expr().alias("_media"),
-        has_full_text_expr("f856s").alias("_online"),
-    ).select(
-        F.array_distinct(
-            F.concat(F.col("_content"), F.col("_media"))
-        ).alias("_types"),
-        "_online",
-    ).select(
-        add_online_types_expr(F.col("_types"), F.col("_online"))
-        .alias("_final")
+    staged = with_mixin_types(
+        derived, has_502="has_502", has_020="has_020", f856s="f856s",
+        out="_final",
     )
     types = staged.select(F.explode("_final").alias("type"))
     return (
@@ -859,6 +842,51 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_guess")
         .agg(F.count("*").alias("n"))
     )
+
+
+def q_callnum_lop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-aware call-number lopping surface (ItemUtils.java:34-134 +
+    CallNumUtils.java removeLC[Serial]VolSuffix family): 70 synthetic
+    records x 4 items, one per behavior family — LC volume suffix, LC bare
+    year (serial lops, monograph keeps), Dewey NO. suffix, non-LC/Dewey
+    longest-common-prefix, no-suffix control, and the ellipsis rule (a
+    full call number equal to a sibling's lopped value gains ' ...'). The
+    DuckDB twin re-derives each family's expected value from the
+    reference's CallNum*LoppingUnitTests fixtures as an independent CASE
+    tree — it never sees the lopping regexes."""
+    from .functions.lopping import lop_item_callnums
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 280
+    ).select("doc_id")
+    rec = F.floor(F.col("doc_id") / 4)
+    idx = (F.col("doc_id") % 4).cast("int")
+    fam = (rec % 7).cast("int")
+    vol = (idx + 1).cast("string")
+    year = (F.lit(1990) + idx).cast("string")
+    callnum = (
+        F.when(fam == 0, F.concat(F.lit("A1 .B2 V."), vol))
+        .when(fam.isin(1, 2), F.concat(F.lit("A1 .B2 "), year))
+        .when(fam == 3, F.concat(F.lit("553.2805 .C55 NO."), vol))
+        .when(fam == 4, F.concat(F.lit("ZDVD 1234 V."), vol))
+        .when(fam == 5, F.lit("PN1998 .S589"))
+        .otherwise(
+            F.when(idx == 0, F.lit("A1 .B2"))
+            .otherwise(F.concat(F.lit("A1 .B2 V."), vol))
+        )
+    )
+    items = docs.select(
+        "doc_id",
+        rec.alias("record_id"),
+        callnum.alias("callnum"),
+        F.when(fam == 3, "DEWEY").when(fam == 4, "ALPHANUM")
+        .otherwise("LC").alias("callnum_type"),
+        F.lit("GREEN").alias("library"),
+        F.lit("STACKS").alias("home_loc"),
+        (fam == 1).alias("is_serial"),
+    )
+    out = lop_item_callnums(items, serial_col="is_serial")
+    return out.select("doc_id", "callnum", "lopped_callnum")
 
 
 # ---------------------------------------------------------------------------
@@ -1579,6 +1607,40 @@ SELECT type, COUNT(*) AS count FROM allrows
 GROUP BY type ORDER BY count DESC, type ASC
 """
 
+ORACLE_SQL["callnum_lop"] = """
+WITH base AS (
+  SELECT doc_id,
+         (doc_id // 4) AS record_id,
+         (doc_id % 4)::INT AS idx,
+         ((doc_id // 4) % 7)::INT AS fam
+  FROM documents WHERE doc_id < 280
+), built AS (
+  SELECT doc_id, idx, fam,
+    CASE
+      WHEN fam = 0 THEN 'A1 .B2 V.' || (idx + 1)
+      WHEN fam IN (1, 2) THEN 'A1 .B2 ' || (1990 + idx)
+      WHEN fam = 3 THEN '553.2805 .C55 NO.' || (idx + 1)
+      WHEN fam = 4 THEN 'ZDVD 1234 V.' || (idx + 1)
+      WHEN fam = 5 THEN 'PN1998 .S589'
+      WHEN idx = 0 THEN 'A1 .B2'
+      ELSE 'A1 .B2 V.' || (idx + 1)
+    END AS callnum
+  FROM base
+)
+SELECT doc_id, callnum,
+  CASE
+    WHEN fam = 0 THEN 'A1 .B2'          -- LC volume lops
+    WHEN fam = 1 THEN 'A1 .B2'          -- serial: bare year lops
+    WHEN fam = 2 THEN callnum           -- monograph keeps the year
+    WHEN fam = 3 THEN '553.2805 .C55'   -- Dewey NO. lops
+    WHEN fam = 4 THEN 'ZDVD 1234'       -- non-LC/Dewey: common prefix
+    WHEN fam = 5 THEN callnum           -- nothing to lop
+    WHEN idx = 0 THEN 'A1 .B2 ...'      -- full == sibling's lopped
+    ELSE 'A1 .B2'
+  END AS lopped_callnum
+FROM built
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -1627,4 +1689,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "booklist_enrich": q_booklist_enrich,
     "reindex_fields": q_reindex_fields,
     "lang_id": q_lang_id,
+    "callnum_lop": q_callnum_lop,
 }

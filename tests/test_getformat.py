@@ -280,3 +280,85 @@ def test_content_and_media_combined(spark):
         ).alias("t")
     ).collect()[0]["t"]
     assert out == ["EBook", "Book", "Online"]
+
+
+def test_with_mixin_types_matches_column_api(spark):
+    """Staged DataFrame path == single-Column path on a row matrix
+    covering every combine branch (thesis, fallback, online/EBook)."""
+    from marc_solr_profiling_spark.functions.getformat import (
+        with_mixin_types,
+    )
+
+    full = [("0", "http://example.org/full", None)]
+    rows = [
+        (_leader("a", "m"), _pad("", "o", 23), None, ["cr |"],
+         None, False, False, full),                      # EBook/Book/Online
+        (_leader("b"), None, None, None, None, True, False, None),  # Thesis
+        (_leader("h"), None, None, None, None, False, True, None),  # 020
+        (_leader("h"), None, None, None, None, False, False, None),  # empty
+        (_leader("g", "m"), _pad("", "v", 33), ["m    v"],
+         ["vd cv", "sd f"], "x [electronic resource]", False, False, []),
+    ]
+    schema = (
+        "leader string, f008 string, f006s array<string>,"
+        " f007s array<string>, title_h string, has_502 boolean,"
+        " has_020 boolean,"
+        " f856s array<struct<ind2:string,url:string,note:string>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    kw = dict(title_h="title_h", has_502="has_502", has_020="has_020",
+              f856s="f856s")
+    staged = [r["t"] for r in
+              with_mixin_types(df, out="t", **kw).select("t").collect()]
+    single = [r["t"] for r in
+              df.select(content_and_media_types_expr(**kw).alias("t"))
+              .collect()]
+    assert staged == single
+    assert staged[0] == ["EBook", "Book", "Online"]
+    assert staged[1][0] == "Thesis" and "Manuscript" not in staged[1]
+
+
+def test_with_mixin_types_codegen(spark):
+    """Scale-shape guard for the staged plan. Two invariants: (1) every
+    Project WITHOUT a higher-order function compiles into a
+    WholeStageCodegen span (the foldable-map _switch + named-column
+    staging exist so no Project falls back on generated-code SIZE — a
+    transform/filter/exists Project is CodegenFallback by Spark design
+    and is exempt); (2) plan build+optimization stays sub-second (the
+    pre-staging single-Column shape cost ~50s of optimizer time from
+    expression self-duplication)."""
+    import time
+
+    from marc_solr_profiling_spark.functions.getformat import (
+        with_mixin_types,
+    )
+
+    df = spark.range(8).select(
+        F.lit(_leader("a", "m")).alias("leader"),
+        F.lit(_pad("", "o", 23)).alias("f008"),
+        F.lit(None).cast("array<string>").alias("f006s"),
+        F.array(F.lit("cr |")).alias("f007s"),
+        F.lit(None).cast("string").alias("title_h"),
+        F.lit(False).alias("has_502"),
+        F.lit(True).alias("has_020"),
+        F.lit(None).cast(
+            "array<struct<ind2:string,url:string,note:string>>"
+        ).alias("f856s"),
+    )
+    t0 = time.monotonic()
+    out = with_mixin_types(
+        df, title_h="title_h", has_502="has_502", has_020="has_020",
+        f856s="f856s",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan_secs = time.monotonic() - t0
+    # non-HOF Projects must carry the codegen star; HOF ones are exempt
+    import re
+    hof = re.compile(r"\b(transform|filter|exists|aggregate)\(")
+    bare = [ln for ln in plan.splitlines()
+            if re.match(r"^[-+: ]*Project", ln) and "*" not in ln
+            and not hof.search(ln)]
+    assert not bare, f"non-HOF Project fell out of codegen:\n{plan}"
+    assert "*" in plan  # at least one WholeStageCodegen span exists
+    assert plan_secs < 5, f"plan build took {plan_secs:.1f}s"
+    assert out.count() == 8
