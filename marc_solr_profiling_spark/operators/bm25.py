@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZERS
+from ..functions.mm_spec import parse_mm_spec
 from ..oracle import K1, B, bm25_idf
 
 
@@ -186,7 +187,7 @@ def bm25_dismax_topk_plan(
     b: float = B,
     tie: float = 0.1,
     round_to: int = 4,
-    min_match: int | None = None,
+    min_match: int | str | None = None,
 ) -> DataFrame:
     """Edismax dismax scoring over multiple fields — the reference's actual
     query handler (``solrconfig.xml:64-83``: edismax with ``qf`` per-field
@@ -274,7 +275,9 @@ def bm25_dismax_topk_plan(
         F.count("*").alias("_n_matched"),
     )
     if min_match is not None:
-        scored = scored.filter(F.col("_n_matched") >= int(min_match))
+        scored = scored.filter(
+            F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
+        )
     return (
         scored.select(key_col, "score")
         .orderBy(F.desc("score"), F.asc(key_col))
@@ -291,7 +294,7 @@ def bm25_topk_sql_plan(
     k1: float = K1,
     b: float = B,
     round_to: int = 4,
-    min_match: int | None = None,
+    min_match: int | str | None = None,
     phrase: str | None = None,
     phrase_slop: int = 0,
 ) -> DataFrame:
@@ -362,7 +365,9 @@ def bm25_topk_sql_plan(
         )
     )
     if min_match is not None:
-        scored = scored.filter(F.col("_n_matched") >= int(min_match))
+        scored = scored.filter(
+            F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
+        )
     if phrase is not None:
         phrase_terms = ANALYZERS[chain](phrase)
         # semi-join against the phrase-matching doc set: the predicate is

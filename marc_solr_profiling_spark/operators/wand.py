@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZERS
+from ..functions.mm_spec import parse_mm_spec
 from ..oracle import bm25_idf
 from .varbyte import delta_decode, varbyte_decode
 
@@ -431,14 +432,16 @@ def wand_topk(
     query: str,
     k: int = 10,
     with_url: bool = True,
-    min_match: int = 1,
+    min_match: int | str = 1,
     skip_acc=None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
     ``min_match``: minimum distinct matched query terms per doc — 1 = OR
     (edismax default field behavior), len(terms) = AND (``q.op=AND``),
-    intermediate = the ``mm`` parameter (solrconfig.xml:68,76).
+    intermediate = the ``mm`` parameter; a string is resolved through the
+    Solr mm-spec grammar (solrconfig.xml:68,72,76 — e.g. ``"6<-1 6<90%"``,
+    :func:`..functions.mm_spec.parse_mm_spec`).
     ``skip_acc``: optional Spark accumulator collecting the number of
     posting blocks PRUNED WITHOUT DECODING (block-max effectiveness
     metric, reported by bench.py).
@@ -459,7 +462,7 @@ def wand_topk(
     }
     avgdl = index.avgdl
     kk = int(k)
-    mm = int(min_match)
+    mm = parse_mm_spec(min_match, len(qterms))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -512,7 +515,7 @@ def dismax_topk(
     qf: dict[str, float],
     tie: float = 0.1,
     k: int = 10,
-    min_match: int = 1,
+    min_match: int | str = 1,
     round_to: int | None = None,
     with_url: bool = False,
     skip_acc=None,
@@ -563,7 +566,7 @@ def dismax_topk(
         avgdl_by_term[key] = avgdl_f
         group_of[key] = qterms.index(base)
     kk = int(k)
-    mm = int(min_match)
+    mm = parse_mm_spec(min_match, len(qterms))
     n_groups = len(qterms)
     tie_f = float(tie)
 

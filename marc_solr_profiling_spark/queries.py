@@ -147,6 +147,38 @@ def q_bm25_mm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference handler's LITERAL mm default is not an integer but the
+# conditional Solr spec below (solrconfig.xml:72): "<= 6 terms: all
+# required; above 6: 90%". With the 7-term query it resolves to
+# int(7 * 0.9) = 6 distinct matched terms (functions/mm_spec.py).
+MM_SPEC = "6<-1 6<90%"
+MM_SPEC_QUERY = "join hash row batch scan filter vector"
+_MM_SPEC_QTERMS = MM_SPEC_QUERY.split()
+
+
+def q_bm25_mm_spec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k gated by the reference's literal conditional mm spec,
+    resolved through the Solr mm grammar at plan time."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, MM_SPEC_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, min_match=MM_SPEC,
+    )
+
+
+def q_bm25_mm_spec_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same mm-spec query through the PHYSICAL block-max index: the
+    spec resolves inside wand_topk and gates on per-doc distinct matched
+    terms in the salted scorer."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, MM_SPEC_QUERY, k=10, with_url=False, min_match=MM_SPEC
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 PHRASE_QUERY = "table hash"
 _PHRASE_TERMS = ["table", "hash"]
 
@@ -1264,6 +1296,13 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
     "bm25_and_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
     "bm25_and_phys_topk": _bm25_sql("HAVING count(DISTINCT term) >= 4"),
     "bm25_mm_topk": _bm25_sql("HAVING count(DISTINCT term) >= 3"),
+    # mm = parse_mm_spec("6<-1 6<90%", 7) = 6 — the oracle hardcodes the
+    # RESOLVED threshold (grammar correctness is pytest-tiered); the
+    # end-to-end gate checks the filter semantics at that threshold
+    "bm25_mm_spec_topk": _bm25_sql(
+        "HAVING count(DISTINCT term) >= 6", terms=_MM_SPEC_QTERMS),
+    "bm25_mm_spec_phys_topk": _bm25_sql(
+        "HAVING count(DISTINCT term) >= 6", terms=_MM_SPEC_QTERMS),
     "bm25_stopword_topk": _bm25_sql(terms=_STOP_QTERMS),
     "bm25_synonym_topk": """
 WITH ftoks AS (
@@ -1652,6 +1691,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_and_phys_topk": q_bm25_and_phys_topk,
     "bm25_mm_topk": q_bm25_mm_topk,
+    "bm25_mm_spec_topk": q_bm25_mm_spec_topk,
+    "bm25_mm_spec_phys_topk": q_bm25_mm_spec_phys_topk,
     "bm25_stopword_topk": q_bm25_stopword_topk,
     "bm25_synonym_topk": q_bm25_synonym_topk,
     "bm25_phrase_topk": q_bm25_phrase_topk,
