@@ -71,18 +71,39 @@ def assign_doc_ids(docs: DataFrame, key_col: str = "url",
     return out
 
 
+# Upper bound on docs per segment-kernel partition under "auto" sizing.
+# The kernel materializes one partition's packed postings at once (it must
+# group by term within the salt), so its peak memory is proportional to
+# docs-per-bucket, NOT corpus size — as long as auto engages this term.
+# 16k docs at web-page token counts is ~6-8M postings, well under 1 GiB of
+# kernel arrays; 32 concurrent workers stay under ~1/4 of the sandbox RAM.
+# Without this term a 3.2M-doc build at n_salts=64 put ~50k docs (~20M
+# postings) in EVERY worker simultaneously and the host OOM-killed the JVM
+# (found by tools/sf1_run.py, round 3). Override per-build with the
+# ``spark.marc.docsPerRangeBucket`` conf.
+_DOCS_PER_RANGE_BUCKET = 16_384
+
+
 def _resolve_range_buckets(range_buckets: int | str, spark: SparkSession,
                            n_salts: int, n_docs: int) -> int:
-    """``"auto"``: enough doc-range buckets per salt that the segment
-    stage has >= defaultParallelism partitions — but only on corpora big
-    enough (>= 64k docs) that the extra quantile-bounds job is noise;
-    tiny builds keep one bucket per salt and skip it entirely."""
+    """``"auto"``: enough doc-range buckets per salt that (a) the segment
+    stage has >= defaultParallelism partitions AND (b) no bucket holds
+    more than ``spark.marc.docsPerRangeBucket`` docs (kernel peak memory
+    is per-bucket, so this bounds it independently of corpus size and
+    n_salts). Only on corpora big enough (>= 64k docs) that the extra
+    quantile-bounds job is noise; tiny builds keep one bucket per salt
+    and skip it entirely."""
     if range_buckets != "auto":
         return max(1, int(range_buckets))
     if n_docs < 64_000:
         return 1
     p = spark.sparkContext.defaultParallelism
-    return max(1, -(-p // n_salts))
+    par_term = -(-p // n_salts)
+    cap = max(1, int(spark.conf.get("spark.marc.docsPerRangeBucket",
+                                    str(_DOCS_PER_RANGE_BUCKET))))
+    docs_per_salt = -(-n_docs // n_salts)
+    mem_term = -(-docs_per_salt // cap)
+    return max(1, par_term, mem_term)
 
 
 class InvertedIndex:

@@ -281,6 +281,37 @@ def q_facet_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(_load(spark, sf_dir, "orders"), "o_orderpriority", limit=21)
 
 
+def q_facet_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many facet fields in ONE pass — the reference's actual request shape
+    (the standard handler asks for ~150 ``facet.field``s per query,
+    solrconfig.xml:307-511, each limit=21 mincount=1). One stack() unpivot
+    + one grouped count + per-field rank: one shuffle for all fields
+    instead of one scan per field. o_custkey has thousands of
+    distinct values, so the per-field top-21 cap is exercised, not vacuous."""
+    from .operators.facets import facet_multi
+
+    out = facet_multi(
+        _load(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+        limit=21,
+    )
+    return out.select(
+        "facet_field", "facet_value",
+        F.col("count").alias("n"), "rank",
+    )
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts over the events table — the batch
+    twin of the streaming windowed aggregation (streaming/windows.py);
+    the streaming path appends exactly these rows as watermark-finalized
+    windows (pytest: test_streaming_windows)."""
+    from .streaming.windows import windowed_counts_plan
+
+    ev = _load(spark, sf_dir, "events")
+    return windowed_counts_plan(ev, window_dur="1 day")
+
+
 def q_year_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric facet — the pub-year 'slider' analog (pub_year_itsim,
     prof_index.properties:11 + solrconfig.xml:279): doc counts per event
@@ -1416,9 +1447,36 @@ GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 21
 SELECT o_orderpriority, count(*) AS count FROM orders WHERE o_orderpriority IS NOT NULL
 GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority ASC LIMIT 21
 """,
+    "facet_multi": """
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS facet_field, o_orderstatus::VARCHAR AS facet_value FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+),
+counted AS (
+  SELECT facet_field, facet_value, count(*) AS n
+  FROM stacked WHERE facet_value IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT facet_field, facet_value, n,
+         row_number() OVER (PARTITION BY facet_field
+                            ORDER BY n DESC, facet_value ASC) AS rank
+  FROM counted
+)
+SELECT facet_field, facet_value, n, rank::INT AS rank
+FROM ranked WHERE rank <= 21 ORDER BY facet_field, rank
+""",
     "year_facet": """
 SELECT year(ts)::BIGINT AS year, count(*) AS count
 FROM events GROUP BY 1 ORDER BY year ASC
+""",
+    "windowed_counts": """
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2, 3
 """,
     "doc_fetch": """
 SELECT doc_id, text, lang, source FROM documents WHERE doc_id = 42 LIMIT 1
@@ -1714,6 +1772,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_source": q_facet_source,
     "facet_event_type": q_facet_event_type,
     "facet_order_priority": q_facet_order_priority,
+    "facet_multi": q_facet_multi,
+    "windowed_counts": q_windowed_counts,
     "year_facet": q_year_facet,
     "doc_fetch": q_doc_fetch,
     "dedup_exact": q_dedup_exact,

@@ -3,8 +3,9 @@ delta files merged and committed; Solr autoCommit is a durability
 micro-batch, not event-time processing). The faithful Spark shape is
 therefore ``Trigger.AvailableNow`` over the same batch logic: drain
 whatever landed, run extraction + profiling, append, checkpoint, stop.
-Watermarks are deliberately absent — nothing in the reference maps to
-event time.
+Watermarks are deliberately absent HERE — nothing in the reference maps
+to event time; the event-time windowed aggregation with late-data
+watermarks lives in :mod:`.windows` as a beyond-reference operator.
 
 Beyond the reference, :func:`stream_dedup_gate` adds the stateful operator
 a training-data ingest actually needs: a cross-micro-batch EXACT-dedup

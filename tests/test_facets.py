@@ -1,0 +1,74 @@
+"""Facet operators (operators/facets.py) — the reference's profiling
+aggregation (solrconfig.xml:307-511: many facet.field per request,
+facet.limit=21, facet.mincount=1).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from marc_solr_profiling_spark.operators.facets import (
+    facet_counts,
+    facet_multi,
+)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [
+        ("a", "x", None),
+        ("a", "y", "p"),
+        ("a", None, "p"),
+        ("b", "y", "q"),
+        ("b", "y", "q"),
+        ("c", "z", "q"),
+    ]
+    return spark.createDataFrame(rows, "f1 string, f2 string, f3 string")
+
+
+def test_facet_counts_order_and_mincount(tbl):
+    got = [tuple(r) for r in facet_counts(tbl, "f1", limit=21).collect()]
+    assert got == [("a", 3), ("b", 2), ("c", 1)]
+    # mincount drops the tail; limit caps after ordering
+    assert [tuple(r) for r in facet_counts(tbl, "f1", mincount=2).collect()] \
+        == [("a", 3), ("b", 2)]
+    assert [tuple(r) for r in facet_counts(tbl, "f1", limit=1).collect()] \
+        == [("a", 3)]
+
+
+def test_facet_counts_ignores_nulls_and_explodes_arrays(tbl, spark):
+    assert [tuple(r) for r in facet_counts(tbl, "f2").collect()] \
+        == [("y", 3), ("x", 1), ("z", 1)]
+    arr = spark.createDataFrame(
+        [(["m", "n"],), (["m"],), (None,)], "tags array<string>"
+    )
+    assert [tuple(r) for r in facet_counts(arr, "tags").collect()] \
+        == [("m", 2), ("n", 1)]
+
+
+def test_facet_multi_matches_per_field_facets(tbl):
+    """One stack()-unpivot pass must equal K independent facet_counts
+    scans (same ordering contract: count desc, value asc)."""
+    multi = facet_multi(tbl, ["f1", "f2", "f3"], limit=21).collect()
+    for field in ["f1", "f2", "f3"]:
+        single = [tuple(r) for r in facet_counts(tbl, field).collect()]
+        got = [
+            (r["facet_value"], r["count"])
+            for r in multi if r["facet_field"] == field
+        ]
+        assert got == single, field
+    # rank is 1-based and dense per field
+    ranks = [r["rank"] for r in multi if r["facet_field"] == "f1"]
+    assert ranks == [1, 2, 3]
+
+
+def test_facet_multi_limit_caps_per_field(spark):
+    wide = spark.range(100).select(
+        F.col("id").cast("string").alias("hi"),
+        (F.col("id") % 2).cast("string").alias("lo"),
+    )
+    out = facet_multi(wide, ["hi", "lo"], limit=5).collect()
+    by_field = {}
+    for r in out:
+        by_field.setdefault(r["facet_field"], []).append(r)
+    assert len(by_field["hi"]) == 5   # capped
+    assert len(by_field["lo"]) == 2   # fewer values than the limit

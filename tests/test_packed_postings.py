@@ -95,3 +95,28 @@ def test_packed_segments_range_buckets_disjoint(spark):
         packed, avgdl=120.0, n_salts=2, block_size=8
     ).agg(F.sum("n_postings")).collect()[0][0]
     assert sum(r["n_postings"] for r in segs) == base
+
+
+def test_resolve_range_buckets_auto_bounds_kernel_memory(spark):
+    """auto must satisfy BOTH terms: segment-stage parallelism >= cores
+    AND docs-per-bucket <= spark.marc.docsPerRangeBucket (kernel peak
+    memory is per-bucket — a 3.2M-doc build at n_salts=64 used to put 50k
+    docs in every concurrent worker and OOM the host)."""
+    from marc_solr_profiling_spark.plans.build import _resolve_range_buckets
+
+    # tiny corpora: one bucket, no quantile job
+    assert _resolve_range_buckets("auto", spark, 64, 20_000) == 1
+    # protocol scale (320k, 64 salts): 5k docs/salt, under the cap
+    p = spark.sparkContext.defaultParallelism
+    assert _resolve_range_buckets("auto", spark, 64, 320_000) \
+        == max(1, -(-p // 64))
+    # sf1 scale (3.2M, 64 salts): 50k docs/salt -> ceil(50k/16384) = 4
+    assert _resolve_range_buckets("auto", spark, 64, 3_200_000) >= 4
+    # explicit override wins
+    assert _resolve_range_buckets(7, spark, 64, 3_200_000) == 7
+    # conf override of the cap
+    spark.conf.set("spark.marc.docsPerRangeBucket", "1000")
+    try:
+        assert _resolve_range_buckets("auto", spark, 4, 100_000) == 25
+    finally:
+        spark.conf.unset("spark.marc.docsPerRangeBucket")
