@@ -52,3 +52,34 @@ def delete_by_keys(df: DataFrame, delete_keys: DataFrame,
     return df.join(
         delete_keys.select(key_col).distinct(), key_col, "left_anti"
     )
+
+
+def realtime_get(
+    base: DataFrame,
+    ids,
+    pending_upserts: DataFrame | None = None,
+    pending_deletes: DataFrame | None = None,
+    key_col: str = "url",
+) -> DataFrame:
+    """RealTimeGetHandler analog (``/get``, solrconfig.xml:57-61): the
+    LATEST version of each requested doc without waiting for a commit —
+    a pending upsert shadows the committed base row, a pending delete
+    hides it. In Solr this reads the update log; here the "update log"
+    is whatever uncommitted delta DataFrames the ingest currently holds.
+
+    Scale shape: ``ids`` is a small literal list, so the IN filter pushes
+    into every scan (base AND delta) before any join — the joins then run
+    over at most ``len(ids)`` rows per side, which AQE resolves to
+    broadcasts. Never filters after the overlay."""
+    from pyspark.sql import functions as F
+
+    want = F.col(key_col).isin(list(ids))
+    out = merge_upsert_delete(
+        base.filter(want),
+        mods=pending_upserts.filter(want) if pending_upserts is not None
+        else None,
+        deletes=pending_deletes.filter(want) if pending_deletes is not None
+        else None,
+        key_col=key_col,
+    )
+    return out

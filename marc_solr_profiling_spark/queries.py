@@ -338,6 +338,28 @@ def q_doc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RealTimeGet (/get, solrconfig.xml:57-61): latest doc versions with
+    PRE-COMMIT visibility. The uncommitted delta is synthesized
+    deterministically from the corpus itself: docs 10 and 20 carry a
+    pending edit, doc 30 a pending delete; 40 is untouched base."""
+    from .operators.merge import realtime_get
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    pend_up = (
+        docs.filter(F.col("doc_id").isin([10, 20]))
+        .withColumn("text", F.concat(F.lit("v2:"), F.col("text")))
+    )
+    pend_del = docs.filter(F.col("doc_id") == 30).select("doc_id")
+    return realtime_get(
+        docs, [10, 20, 30, 40],
+        pending_upserts=pend_up, pending_deletes=pend_del,
+        key_col="doc_id",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus PLUS a deterministic injected duplicate
     set (every doc_id % 50 == 0 re-inserted under doc_id + 1_000_000): the
@@ -1481,6 +1503,20 @@ FROM events GROUP BY 1, 2, 3
     "doc_fetch": """
 SELECT doc_id, text, lang, source FROM documents WHERE doc_id = 42 LIMIT 1
 """,
+    "realtime_get": """
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE doc_id IN (10, 20, 30, 40)
+),
+pend AS (
+  SELECT doc_id, 'v2:' || text AS text, lang, source FROM base
+  WHERE doc_id IN (10, 20)
+)
+SELECT doc_id, text, lang, source FROM (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM pend)
+  UNION ALL SELECT * FROM pend
+) WHERE doc_id <> 30
+""",
     "dedup_exact": """
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
@@ -1774,6 +1810,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_order_priority": q_facet_order_priority,
     "facet_multi": q_facet_multi,
     "windowed_counts": q_windowed_counts,
+    "realtime_get": q_realtime_get,
     "year_facet": q_year_facet,
     "doc_fetch": q_doc_fetch,
     "dedup_exact": q_dedup_exact,
