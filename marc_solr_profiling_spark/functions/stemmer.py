@@ -131,8 +131,27 @@ _STEP4 = (
 )
 
 
+# Last-character dispatch (Porter's own "switch on penultimate letter"
+# idea, keyed on the final letter here): a suffix can only match a word
+# sharing its last character, so scanning any other bucket is wasted
+# endswith calls — the suffix scan was 74% of the analysis miss chain
+# before this (tools/prof_tf_kernel.py). Bucket order preserves the
+# original tuple order, so first-match semantics are unchanged.
+def _bucket_by_last(pairs):
+    out: dict = {}
+    for p in pairs:
+        suffix = p[0] if isinstance(p, tuple) else p
+        out.setdefault(suffix[-1], []).append(p)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+_STEP2_BY_LAST = _bucket_by_last(_STEP2)
+_STEP3_BY_LAST = _bucket_by_last(_STEP3)
+_STEP4_BY_LAST = _bucket_by_last(_STEP4)
+
+
 def _step2(w: str) -> str:
-    for suffix, repl in _STEP2:
+    for suffix, repl in _STEP2_BY_LAST.get(w[-1], ()):
         out = _replace_if(w, suffix, repl, 0)
         if out is not None:
             return out
@@ -142,7 +161,7 @@ def _step2(w: str) -> str:
 
 
 def _step3(w: str) -> str:
-    for suffix, repl in _STEP3:
+    for suffix, repl in _STEP3_BY_LAST.get(w[-1], ()):
         out = _replace_if(w, suffix, repl, 0)
         if out is not None:
             return out
@@ -152,7 +171,7 @@ def _step3(w: str) -> str:
 
 
 def _step4(w: str) -> str:
-    for suffix in _STEP4:
+    for suffix in _STEP4_BY_LAST.get(w[-1], ()):
         if w.endswith(suffix):
             stem = w[: len(w) - len(suffix)]
             if suffix == "ion" and (not stem or stem[-1] not in "st"):
@@ -178,10 +197,25 @@ def _step5b(w: str) -> str:
     return w
 
 
+# Union of the last characters of every suffix any step can match ('s'
+# step1a, 'd'/'g' step1b, 'y' step1c, steps 2-4 buckets, 'e' step5a,
+# 'l' step5b). Every rewrite in every step fires only on an endswith()
+# of one of these suffixes, so a word ending in any OTHER character
+# (digits, 'x', 'z', ...) passes through all eight steps unchanged —
+# the common case for a web corpus's id/code token tail.
+_ANY_STEP_LAST = frozenset(
+    "sdgye l".replace(" ", "")
+    + "".join(_STEP2_BY_LAST) + "".join(_STEP3_BY_LAST)
+    + "".join(_STEP4_BY_LAST)
+)
+
+
 def porter_stem(word: str) -> str:
     """Stem one lowercase token. Tokens of length <= 2 pass through
     (Porter's convention)."""
     if len(word) <= 2:
+        return word
+    if word[-1] not in _ANY_STEP_LAST:
         return word
     w = _step1a(word)
     w = _step1b(w)
