@@ -162,6 +162,7 @@ def build_index(
     html_col: str | None = None,
     positions: bool = False,
     range_buckets: int | str = "auto",
+    overlap_tf_write: bool = True,
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
 
@@ -197,6 +198,13 @@ def build_index(
     segment stage has at least ``defaultParallelism`` partitions on
     non-trivial corpora (>= 64k docs; tiny builds skip the quantile job
     and run one bucket per salt).
+
+    ``overlap_tf_write``: persist the packed tf and run its parquet
+    commit on a driver thread concurrently with the segment shuffle that
+    consumes the same cache — the tf sink stops being a barrier and the
+    snapshot is never read back (it still commits, so stage resume is
+    unchanged). Costs executor memory/disk for the columnar cache; set
+    False on memory-scarce clusters to build strictly snapshot→snapshot.
     """
     store = IndexStore(path)
     store.set_fingerprint(
@@ -231,6 +239,10 @@ def build_index(
                 _persist_handle=persisted,
             )
 
+    import threading
+
+    tf_err: list[BaseException] = []
+    tf_thread = None
     if need_tf:
         # column pruning before the analyzer stage: the build needs only
         # (doc_id, text) here — never carry html payloads into the Python
@@ -245,9 +257,53 @@ def build_index(
             with_ids, key_col="doc_id", text_col=text_col, chain=chain,
             html_col=html_col, positions=positions,
         )
-        store.commit_stage("tf", tf)
+        if overlap_tf_write:
+            # OVERLAP MODE (default): persist the packed tf and run its
+            # parquet commit on a thread WHILE the segment shuffle
+            # consumes the same cache — the tf write (the build's largest
+            # sink) stops being a barrier in front of the build's only
+            # full-volume exchange, and the committed snapshot is never
+            # read back at all. The cache is columnar and per-executor
+            # (MEMORY_AND_DISK: spills locally, never recomputes unless
+            # an executor is lost — in which case lineage re-tokenizes
+            # just the lost partitions). Stage-level resumability is
+            # unchanged: the tf snapshot still commits, so a failed
+            # segments stage resumes from parquet with no re-tokenize.
+            from pyspark import StorageLevel
 
-    tf = store.read_stage(spark, "tf")
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(tf)
+            # materialize the cache via the scan stats needs anyway
+            row = tf.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("t")
+            ).collect()[0]
+            n_docs_val = int(row["n"])
+            total_tokens = int(row["t"] or 0)
+            if not store.stage_complete("stats"):
+                avgdl_val = (
+                    float(total_tokens) / n_docs_val if n_docs_val else 0.0
+                )
+                store.commit_stage("stats", spark.createDataFrame(
+                    [(n_docs_val, avgdl_val, total_tokens)],
+                    "n_docs long, avgdl double, total_tokens long",
+                ))
+
+            def _commit_tf() -> None:
+                try:
+                    store.commit_stage("tf", tf)
+                except BaseException as e:  # surfaced after join()
+                    tf_err.append(e)
+
+            tf_thread = threading.Thread(target=_commit_tf, name="tf-commit")
+            tf_thread.start()
+        else:
+            # strict mode: commit first, build segments from the snapshot
+            # (no executor memory/disk spent on a cache — the knob for
+            # memory-scarce clusters)
+            store.commit_stage("tf", tf)
+            tf = store.read_stage(spark, "tf")
+    else:
+        tf = store.read_stage(spark, "tf")
 
     if not store.stage_complete("stats"):
         # stats straight off the committed tf snapshot: n_docs is the tf
@@ -291,24 +347,22 @@ def build_index(
             except BaseException as e:  # surfaced after join()
                 docs_err.append(e)
 
-        import threading
-
         docs_thread = threading.Thread(target=_commit_docs, name="docs-commit")
         docs_thread.start()
 
     try:
         if not store.stage_complete("segments"):
-            avgdl = float(
-                store.read_stage(spark, "stats").collect()[0]["avgdl"]
-            )
+            stats_row = store.read_stage(spark, "stats").collect()[0]
             segs = build_segments_packed(
                 tf,
-                avgdl=avgdl,
+                avgdl=float(stats_row["avgdl"]),
                 n_salts=n_salts,
                 block_size=block_size,
                 range_buckets=_resolve_range_buckets(
                     range_buckets, spark, n_salts,
-                    int(store.lineage()["stages"]["tf"]["rows"]),
+                    # n_docs from the stats stage, NOT the tf manifest:
+                    # in overlap mode the tf commit is still in flight here
+                    int(stats_row["n_docs"]),
                 ),
             )
             # make_blocks emits rows already sorted by (term, salt, block)
@@ -319,12 +373,16 @@ def build_index(
             store.commit_stage("segments", segs)
     finally:
         # join even when the segments commit raises: otherwise the
-        # non-daemon docs thread keeps writing to a failed build's store
-        # and its own error would go unreported
+        # non-daemon commit threads keep writing to a failed build's store
+        # and their own errors would go unreported
         if docs_thread is not None:
             docs_thread.join()
+        if tf_thread is not None:
+            tf_thread.join()
     if docs_err:
         raise docs_err[0]
+    if tf_err:
+        raise tf_err[0]
 
     for cached in persisted:
         cached.unpersist()

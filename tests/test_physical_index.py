@@ -119,6 +119,29 @@ def test_resume_skips_completed_stages(spark, tmp_path_factory):
         assert m["rows"] > 0 and len(m["partitions"]) >= 1
 
 
+def test_strict_mode_matches_overlap(spark, tmp_path_factory):
+    """overlap_tf_write=False (commit tf, read the snapshot back, no cache,
+    no commit thread) must produce byte-identical stage contents to the
+    default overlapped build."""
+    pages = generate_web_pages(spark, 80, seed=11, partitions=2)
+    root = tmp_path_factory.mktemp("idx_strict")
+    kw = dict(n_salts=4, block_size=32)
+    idx_a = build_index(spark, pages, str(root / "a"), **kw)
+    idx_b = build_index(
+        spark, pages, str(root / "b"), overlap_tf_write=False, **kw)
+    assert idx_a.n_docs == idx_b.n_docs
+    assert idx_a.avgdl == pytest.approx(idx_b.avgdl)
+    for stage, keys in [("segments", ["term", "salt", "block_id"]),
+                        ("docs", ["doc_id"]), ("dictionary", ["term"])]:
+        a = idx_a.store.read_stage(spark, stage)
+        b = idx_b.store.read_stage(spark, stage)
+        assert a.count() == b.count(), stage
+        assert a.exceptAll(b).count() == 0, stage
+    qa = [r["url"] for r in wand_topk(idx_a, "voyage", k=10).collect()]
+    qb = [r["url"] for r in wand_topk(idx_b, "voyage", k=10).collect()]
+    assert qa == qb
+
+
 def test_config_change_invalidates(spark, tmp_path_factory):
     pages = generate_web_pages(spark, 60, seed=7, partitions=2)
     path = str(tmp_path_factory.mktemp("idx3") / "index")
