@@ -162,7 +162,7 @@ def build_index(
     html_col: str | None = None,
     positions: bool = False,
     range_buckets: int | str = "auto",
-    overlap_tf_write: bool = True,
+    overlap_tf_write: bool = False,
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
 
@@ -203,8 +203,14 @@ def build_index(
     commit on a driver thread concurrently with the segment shuffle that
     consumes the same cache — the tf sink stops being a barrier and the
     snapshot is never read back (it still commits, so stage resume is
-    unchanged). Costs executor memory/disk for the columnar cache; set
-    False on memory-scarce clusters to build strictly snapshot→snapshot.
+    unchanged). Default OFF: measured a wash-to-slight-loss on this
+    sandbox (tools/ab_overlap.py, 320k docs local[8], interleaved
+    medians 56.4 s strict vs 58.9 s overlapped) because the tmpfs sink
+    makes the tf write pure CPU (parquet encode) — overlapping it just
+    time-slices the same cores while paying the columnar-cache copy.
+    The knob is for I/O-bound sinks (object store / HDFS at cluster
+    scale), where the write has real latency to hide and the cache
+    also saves a full tf read-back.
     """
     store = IndexStore(path)
     store.set_fingerprint(

@@ -82,14 +82,31 @@ def encode_record(leader: str, controlfields: List[Tuple[str, str]],
     return lead.encode("utf-8")[:24] + directory + payload
 
 
-def decode_record(buf: bytes):
+def decode_record(buf: bytes, marc8: str = "never"):
     """ISO 2709 bytes -> (leader, controlfields, datafields). Permissive:
     raises ValueError with a reason on structural corruption (the caller
     quarantines, mirroring MarcImporter's error triage,
-    MarcImporter.java:202-257)."""
+    MarcImporter.java:202-257).
+
+    ``marc8``: subfield-value charset handling — ``"never"`` (default)
+    decodes UTF-8 with replacement; ``"auto"`` converts MARC-8/ANSEL
+    when leader byte 09 is not ``'a'`` (the ``to_utf_8`` +
+    ``MarcTranslatedReader`` convert path, which also only rewrites
+    data-field subfields); ``"always"`` forces conversion. Opt-in
+    because legacy fixtures with blank leader/09 but UTF-8 payloads
+    (common in the wild) must not be mis-converted by default —
+    matching the reference, where conversion is a config switch
+    (``marc.to_utf_8`` / permissive BESTGUESS), not a constant."""
     if len(buf) < 24:
         raise ValueError("record shorter than leader")
     leader = buf[:24].decode("utf-8", errors="replace")
+    if marc8 == "always" or (marc8 == "auto" and (len(leader) < 10
+                                                  or leader[9] != "a")):
+        from .marc8 import marc8_to_unicode
+        decode_value = marc8_to_unicode
+    else:
+        def decode_value(bs: bytes) -> str:
+            return bs.decode("utf-8", errors="replace")
     try:
         base = int(leader[12:17])
     except ValueError as e:
@@ -123,7 +140,7 @@ def decode_record(buf: bytes):
                     continue
                 subs.append(
                     (piece[:1].decode("utf-8", errors="replace"),
-                     piece[1:].decode("utf-8", errors="replace"))
+                     decode_value(piece[1:]))
                 )
             data.append((tag, ind1, ind2, subs))
     return leader, control, data
@@ -178,11 +195,16 @@ def raw_record_id(buf: bytes) -> Optional[str]:
 
 def read_marc_binary(binary_df: DataFrame,
                      path_col: str = "path",
-                     content_col: str = "content") -> DataFrame:
+                     content_col: str = "content",
+                     marc8: str = "never") -> DataFrame:
     """(path, content) rows (e.g. ``spark.read.format('binaryFile')``) ->
     one MARC_SCHEMA row per record (+ path, per-file seq, parse_error).
     Malformed records become quarantine rows with ``parse_error`` set and
-    null leader — never an exception (permissive semantics)."""
+    null leader — never an exception (permissive semantics).
+
+    ``marc8="auto"`` enables MARC-8/ANSEL -> Unicode conversion for
+    records whose leader/09 is not ``'a'`` (see :func:`decode_record`),
+    the ``to_utf_8`` reader config of the reference."""
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -192,7 +214,7 @@ def read_marc_binary(binary_df: DataFrame,
                 for seq, raw in enumerate(split_records(bytes(content))):
                     rid = raw_record_id(raw)
                     try:
-                        leader, control, data = decode_record(raw)
+                        leader, control, data = decode_record(raw, marc8)
                         rows.append(
                             (path, seq, None, rid or "", leader, control, data)
                         )

@@ -1,0 +1,166 @@
+"""MARC-8 (ANSEL) -> Unicode conversion + unicode-normalize decorator —
+the MarcTranslatedReader analog (MarcTranslatedReader.java:41-130).
+Fixture values use the public LOC MARC-8 code table: combining marks
+PRECEDE the base char in MARC-8 and FOLLOW it in Unicode.
+"""
+
+import unicodedata
+
+import pytest
+
+from marc_solr_profiling_spark.sources.marc import (
+    decode_record,
+    encode_record,
+    read_marc_binary,
+)
+from marc_solr_profiling_spark.sources.marc8 import (
+    is_utf8_record,
+    marc8_to_unicode,
+    normalize_records,
+)
+
+
+# ---------------------------------------------------------------- pure fn
+
+def test_ascii_passthrough():
+    assert marc8_to_unicode(b"plain ASCII text 123") == "plain ASCII text 123"
+
+
+def test_combining_reorder_acute():
+    # MARC-8: acute (0xE2) BEFORE 'e' -> Unicode 'e' + U+0301
+    assert marc8_to_unicode(b"caf\xe2e") == "café"
+    assert unicodedata.normalize("NFC", marc8_to_unicode(b"caf\xe2e")) == "café"
+
+
+def test_multiple_combining_marks_on_one_base():
+    # umlaut (0xE8) + macron (0xE5) + 'a': marc4j emits base then marks
+    # in reverse buffer order (innermost mark last applied)
+    got = marc8_to_unicode(b"\xe8\xe5a")
+    assert got[0] == "a" and set(got[1:]) == {"̈", "̄"}
+
+
+def test_ansel_special_chars():
+    assert marc8_to_unicode(b"\xa1\xb1") == "Łł"
+    assert marc8_to_unicode(b"\xa5\xb5") == "Ææ"
+    assert marc8_to_unicode(b"\xb2") == "ø"
+    assert marc8_to_unicode(b"\xc3") == "©"
+    assert marc8_to_unicode(b"\xb9") == "£"
+
+
+def test_cedilla_and_tilde():
+    assert marc8_to_unicode(b"gar\xf0con") == "garçon"
+    assert unicodedata.normalize(
+        "NFC", marc8_to_unicode(b"Espa\xe4na")) == "España"
+
+
+def test_unknown_high_byte_is_replacement():
+    assert marc8_to_unicode(b"\xbf") == "�"
+
+
+def test_escape_superscript_and_reset():
+    # ESC p -> superscript digits; ESC s -> back to Basic Latin
+    assert marc8_to_unicode(b"x\x1bp2\x1bs2") == "x²2"
+
+
+def test_escape_subscript_and_greek():
+    assert marc8_to_unicode(b"H\x1bb2\x1bsO") == "H₂O"
+    assert marc8_to_unicode(b"\x1bga\x1bs-ray") == "α-ray"
+
+
+def test_escape_basic_latin_designation():
+    # ESC ( B is an explicit Basic-Latin designation, not an error
+    assert marc8_to_unicode(b"\x1bp3\x1b(Bz") == "³z"
+
+
+def test_eacc_designation_replaced_not_fatal():
+    got = marc8_to_unicode(b"a\x1b$1abcdef\x1bsz")
+    assert got.startswith("a") and got.endswith("z") and "�" in got
+
+
+def test_trailing_orphan_combining_kept():
+    assert marc8_to_unicode(b"ab\xe2") == "ab\u0301"
+
+
+def test_is_utf8_record():
+    assert is_utf8_record("00000cam a2200000 a 4500"[:9] + "a" + "2200000")
+    assert not is_utf8_record("000000000 0000000000000")
+
+
+# ------------------------------------------------------- decode integration
+
+def _record_bytes(value_bytes: bytes, coding: bytes = b" ") -> bytes:
+    """Hand-assemble one ISO 2709 record whose 245$a holds raw bytes."""
+    body = b"10\x1fa" + value_bytes + b"\x1e"
+    directory = b"245" + f"{len(body):04d}".encode() + b"00000" + b"\x1e"
+    base = 24 + len(directory)
+    payload = body + b"\x1d"
+    total = base + len(payload)
+    leader = (f"{total:05d}".encode() + b"cam " + coding + b"22"
+              + f"{base:05d}".encode() + b" a 4500")
+    assert len(leader) == 24
+    return leader + directory + payload
+
+
+def test_decode_record_marc8_auto_converts_non_utf8():
+    raw = _record_bytes(b"caf\xe2e", coding=b" ")
+    _, _, data = decode_record(raw, marc8="auto")
+    assert data[0][3][0][1] == "café"
+    # default stays the legacy utf-8-replace behavior
+    _, _, data_legacy = decode_record(raw)
+    assert "́" not in data_legacy[0][3][0][1]
+
+
+def test_decode_record_marc8_auto_skips_utf8_records():
+    raw = _record_bytes("caf\u00e9".encode("utf-8"), coding=b"a")
+    _, _, data = decode_record(raw, marc8="auto")
+    assert data[0][3][0][1] == "caf\u00e9"
+
+
+def test_read_marc_binary_marc8_auto(spark):
+    raw = _record_bytes(b"Dvo\xe9r\xe2ak", coding=b" ")
+    df = spark.createDataFrame([("f1", bytearray(raw))], "path string, content binary")
+    row = read_marc_binary(df, marc8="auto").collect()[0]
+    val = row["datafields"][0]["subfields"][0]["value"]
+    assert unicodedata.normalize("NFC", val) == "Dvo\u0159\u00e1k"
+
+
+# ----------------------------------------------------- normalize operator
+
+def test_normalize_records_nfc(spark):
+    rec = (
+        "id1",
+        "00000cam a2200000 a 4500",
+        [("008", "dummy")],
+        [("245", "1", "0", [("a", "café"), ("b", None)])],
+    )
+    df = spark.createDataFrame(
+        [rec], "record_id string, leader string,"
+        " controlfields array<struct<tag:string,data:string>>,"
+        " datafields array<struct<tag:string,ind1:string,ind2:string,"
+        " subfields:array<struct<code:string,value:string>>>>",
+    )
+    out = normalize_records(df, "C").collect()[0]
+    assert out["datafields"][0]["subfields"][0]["value"] == "caf\u00e9"
+    assert out["datafields"][0]["subfields"][1]["value"] is None
+    # control fields and leader untouched
+    assert out["controlfields"][0]["data"] == "dummy"
+    assert out["leader"] == rec[1]
+    # KD decomposes compatibility forms
+    out_kd = normalize_records(df, "KD").collect()[0]
+    assert out_kd["datafields"][0]["subfields"][0]["value"] == "café"
+
+
+def test_normalize_records_bad_mode(spark):
+    df = spark.createDataFrame([("x",)], "record_id string")
+    with pytest.raises(ValueError):
+        normalize_records(df.withColumn("datafields", df.record_id), "Q")
+
+
+def test_roundtrip_after_conversion(spark):
+    """MARC-8 record -> auto-convert -> encode -> re-decode as UTF-8:
+    values survive byte-exactly (the converted record is now UTF-8)."""
+    raw = _record_bytes(b"M\xe8uller", coding=b" ")
+    leader, control, data = decode_record(raw, marc8="auto")
+    enc = encode_record(leader, control, data)
+    _, _, data2 = decode_record(enc)
+    assert data2[0][3][0][1] == data[0][3][0][1] == "Müller"

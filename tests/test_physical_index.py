@@ -120,15 +120,15 @@ def test_resume_skips_completed_stages(spark, tmp_path_factory):
 
 
 def test_strict_mode_matches_overlap(spark, tmp_path_factory):
-    """overlap_tf_write=False (commit tf, read the snapshot back, no cache,
-    no commit thread) must produce byte-identical stage contents to the
-    default overlapped build."""
+    """overlap_tf_write=True (cached tf, threaded commit concurrent with
+    the segment shuffle) must produce byte-identical stage contents to
+    the default strict snapshot->snapshot build."""
     pages = generate_web_pages(spark, 80, seed=11, partitions=2)
     root = tmp_path_factory.mktemp("idx_strict")
     kw = dict(n_salts=4, block_size=32)
-    idx_a = build_index(spark, pages, str(root / "a"), **kw)
-    idx_b = build_index(
-        spark, pages, str(root / "b"), overlap_tf_write=False, **kw)
+    idx_a = build_index(
+        spark, pages, str(root / "a"), overlap_tf_write=True, **kw)
+    idx_b = build_index(spark, pages, str(root / "b"), **kw)
     assert idx_a.n_docs == idx_b.n_docs
     assert idx_a.avgdl == pytest.approx(idx_b.avgdl)
     for stage, keys in [("segments", ["term", "salt", "block_id"]),
