@@ -173,6 +173,55 @@ ANALYZERS: dict[str, Callable[[str | None], List[str]]] = {
 }
 
 
+def analyze_field_debug(
+    s: str | None, chain: str = "text",
+) -> List[tuple]:
+    """FieldAnalysisRequestHandler analog (``/analysis/field``,
+    ``profiling/solr/conf/solrconfig.xml:527``): the per-stage token
+    breakdown Solr's analysis screen shows for one field value —
+    ordered ``(stage_name, tokens)`` pairs, one per filter of the
+    chain. The final stage's tokens are IDENTICAL to
+    ``ANALYZERS[chain](s)`` by construction (asserted in tests): this
+    is a debugging view of the production chain, not a re-statement
+    of it.
+
+    Driver-side utility (the Solr handler is a debug endpoint, not a
+    query path) — no Spark involvement needed.
+    """
+    if chain == "simple":
+        return [("lowercase_alnum_runs", analyze_simple(s))]
+    if chain not in ("text", "textNoStem"):
+        raise ValueError(f"unknown chain {chain!r}")
+    stem = chain == "text"
+    ws = [t for t in _WS_RE.split(s)] if s else []
+    ws = [t for t in ws if t]
+    stages: List[tuple] = [("whitespace_tokenizer", list(ws))]
+    norm = [unicodedata.normalize("NFKC", t) for t in ws]
+    stages.append(("nfkc_normalize", list(norm)))
+    delim = [list(_word_delimit(t)) for t in norm]
+    stages.append(
+        ("word_delimiter", [p for parts in delim for p in parts]))
+    folded = [[f for f in (icu_fold(p) for p in parts) if f]
+              for parts in delim]
+    stages.append(
+        ("icu_folding", [p for parts in folded for p in parts]))
+    if stem:
+        final_parts = [[porter_stem(p) for p in parts] for parts in folded]
+        stages.append(
+            ("porter_stem", [p for parts in final_parts for p in parts]))
+    else:
+        final_parts = folded
+    deduped: List[str] = []
+    for parts in final_parts:  # RemoveDuplicates is per source position
+        seen: set = set()
+        for p in parts:
+            if p and p not in seen:
+                seen.add(p)
+                deduped.append(p)
+    stages.append(("remove_duplicates", deduped))
+    return stages
+
+
 # --------------------------------------------------------------------------
 # Stopword + synonym filter chains (test/solr/conf/schema.xml:171-207:
 # text_general / text_en field types). The index chain applies the stop

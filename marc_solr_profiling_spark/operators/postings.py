@@ -68,69 +68,6 @@ def term_freqs(docs_with_tokens: DataFrame, key_col: str = "url",
     )
 
 
-def term_freqs_local(
-    docs_with_tokens: DataFrame,
-    key_col: str = "doc_id",
-    tokens_col: str = "tokens",
-    doc_len_col: str = "doc_len",
-) -> DataFrame:
-    """(term, key, doc_len, tf) with ZERO shuffle: term frequency is a
-    document-local aggregation, so it is computed inside one vectorized
-    mapInPandas pass (flatten the partition's token lists, one pandas
-    groupby over (row, term)) — the map-side-combine Lucene's per-doc
-    inverter does. Rows with empty token lists emit nothing (they still
-    count in doc_stats).
-
-    Output values are identical to :func:`term_freqs` (which exists as the
-    Catalyst-visible plan for oracle checking); this is the build-path
-    variant where the shuffle would be pure waste.
-    """
-    import numpy as np
-    import pandas as pd
-
-    schema = f"term string, {key_col} long, {doc_len_col} int, tf int"
-
-    def count_tf(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            toks = pdf[tokens_col]
-            lens = toks.map(len).to_numpy()
-            nz = lens > 0
-            if not nz.any():
-                continue
-            flat = np.concatenate([np.asarray(t, dtype=object)
-                                   for t in toks[nz]])
-            keys = np.repeat(pdf[key_col].to_numpy()[nz], lens[nz])
-            dls = np.repeat(pdf[doc_len_col].to_numpy()[nz], lens[nz])
-            # factorize + integer pair sort beats a string groupby ~2×:
-            # count = run-length of (doc, term-code) pairs after stable sort
-            codes, uniques = pd.factorize(flat)
-            # factorize keys too: the pair product then stays far below
-            # int64 range even for sparse 64-bit (url-hash) doc ids
-            kcodes, _ = pd.factorize(keys)
-            pair = kcodes.astype(np.int64) * len(uniques) + codes
-            order = np.argsort(pair, kind="stable")
-            ps = pair[order]
-            change = np.ones(ps.size, dtype=bool)
-            change[1:] = ps[1:] != ps[:-1]
-            starts = np.flatnonzero(change)
-            tf = np.diff(np.append(starts, ps.size)).astype(np.int32)
-            sel = order[starts]
-            yield pd.DataFrame(
-                {
-                    "term": uniques[codes[sel]],
-                    key_col: keys[sel],
-                    doc_len_col: dls[sel].astype(np.int32),
-                    "tf": tf,
-                }
-            )
-
-    return docs_with_tokens.select(key_col, doc_len_col, tokens_col).mapInPandas(
-        count_tf, schema=schema
-    )
-
-
 def tokenize_and_count(
     docs: DataFrame,
     key_col: str = "doc_id",

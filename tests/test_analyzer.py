@@ -176,3 +176,43 @@ def test_stop_filter_expr_jvm_side(spark):
         stop_filter_expr(F.col("tokens"), ["the", "a"]).alias("t")
     ).first()["t"]
     assert got == ["quick", "fox"]
+
+
+# ---------------------------------------------------------------- /analysis/field debug
+
+def test_analyze_field_debug_final_stage_matches_chain():
+    from marc_solr_profiling_spark.functions.analyzer import (
+        ANALYZERS,
+        analyze_field_debug,
+    )
+    samples = [
+        "The QUICK brown-Fox's 2nd (deja-vu) Café über XML2JSON",
+        "", None, "MiXeD999case  punct!!! ßharp",
+    ]
+    for chain in ("text", "textNoStem", "simple"):
+        for s in samples:
+            stages = analyze_field_debug(s, chain)
+            assert stages[-1][1] == ANALYZERS[chain](s), (chain, s)
+
+
+def test_analyze_field_debug_stage_names():
+    from marc_solr_profiling_spark.functions.analyzer import analyze_field_debug
+
+    names = [n for n, _ in analyze_field_debug("FooBar baz", "text")]
+    assert names == ["whitespace_tokenizer", "nfkc_normalize",
+                     "word_delimiter", "icu_folding", "porter_stem",
+                     "remove_duplicates"]
+    names_ns = [n for n, _ in analyze_field_debug("FooBar baz", "textNoStem")]
+    assert "porter_stem" not in names_ns
+    # stage progression visible: delimiter splits case boundaries
+    stages = dict(analyze_field_debug("FooBar", "text"))
+    assert stages["whitespace_tokenizer"] == ["FooBar"]
+    assert "foo" in stages["icu_folding"] or "Foo" in stages["word_delimiter"]
+
+
+def test_analyze_field_debug_bad_chain():
+    import pytest as _pytest
+
+    from marc_solr_profiling_spark.functions.analyzer import analyze_field_debug
+    with _pytest.raises(ValueError):
+        analyze_field_debug("x", "nope")
