@@ -419,3 +419,72 @@ def simhash_band_candidates(
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "key_a",
+    right: str = "key_b",
+    key_out: str = "doc_id",
+    label_out: str = "cluster_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> one row per
+    node ``(key_out, label_out)`` where the label is the component's
+    MINIMUM node id — the duplicate-CLUSTER step a training-data
+    pipeline runs after pairwise near-dup verification (keep
+    ``doc_id == cluster_id`` as the canonical representative, drop the
+    rest).
+
+    Algorithm: iterative min-label propagation. Each round is one
+    edge-list join + a groupBy-min (O(|E|) shuffle, fully partitioned —
+    no driver-side graph), labels persist between rounds, and the loop
+    exits when a round changes nothing. Rounds needed = eccentricity of
+    the min node, which for near-dup clusters (near-cliques produced by
+    banded LSH + verification) is 1-3; ``max_iters`` guards the
+    pathological chain-graph case, where the label-doubling large-star/
+    small-star variant would be the upgrade path.
+    """
+    from . import _cache
+
+    edges = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).union(pairs.select(
+        F.col(right).alias("src"), F.col(left).alias("dst")
+    ))
+    _cache.begin("components")
+    edges = _cache.hold("components", edges)
+    # localCheckpoint per round, not persist: an iterative DataFrame
+    # algorithm's logical plan doubles every round, and Catalyst
+    # re-analysis of the deepening tree quickly dominates the (cheap)
+    # per-round jobs. Checkpointing truncates the plan to the
+    # materialized partitions. local = executor-storage checkpoint (no
+    # HDFS round trip); for multi-hour production runs on preemptible
+    # executors, swap for reliable checkpoint(dir) every few rounds.
+    labels = edges.select(
+        F.col("src").alias("node")
+    ).distinct().withColumn(
+        "label", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst").agg(F.min("label").alias("nbr"))
+        )
+        merged = labels.join(
+            nbr_min, labels["node"] == nbr_min["dst"], "left"
+        ).select(
+            labels["node"], labels["label"],
+            # Spark's least() skips NULLs, so isolated rounds keep label
+            F.least(labels["label"], F.col("nbr")).alias("new_label"),
+        ).localCheckpoint(eager=True)
+        n_changed = merged.filter(
+            F.col("new_label") < F.col("label")).count()
+        labels = merged.select(
+            "node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(key_out), F.col("label").alias(label_out)
+    )

@@ -474,6 +474,26 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: verified LSH-Jaccard pairs -> connected
+    components (iterative min-label propagation, one edge join +
+    groupBy-min per round) -> (doc_id, cluster_id) with cluster_id the
+    component's min doc — the keep-one-representative step a
+    training-data dedup pipeline runs after pairwise verification."""
+    from .operators.dedup import connected_components, lsh_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = lsh_jaccard_pairs(
+        docs, key_col="doc_id", n_hashes=16, bands=4, shingle_n=3,
+        max_bucket=200, threshold=0.2,
+    )
+    out = connected_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: deterministic sign-pattern
     LSH buckets (first 4 coordinates) + exact cosine >= 0.3 on candidates
@@ -1740,6 +1760,29 @@ SELECT type, COUNT(*) AS count FROM allrows
 GROUP BY type ORDER BY count DESC, type ASC
 """
 
+# dedup clusters: the verified-pair SQL (same CTE chain as lsh_jaccard)
+# feeds a recursive transitive closure; cluster label = min reachable id.
+# The pair query nests as a SUBQUERY (its own WITH scope) rather than
+# joining the RECURSIVE CTE list: DuckDB 1.0.0 resolves a long CTE chain
+# differently once the WITH is RECURSIVE (observed: 22 vs 28 pairs from
+# the byte-identical chain), and the fresh inner scope sidesteps that.
+ORACLE_SQL["dedup_clusters"] = (
+    """WITH RECURSIVE pairs AS (
+  SELECT key_a, key_b FROM ("""
+    + _LSH_JACCARD_SQL
+    + """) t
+),
+edges AS (SELECT key_a AS a, key_b AS b FROM pairs
+          UNION SELECT key_b, key_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+)
+
 ORACLE_SQL["callnum_lop"] = """
 WITH base AS (
   SELECT doc_id,
@@ -1800,6 +1843,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "embed_neardup": q_embed_neardup,
     "lsh_jaccard": q_lsh_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_neardup": q_simhash_neardup,
     "numfound": q_numfound,
     "terms_browse": q_terms_browse,

@@ -76,3 +76,63 @@ def test_bpe_token_count_matches_hand_count(spark):
         .collect()
     }
     assert out == {0: 3, 1: 2, 2: 4, 3: 4, 4: 0}
+
+
+# -------------------------------------------------- connected components
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per node
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from marc_solr_profiling_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(100))
+    pairs = set()
+    # several cliques + random edges + an 8-node chain (multi-round case)
+    for base in (0, 20, 40):
+        clique = nodes[base:base + 5]
+        pairs |= {(a, b) for a in clique for b in clique if a < b}
+    for _ in range(30):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b)))
+    chain = [90, 91, 92, 93, 94, 95, 96, 97]
+    pairs |= {(chain[i], chain[i + 1]) for i in range(len(chain) - 1)}
+
+    df = spark.createDataFrame(sorted(pairs), "key_a long, key_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components(pairs)
+    assert got == want
+    # canonical-representative invariant: every cluster id is a member
+    # of its own cluster and the minimum of it
+    for node, lab in got.items():
+        assert got[lab] == lab and lab <= node
+
+
+def test_connected_components_single_pair(spark):
+    from marc_solr_profiling_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(7, 3)], "key_a long, key_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert got == {3: 3, 7: 3}
