@@ -130,15 +130,19 @@ def tokenize_and_count(
             nz = lens > 0
             frames = []
             if nz.any():
-                flat = np.concatenate(
-                    [np.asarray(t, dtype=object)
-                     for t, ok in zip(token_lists, nz) if ok]
+                nzlens = lens[nz]
+                flat = np.fromiter(
+                    _iterchain.from_iterable(
+                        t for t, ok in zip(token_lists, nz) if ok),
+                    dtype=object, count=int(nzlens.sum()),
                 )
-                keys = np.repeat(keys_all[nz], lens[nz])
-                dls = np.repeat(lens[nz], lens[nz])
+                keys = np.repeat(keys_all[nz], nzlens)
+                dls = np.repeat(nzlens, nzlens)
                 codes, uniques = pd.factorize(flat)
-                kcodes, _ = pd.factorize(keys)
-                pair = kcodes.astype(np.int64) * len(uniques) + codes
+                # batch-contiguous docs: key codes are the nz ordinals
+                kcodes = np.repeat(
+                    np.arange(int(nz.sum()), dtype=np.int64), nzlens)
+                pair = kcodes * len(uniques) + codes
                 order = np.argsort(pair, kind="stable")
                 ps = pair[order]
                 change = np.ones(ps.size, dtype=bool)
