@@ -47,6 +47,7 @@ HEADLINE = [
     "search_facet_lang",
     "lsh_candidates",
     "lsh_jaccard",
+    "dedup_clusters",
     "embed_neardup",
     "simhash_neardup",
     "knn_ivf",
