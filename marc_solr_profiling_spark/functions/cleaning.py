@@ -74,11 +74,12 @@ def clean_array_udf() -> Column:
 # ---------------------------------------------------------------------------
 
 
-def extract_year_expr(col: str) -> Column:
+def extract_year_expr(col: str | Column) -> Column:
     """First plausible 4-digit year: prefers an 'i.e. yyyy' correction, then
     a plain yyyy, then ddd? / dd-- imputation ('?'/'-' -> 0). Returns int
-    or null."""
-    c = F.col(col)
+    or null. Accepts a Column so it can run inside array lambdas (e.g. the
+    pub-date slider's 260c fallback)."""
+    c = col if isinstance(col, Column) else F.col(col)
     ie = F.regexp_extract(c, r"i\.?\s?e\.?\s?(\d{4})", 1)
     plain = F.regexp_extract(c, r"(?:^|\D)(\d{4})(?:\D|$)", 1)
     three = F.regexp_extract(c, r"(?:^|\D)(\d{3})[?\-](?:\D|$)", 1)

@@ -365,16 +365,127 @@ def pub_date_groups_expr(year: str, current_year: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def pub_date_slider_expr(
+    f008: str | Column, f260c_vals: str | Column, current_year: int
+) -> Column:
+    """Pub-year 'slider' values — the multi-year expansion behind
+    ``pub_year_itsim`` (getPubDateSliderVals, PublicationUtils.java:271-384,
+    called from StanfordIndexer.java:1104-1106 with the raw 260c value set).
+
+    From an 008 of length >= 15: date1 = bytes 7-10 with a trailing 'u'
+    imputed to '0', date2 = bytes 11-14 with 'u' imputed to '9' (both via
+    get3or4DigitYear, PublicationUtils.java:665-681: dddd kept unless
+    '9999', dddu imputed only when its decade has already started, then the
+    [500, current+1] sanity window). The 008/06 date-type code selects the
+    expansion:
+
+    - d/i/k/q (and m, whose extra raw2 != '9999' guard is already implied
+      by date2's '9999' exclusion): start, end, and every year between
+    - c (continuing): start, and when raw date2 is the open-range '9999',
+      every year through the current year
+    - p/r/t: start and end only
+    - e/s/u/b/n/| and anything else: start only
+
+    When the 008 yields nothing, falls back to a year extracted from each
+    260c value (DateUtils.getYearFromString -> cleaning.extract_year_expr).
+    Returns a sorted-ascending array<string> of distinct years (the
+    reference returns an unordered Set; sorting makes output deterministic).
+    ``current_year`` is injected for determinism (SURVEY.md §2.9 datestamp
+    discipline). Pure Column logic — sequence()/transform() keep the year
+    expansion JVM-side.
+    """
+    c008 = F.coalesce(
+        F.col(f008) if isinstance(f008, str) else f008, F.lit("")
+    )
+    vals260c = F.coalesce(
+        F.col(f260c_vals) if isinstance(f260c_vals, str) else f260c_vals,
+        F.array().cast("array<string>"),
+    )
+    ok = F.length(c008) >= 15
+    c6 = F.substring(c008, 7, 1)
+    raw1 = F.substring(c008, 8, 4)
+    raw2 = F.substring(c008, 12, 4)
+
+    def get3or4(raw: Column, repl: str) -> Column:
+        dddd = raw.rlike("^[0-9]{4}$") & (raw != "9999")
+        dddu = raw.rlike("^[0-9]{3}u$")
+        first3 = F.substring(raw, 1, 3)
+        cand = F.when(dddd, raw).when(
+            dddu & (first3.cast("int") <= current_year // 10),
+            F.concat(first3, F.lit(repl)),
+        )
+        y = cand.cast("int")
+        return F.when((y >= 500) & (y <= current_year + 1), cand)
+
+    d1 = get3or4(raw1, "0")
+    d2 = get3or4(raw2, "9")
+    y1 = d1.cast("int")
+    y2 = d2.cast("int")
+
+    empty = F.array().cast("array<string>")
+
+    def arr(c: Column) -> Column:
+        return F.when(c.isNotNull(), F.array(c)).otherwise(empty)
+
+    def years(lo: Column, hi: Column) -> Column:
+        # ascending guard: Spark's sequence() auto-steps -1 when lo > hi,
+        # but the reference's for-loop emits nothing in that case
+        return F.when(
+            lo.isNotNull() & hi.isNotNull() & (lo <= hi),
+            F.transform(F.sequence(lo, hi), lambda y: y.cast("string")),
+        ).otherwise(empty)
+
+    between = years(y1, y2 - 1)
+    branch = (
+        F.when(
+            c6.isin("d", "i", "k", "q", "m"),
+            F.concat(arr(d1), arr(d2), between),
+        )
+        .when(
+            c6 == "c",
+            F.concat(
+                arr(d1),
+                F.when(
+                    (raw2 == "9999") & d1.isNotNull(),
+                    years(y1, F.lit(current_year)),
+                ).otherwise(empty),
+            ),
+        )
+        .when(c6.isin("p", "r", "t"), F.concat(arr(d1), arr(d2)))
+        .otherwise(arr(d1))
+    )
+    from_008 = F.when(ok, branch).otherwise(empty)
+
+    from .cleaning import extract_year_expr
+
+    from_260c = F.filter(
+        F.transform(
+            vals260c,
+            lambda v: F.when(
+                extract_year_expr(v).isNotNull(),
+                extract_year_expr(v).cast("string"),
+            ),
+        ),
+        lambda y: y.isNotNull(),
+    )
+    return F.array_sort(
+        F.array_distinct(
+            F.when(F.size(from_008) > 0, from_008).otherwise(from_260c)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language splitting — smushed 041a split into 3-char codes
 # (StanfordIndexer.java:340-357)
 # ---------------------------------------------------------------------------
 
 
-def split_lang_codes_expr(col: str) -> Column:
+def split_lang_codes_expr(col: str | Column) -> Column:
     """'engfreger' -> [eng, fre, ger]; non-multiple-of-3 values pass through
-    whole (the reference logs and keeps them)."""
-    c = F.col(col)
+    whole (the reference logs and keeps them). Accepts a Column so it can
+    run inside array lambdas (the profile compiler's getLanguages)."""
+    c = col if isinstance(col, Column) else F.col(col)
     n = F.length(c)
     split3 = F.transform(
         F.sequence(F.lit(0), (n / 3).cast("int") - 1),
