@@ -53,6 +53,7 @@ HEADLINE = [
     "knn_ivf",
     "year_facet",
     "format_mixin_facet",
+    "profile_battery",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.textstats import (
@@ -886,6 +886,142 @@ def q_format_mixin_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         types.groupBy("type").agg(F.count("*").alias("count"))
         .orderBy(F.desc("count"), F.asc("type"))
     )
+
+
+_PROFILE_MINI_SPEC = """
+id = custom, getId
+collection = customDeleteRecordIfFieldEmpty, getMusicRecords
+format = custom, getFormats
+building = custom, getBuildings, library_map.properties
+language = custom, getLanguages, language_map.properties
+pub_year_itsim = custom, getPubDateSliderVals
+lc_alpha_facet = custom, getLCCallNumCats, callnumber_map.properties
+lc_b4cutter_facet = custom, getLCCallNumsB4Cutter
+leader_byte_06_si = 000[06]
+f008_06_si = 008[6]
+f024_1a_sim = custom, get024(1, a)
+f041a_sim = 041a
+"""
+
+
+def q_profile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prof_index.properties run: MARC records are derived
+    DETERMINISTICALLY from md5(doc_id) (leader type, 008 date-type +
+    year span + language, 041a smush, a 999 item with scheme/library/
+    call number, an ind1-gated 024), a 12-field spec covering every
+    handler class is compiled by plans/profile.py (SolrIndexer.
+    fillMapFromProperties grammar), the customDeleteRecordIfFieldEmpty
+    music gate drops non-music records (StanfordIndexer.java:229-250),
+    and the surviving profile is facet-counted in ONE pass (the default
+    search handler battery, solrconfig.xml:64-280, limit=21 mincount=1).
+
+    The DuckDB twin re-derives every field value from the same md5 bytes
+    as independent CASE/LATERAL logic — a true semantic oracle for the
+    compiler, the item model, the formats set, the slider expansion
+    (PublicationUtils.java:271-384), and the battery ranking."""
+    from .plans.profile import (
+        parse_index_properties, profile_facets, profile_frame,
+    )
+
+    marc = _profile_battery_marc(spark, sf_dir)
+    fields = parse_index_properties(_PROFILE_MINI_SPEC)
+    prof = profile_frame(marc, fields, current_year=2026)
+    # Materialize the profiled frame before faceting — it is the analog of
+    # the COMMITTED index (the reference POSTs exactly these fields to
+    # Solr; the facet battery then reads the committed index, not raw
+    # MARC). Without the barrier, CollapseProject inlines every field's
+    # full expression tree into the battery's generator and the optimizer
+    # re-walks a ~megabyte expression per action (measured 10 s driver
+    # overhead at 500 rows vs 0.3 s with the barrier).
+    prof = prof.localCheckpoint(eager=False)
+    fac = profile_facets(
+        prof,
+        [
+            "collection", "format", "building", "language",
+            "pub_year_itsim", "lc_alpha_facet", "lc_b4cutter_facet",
+            "leader_byte_06_si", "f008_06_si", "f024_1a_sim", "f041a_sim",
+        ],
+    )
+    return fac.select(
+        "facet_field", "facet_value",
+        F.col("count").alias("n"), F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _profile_battery_marc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic md5-derived MARC frame behind q_profile_battery
+    (separate so stage costs can be measured independently)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    h1, h2, h3, h4, h5, h6, h7, h8, h9, h10 = [
+        F.substring(h, i, 1) for i in range(1, 11)
+    ]
+    ldr06 = F.when(h1 <= "7", "a").when(h1 <= "b", "j").otherwise("e")
+    leader = F.concat(F.lit("00000c"), ldr06, F.lit("m a2200000 a 4500"))
+    dtype = F.when(h2 <= "7", "s").otherwise("d")
+    y1 = (F.lit(1900) + F.conv(h3, 16, 10).cast("int") * 7).cast("int")
+    y2 = (y1 + F.conv(h4, 16, 10).cast("int") % 4).cast("int")
+    lang008 = (
+        F.when(h5 <= "5", "eng").when(h5 <= "a", "fre").otherwise("ger")
+    )
+    f008 = F.concat(
+        F.lit("000000"), dtype, y1.cast("string"),
+        F.when(dtype == "d", y2.cast("string")).otherwise(F.lit("    ")),
+        F.lit(" " * 20), lang008,
+    )
+    has041 = h6 <= "3"
+    lib = (
+        F.when(h7 <= "5", "MUSIC").when(h7 <= "b", "GREEN")
+        .otherwise("SAL3")
+    )
+    cn = (
+        F.when(h8 <= "5", "M5 .L6").when(h8 <= "b", "M23 .B3")
+        .otherwise("QA303 .B2")
+    )
+    has024 = h9 <= "7"
+    upc = F.concat(F.lit("UPC-"), h10)
+
+    def sf(code: str, val) -> Column:
+        return F.struct(
+            F.lit(code).alias("code"),
+            (F.lit(val) if isinstance(val, str) else val).alias("value"),
+        )
+
+    def datafield(tag: str, ind1: str, subs) -> Column:
+        return F.struct(
+            F.lit(tag).alias("tag"),
+            F.lit(ind1).alias("ind1"),
+            F.lit(" ").alias("ind2"),
+            F.array(*subs).alias("subfields"),
+        )
+
+    f999 = datafield("999", " ", [
+        sf("a", cn), sf("w", "LC"), sf("m", lib), sf("l", "STACKS"),
+        sf("k", "STACKS"), sf("t", "STKS"),
+    ])
+    f041 = datafield("041", " ", [sf("a", "itaspa")])
+    f024 = datafield("024", "1", [sf("a", upc)])
+    marc = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        leader.alias("leader"),
+        F.array(
+            F.struct(
+                F.lit("001").alias("tag"),
+                F.concat(F.lit("a"), F.col("doc_id").cast("string"))
+                .alias("data"),
+            ),
+            F.struct(F.lit("008").alias("tag"), f008.alias("data")),
+        ).alias("controlfields"),
+        F.filter(
+            F.array(
+                f999,
+                F.when(has041, f041),
+                F.when(has024, f024),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("datafields"),
+    )
+    return marc
 
 
 def q_pub_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,6 +1953,78 @@ SELECT doc_id, callnum,
 FROM built
 """
 
+ORACLE_SQL["profile_battery"] = """
+WITH d AS (
+  SELECT doc_id, md5(cast(doc_id AS VARCHAR)) AS hx FROM documents
+), b AS (
+  SELECT
+    substr(hx, 1, 1) AS h1, substr(hx, 2, 1) AS h2,
+    strpos('0123456789abcdef', substr(hx, 3, 1)) - 1 AS v3,
+    strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS v4,
+    substr(hx, 5, 1) AS h5, substr(hx, 6, 1) AS h6,
+    substr(hx, 7, 1) AS h7, substr(hx, 8, 1) AS h8,
+    substr(hx, 9, 1) AS h9, substr(hx, 10, 1) AS h10
+  FROM d
+), rec AS (
+  SELECT
+    CASE WHEN h1 <= '7' THEN 'Book'
+         WHEN h1 <= 'b' THEN 'Music - Recording'
+         ELSE 'Map/Globe' END AS format,
+    CASE WHEN h1 <= '7' THEN 'a' WHEN h1 <= 'b' THEN 'j' ELSE 'e'
+         END AS ldr06,
+    CASE WHEN h2 <= '7' THEN 's' ELSE 'd' END AS dtype,
+    1900 + v3 * 7 AS y1,
+    1900 + v3 * 7 + (v4 % 4) AS y2,
+    CASE WHEN h5 <= '5' THEN 'English' WHEN h5 <= 'a' THEN 'French'
+         ELSE 'German' END AS lang008,
+    (h6 <= '3') AS has041,
+    CASE WHEN h7 <= '5' THEN 'Music' WHEN h7 <= 'b' THEN 'Green'
+         ELSE 'SAL3 (off-campus storage)' END AS building,
+    CASE WHEN h8 <= '5' THEN 'M - Music' WHEN h8 <= 'b' THEN 'M - Music'
+         ELSE 'QA - Mathematics' END AS lc_alpha,
+    CASE WHEN h8 <= '5' THEN 'M5' WHEN h8 <= 'b' THEN 'M23'
+         ELSE 'QA303' END AS b4cutter,
+    (h8 <= 'b') AS has_m_callnum,
+    (h9 <= '7') AS has024,
+    'UPC-' || h10 AS upc
+  FROM b
+), kept AS (
+  -- the customDeleteRecordIfFieldEmpty(getMusicRecords) gate:
+  -- music format, or Book with an M-class LC call number
+  SELECT * FROM rec
+  WHERE format = 'Music - Recording'
+     OR (format = 'Book' AND has_m_callnum)
+), pairs AS (
+  SELECT 'collection' AS facet_field, 'music' AS facet_value FROM kept
+  UNION ALL SELECT 'format', format FROM kept
+  UNION ALL SELECT 'building', building FROM kept
+  UNION ALL SELECT 'language', lang008 FROM kept
+  UNION ALL SELECT 'language', 'Italian' FROM kept WHERE has041
+  UNION ALL SELECT 'language', 'Spanish' FROM kept WHERE has041
+  UNION ALL
+    SELECT 'pub_year_itsim',
+           cast(unnest(generate_series(
+             y1, CASE WHEN dtype = 'd' THEN y2 ELSE y1 END)) AS VARCHAR)
+    FROM kept
+  UNION ALL SELECT 'lc_alpha_facet', lc_alpha FROM kept
+  UNION ALL SELECT 'lc_b4cutter_facet', b4cutter FROM kept
+  UNION ALL SELECT 'leader_byte_06_si', ldr06 FROM kept
+  UNION ALL SELECT 'f008_06_si', dtype FROM kept
+  UNION ALL SELECT 'f024_1a_sim', upc FROM kept WHERE has024
+  UNION ALL SELECT 'f041a_sim', 'itaspa' FROM kept WHERE has041
+), counted AS (
+  SELECT facet_field, facet_value, count(*) AS n
+  FROM pairs GROUP BY 1, 2
+), ranked AS (
+  SELECT facet_field, facet_value, n,
+         row_number() OVER (PARTITION BY facet_field
+                            ORDER BY n DESC, facet_value ASC) AS rank
+  FROM counted
+)
+SELECT facet_field, facet_value, n, rank::INT AS rank
+FROM ranked WHERE rank <= 21 ORDER BY facet_field, rank
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -1872,4 +2080,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reindex_fields": q_reindex_fields,
     "lang_id": q_lang_id,
     "callnum_lop": q_callnum_lop,
+    "profile_battery": q_profile_battery,
 }
