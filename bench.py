@@ -44,6 +44,7 @@ HEADLINE = [
     "bm25_phrase_phys_topk",
     "bm25_dismax_topk",
     "bm25_dismax_phys_topk",
+    "bm25_dismax_pf_topk",
     "search_facet_lang",
     "lsh_candidates",
     "lsh_jaccard",

@@ -206,8 +206,6 @@ def bm25_dismax_topk_plan(
     then (key) — all JVM-side, broadcast-joined query terms, ending in
     TakeOrderedAndProject.
     """
-    from .postings import term_freqs
-
     spark = docs.sparkSession
     qterms: list[str] = []
     for t in ANALYZERS[chain](query):
@@ -215,6 +213,40 @@ def bm25_dismax_topk_plan(
             qterms.append(t)
     if not qterms:
         return spark.createDataFrame([], f"{key_col} long, score double")
+    per_term = _dismax_per_term(
+        docs, qterms, fields, key_col=key_col, k1=k1, b=b, tie=tie
+    )
+    # edismax mm over BASE terms: a term matched in any field counts once
+    # (the per_term rows are already one per (doc, base term))
+    scored = per_term.groupBy(key_col).agg(
+        F.round(F.sum("ds"), round_to).alias("score"),
+        F.count("*").alias("_n_matched"),
+    )
+    if min_match is not None:
+        scored = scored.filter(
+            F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
+        )
+    return (
+        scored.select(key_col, "score")
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(int(k))
+    )
+
+
+def _dismax_per_term(
+    docs: DataFrame,
+    qterms: Sequence[str],
+    fields: Sequence[tuple],
+    key_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    tie: float = 0.1,
+) -> DataFrame:
+    """Per-(doc, term) dismax scores over the qf fields — the shared core
+    of the plain and pf-boosted edismax plans. Returns (key, term, ds)."""
+    from .postings import term_freqs
+
+    spark = docs.sparkSession
     qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
 
     parts = []
@@ -259,27 +291,193 @@ def bm25_dismax_topk_plan(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    per_term = (
+    return (
         u.groupBy(key_col, "term")
         .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
         .select(
             key_col,
+            "term",
             (F.col("mx") + float(tie) * (F.col("sm") - F.col("mx")))
             .alias("ds"),
         )
     )
-    # edismax mm over BASE terms: a term matched in any field counts once
-    # (the per_term rows are already one per (doc, base term))
-    scored = per_term.groupBy(key_col).agg(
-        F.round(F.sum("ds"), round_to).alias("score"),
-        F.count("*").alias("_n_matched"),
-    )
-    if min_match is not None:
-        scored = scored.filter(
-            F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
+
+
+def phrase_freq_expr(
+    tokens_col: str, phrase_terms: Sequence[str], slop: int = 0
+):
+    """Phrase FREQUENCY — the number of match start positions, i.e. the
+    ``tf`` a Lucene ``PhraseQuery`` feeds its similarity (the scoring
+    side of :func:`phrase_match_expr`'s boolean).
+
+    ``slop=0``: count of exact adjacencies; ``slop>0``: count of start
+    positions from which an in-order sloppy match (window ``(m-1)+slop``)
+    exists. Same native-expression scale shape as phrase_match_expr:
+    ``size(filter(sequence(...)))`` inside whole-stage codegen.
+    """
+    m = len(phrase_terms)
+    if m == 0:
+        return F.lit(0)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    for t in phrase_terms:
+        if not t.isalnum():
+            raise ValueError(f"phrase term {t!r} not analyzer-clean")
+    n = f"size({tokens_col})"
+    if slop == 0:
+        conds = " AND ".join(
+            f"element_at({tokens_col}, CAST(i + {j} AS INT)) = '{t}'"
+            for j, t in enumerate(phrase_terms)
         )
+        inner = (
+            f"size(filter(sequence(1, {n} - {m - 1}), i -> {conds}))"
+        )
+    else:
+        hi = f"least(p0 + {m - 1 + slop}, {n})"
+
+        def step(j: int, prev: str) -> str:
+            var = f"p{j}"
+            cond = (
+                f"element_at({tokens_col}, CAST({var} AS INT))"
+                f" = '{phrase_terms[j]}'"
+            )
+            nxt = step(j + 1, var) if j + 1 < m else "true"
+            return (
+                f"(CASE WHEN {prev} + 1 <= {hi} THEN "
+                f"exists(sequence({prev} + 1, {hi}),"
+                f" {var} -> {cond} AND {nxt}) ELSE false END)"
+            )
+
+        first = (
+            f"element_at({tokens_col}, CAST(p0 AS INT))"
+            f" = '{phrase_terms[0]}'"
+        )
+        inner = (
+            f"size(filter(sequence(1, {n} - {m - 1}),"
+            f" p0 -> {first} AND {step(1, 'p0')}))"
+        )
+    return F.when(
+        F.size(F.col(tokens_col)) >= m, F.expr(inner).cast("int")
+    ).otherwise(F.lit(0))
+
+
+def bm25_dismax_pf_plan(
+    docs: DataFrame,
+    query: str,
+    qf_fields: Sequence[tuple],
+    pf_fields: Sequence[tuple],
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    ps: int = 0,
+    k1: float = K1,
+    b: float = B,
+    tie: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Edismax with PHRASE-BOOST fields — the reference's ``pf``/``ps``
+    handler shape (test/solr/conf/solrconfig.xml:251-368 ``pf_author`` /
+    ``pf_title`` boosts with ``ps=3``; Solr's DisMaxQParser adds the pf
+    phrase queries as SHOULD clauses on top of the main dismax query).
+
+    Scoring: the main score is the qf dismax sum (``_dismax_per_term``);
+    each pf field contributes, for docs where the FULL analyzed query
+    occurs as a phrase within ``ps`` slop,
+
+        boost * idf_sum * ptf*(k1+1) / (ptf + k1*(1-b+b*dl/avgdl))
+
+    with ``ptf`` the phrase frequency (:func:`phrase_freq_expr`) and
+    ``idf_sum`` the sum of the phrase terms' idfs in that field — Lucene's
+    PhraseQuery similarity (sum-of-idfs, phrase freq as tf). Multiple pf
+    fields combine as a DisjunctionMax with the same ``tie``; the phrase
+    part is ADDED to the main score (a pure boost: docs are selected by
+    the main query only).
+
+    Scale shape: the phrase counter is a native per-row expression next to
+    the token scan (no shuffle); per-field idf_sum and stats are scalar
+    aggregates broadcast back; the final combine is one left join of the
+    (small) per-doc phrase-boost frame onto the main scores.
+    """
+    spark = docs.sparkSession
+    qterms: list[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in qterms:
+            qterms.append(t)
+    if not qterms:
+        return spark.createDataFrame([], f"{key_col} long, score double")
+    per_term = _dismax_per_term(
+        docs, qterms, qf_fields, key_col=key_col, k1=k1, b=b, tie=tie
+    )
+    main = per_term.groupBy(key_col).agg(F.sum("ds").alias("main"))
+
+    from .postings import term_freqs
+
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    pf_parts = []
+    for tokens_col, boost in pf_fields:
+        toks = docs.select(
+            F.col(key_col),
+            (F.col(tokens_col) if isinstance(tokens_col, str)
+             else tokens_col).alias("tokens"),
+        )
+        with_dl = toks.select(
+            key_col, "tokens", F.size("tokens").alias("dl")
+        )
+        stats = with_dl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        dfq = (
+            term_freqs(with_dl.select(key_col, "tokens"), key_col=key_col)
+            .join(F.broadcast(qdf), "term")
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        idf_sum = (
+            dfq.crossJoin(F.broadcast(stats))
+            .agg(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0
+                    )
+                ).alias("idf_sum")
+            )
+        )
+        ph = with_dl.select(
+            key_col,
+            "dl",
+            phrase_freq_expr("tokens", qterms, slop=ps).alias("ptf"),
+        ).filter(F.col("ptf") > 0)
+        pf_parts.append(
+            ph.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(idf_sum))
+            .select(
+                key_col,
+                (
+                    F.lit(float(boost)) * F.col("idf_sum")
+                    * F.col("ptf") * (k1 + 1.0)
+                    / (
+                        F.col("ptf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("s"),
+            )
+        )
+    pu = pf_parts[0]
+    for p in pf_parts[1:]:
+        pu = pu.unionByName(p)
+    pboost = pu.groupBy(key_col).agg(
+        (F.max("s") + float(tie) * (F.sum("s") - F.max("s"))).alias("pb")
+    )
     return (
-        scored.select(key_col, "score")
+        main.join(pboost, key_col, "left")
+        .select(
+            key_col,
+            F.round(
+                F.col("main") + F.coalesce(F.col("pb"), F.lit(0.0)),
+                round_to,
+            ).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(int(k))
     )

@@ -215,6 +215,30 @@ def q_bm25_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_dismax_pf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edismax with a phrase-boost field (``pf``/``ps``, the advanced
+    handler shape — test/solr/conf/solrconfig.xml:251-368): main score is
+    the qf dismax (title^2 + body), and docs containing the full query as
+    an exact phrase in the body get an additive PhraseQuery boost
+    (pf body^5, ps=0): boost * idf_sum * BM25(ptf) with ptf the phrase
+    frequency. The DuckDB twin counts adjacency start positions with
+    list_filter and re-derives the same formula independently."""
+    from .operators.bm25 import bm25_dismax_pf_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_dismax_pf_plan(
+        docs.select(
+            "doc_id",
+            F.slice(tokens_simple("text"), 1, 8).alias("title_tk"),
+            tokens_simple("text").alias("body_tk"),
+        ),
+        PHRASE_QUERY,
+        qf_fields=[("title_tk", 2.0), ("body_tk", 1.0)],
+        pf_fields=[("body_tk", 5.0)],
+        key_col="doc_id", k=10, chain="simple", ps=0, tie=0.1, round_to=4,
+    )
+
+
 def q_bm25_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase (edismax ``qs=1``, solrconfig.xml:68-82): the phrase's
     terms must occur IN ORDER within a (m-1)+slop position window — one
@@ -1953,6 +1977,53 @@ SELECT doc_id, callnum,
 FROM built
 """
 
+ORACLE_SQL["bm25_dismax_pf_topk"] = """
+WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+fdl AS (
+  SELECT doc_id, 'title' AS fld, 2.0 AS boost,
+         list_slice(tk, 1, 8) AS ftk, len(list_slice(tk, 1, 8)) AS dl
+  FROM tks
+  UNION ALL
+  SELECT doc_id, 'body', 1.0, tk, len(tk) FROM tks
+),
+fstats AS (SELECT fld, count(*) AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+tok AS (SELECT doc_id, fld, boost, unnest(ftk) AS term FROM fdl),
+q AS (SELECT unnest(['table', 'hash']) AS term),
+tf AS (SELECT doc_id, fld, boost, term, count(*) AS tf
+       FROM tok JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+dfq AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY 1, 2),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         boost * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+  FROM tf
+  JOIN dfq USING (fld, term)
+  JOIN (SELECT doc_id, fld, dl FROM fdl) d USING (doc_id, fld)
+  JOIN fstats USING (fld)
+),
+dt AS (SELECT doc_id, term, max(s) + 0.1 * (sum(s) - max(s)) AS ds
+       FROM s GROUP BY 1, 2),
+main AS (SELECT doc_id, sum(ds) AS main FROM dt GROUP BY 1),
+pidf AS (SELECT sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS idf_sum
+         FROM dfq JOIN fstats USING (fld) WHERE fld = 'body'),
+ptf AS (SELECT doc_id, len(tk) AS dl,
+               len(list_filter(range(1, len(tk)),
+                   i -> tk[i] = 'table' AND tk[i + 1] = 'hash')) AS ptf
+        FROM tks WHERE len(tk) >= 2),
+pb AS (SELECT doc_id,
+              5.0 * idf_sum * ptf * 2.2
+                / (ptf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) AS pb
+       FROM ptf CROSS JOIN pidf
+       CROSS JOIN (SELECT avgdl FROM fstats WHERE fld = 'body') st
+       WHERE ptf > 0)
+SELECT doc_id, round(main + coalesce(pb, 0.0), 4) AS score
+FROM main LEFT JOIN pb USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
 ORACLE_SQL["profile_battery"] = """
 WITH d AS (
   SELECT doc_id, md5(cast(doc_id AS VARCHAR)) AS hx FROM documents
@@ -2081,4 +2152,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "callnum_lop": q_callnum_lop,
     "profile_battery": q_profile_battery,
+    "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
 }
