@@ -53,6 +53,8 @@ HEADLINE = [
     "simhash_neardup",
     "knn_ivf",
     "year_facet",
+    "repetition_signals",
+    "dedup_ngram_removal",
     "format_mixin_facet",
     "profile_battery",
 ]

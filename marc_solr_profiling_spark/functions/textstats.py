@@ -117,3 +117,99 @@ def text_profile(docs: DataFrame, key_col: str = "doc_id",
         quality_score_expr(text_col).alias("quality"),
         fingerprint_expr(text_col).alias("fingerprint"),
     )
+
+
+def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition quality signals (Rae et al.
+    2021 §A1.1 'repetition removal' — the text-quality dimension the
+    reference's profiling battery has no analog for, added for the
+    training-data-pipeline surface):
+
+    - ``ttr``        type-token ratio (distinct tokens / tokens)
+    - ``top2_frac``  occurrences of the most frequent 2-gram / all 2-grams
+    - ``dup5_frac``  occurrences of 5-grams seen >=2x in the doc / all
+                     5-grams
+
+    Scale shape: 1-, 2- and 5-grams are emitted from ONE generator column
+    (``k`` tagged) and exploded once — a single shuffle keyed on
+    (doc, k, gram) for the in-doc counts, then one partial-aggregated
+    rollup back to (doc). Gram strings never leave the (doc, k) group, so
+    skew is bounded by document length, not corpus vocabulary.
+    """
+    toks = docs.select(
+        F.col(key_col), tokens_simple(text_col).alias("tk")
+    )
+
+    def grams(k: int) -> Column:
+        if k == 1:
+            src = F.col("tk")
+        else:
+            n = F.size("tk")
+            src = F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("tk"), i, F.lit(k)), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            src,
+            lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram")),
+        )
+
+    pairs = toks.select(
+        key_col,
+        F.explode(
+            F.concat(grams(1), grams(2), grams(5))
+        ).alias("p"),
+    ).select(key_col, "p.k", "p.gram")
+    counted = pairs.groupBy(key_col, "k", "gram").agg(
+        F.count("*").alias("c")
+    )
+    per_k = counted.groupBy(key_col, "k").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("distinct_grams"),
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .alias("dup_occ"),
+    )
+    return (
+        per_k.groupBy(key_col)
+        .agg(
+            F.max(F.when(F.col("k") == 1, F.col("total"))).alias("n_tokens"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("k") == 1,
+                        F.col("distinct_grams") / F.col("total"),
+                    )
+                ),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("k") == 2, F.col("max_c") / F.col("total")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top2_frac"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("k") == 5, F.col("dup_occ") / F.col("total")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup5_frac"),
+        )
+    )

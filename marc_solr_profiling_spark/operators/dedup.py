@@ -488,3 +488,84 @@ def connected_components(
     return labels.select(
         F.col("node").alias(key_out), F.col("label").alias(label_out)
     )
+
+
+def ngram_removal_stats(docs: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Exact-substring (repeated n-gram) deduplication — the
+    train-data-dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): any ``n``-token gram appearing in
+    ``min_docs`` or more DISTINCT documents marks its token span for
+    removal; returns per affected doc
+
+        (key, n_tokens, n_removed, removed_frac)
+
+    where ``n_removed`` counts tokens covered by at least one duplicated
+    gram (overlapping spans union'd, not double-counted).
+
+    Scale shape (the standard 3-shuffle sweep):
+    1. one generator pass emits (doc, start, xxhash64(gram)) — the gram
+       TEXT never enters a shuffle, only its 64-bit hash;
+    2. shuffle 1: distinct-doc counts per gram hash (partial-agg'd);
+       grams below ``min_docs`` — the overwhelming majority — drop here;
+    3. shuffle 2: semi-join of gram instances against the surviving
+       (rare) duplicated-gram set, on the 64-bit key;
+    4. shuffle 3: per-(doc, position) distinct to union overlapping
+       spans, then a per-doc count.
+    Hot grams (boilerplate) fan out at step 3 exactly proportionally to
+    their duplication — no crossJoin anywhere.
+    """
+    toks = docs.select(
+        F.col(key_col), tokens_simple(text_col).alias("tk")
+    ).withColumn("n_tokens", F.size("tk"))
+    sz = F.col("n_tokens")
+    inst = toks.select(
+        key_col,
+        "n_tokens",
+        F.explode(
+            F.when(
+                sz >= n,
+                F.transform(
+                    F.sequence(F.lit(1), sz - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.xxhash64(
+                            F.array_join(F.slice(F.col("tk"), i, F.lit(n)),
+                                         " ")
+                        ).alias("gh"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:int,gh:bigint>>")
+            )
+        ).alias("g"),
+    ).select(key_col, "n_tokens", "g.start", "g.gh")
+    dup_grams = (
+        inst.groupBy("gh")
+        .agg(F.count_distinct(key_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        inst.join(dup_grams, "gh")
+        .select(
+            key_col,
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return (
+        covered.groupBy(key_col, "n_tokens")
+        .agg(F.count("*").alias("n_removed"))
+        .select(
+            key_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.round(F.col("n_removed") / F.col("n_tokens"), 6)
+            .alias("removed_frac"),
+        )
+    )

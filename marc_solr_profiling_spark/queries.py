@@ -401,6 +401,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition quality signals (type-token
+    ratio, top-2-gram fraction, duplicated-5-gram fraction) — one explode
+    of k-tagged 1/2/5-grams, one in-doc count shuffle, one rollup
+    (functions/textstats.py:repetition_signals)."""
+    from .functions.textstats import repetition_signals
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = repetition_signals(docs, key_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ttr", "top2_frac", "dup5_frac",
+    )
+
+
+def q_dedup_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring training-data dedup (Lee et al. 2022): 8-grams
+    appearing in >=2 distinct docs mark their token spans for removal.
+    Duplicates are injected deterministically (doc_id % 50 == 0 re-added
+    under +1_000_000, the dedup_exact pattern) so the sweep is
+    non-vacuous; the twin re-derives coverage with LATERAL range
+    expansion and a distinct-position union."""
+    from .operators.dedup import ngram_removal_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return ngram_removal_stats(
+        docs.unionByName(dup), key_col="doc_id", n=8, min_docs=2
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     prof = text_profile(docs, key_col="doc_id")
@@ -1977,6 +2011,53 @@ SELECT doc_id, callnum,
 FROM built
 """
 
+ORACLE_SQL["repetition_signals"] = """
+WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents WHERE doc_id < 500),
+g1 AS (SELECT doc_id, 1 AS k, unnest(tk) AS gram FROM tks),
+g2 AS (SELECT doc_id, 2 AS k, array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             FROM tks WHERE len(tk) >= 2)),
+g5 AS (SELECT doc_id, 5 AS k, array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             FROM tks WHERE len(tk) >= 5)),
+pairs AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g5),
+counted AS (SELECT doc_id, k, gram, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+per_k AS (SELECT doc_id, k, sum(c) AS total, count(*) AS dg, max(c) AS mx,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+          FROM counted GROUP BY 1, 2)
+SELECT doc_id,
+  max(CASE WHEN k = 1 THEN total END)::BIGINT AS n_tokens,
+  round(max(CASE WHEN k = 1 THEN dg / total::DOUBLE END), 6) AS ttr,
+  round(coalesce(max(CASE WHEN k = 2 THEN mx / total::DOUBLE END), 0.0), 6)
+    AS top2_frac,
+  round(coalesce(max(CASE WHEN k = 5 THEN dup / total::DOUBLE END), 0.0), 6)
+    AS dup5_frac
+FROM per_k GROUP BY doc_id
+"""
+
+ORACLE_SQL["dedup_ngram_removal"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+),
+tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM base),
+inst AS (SELECT doc_id, n_tokens, i AS start,
+                array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+         FROM (SELECT doc_id, tk, len(tk) AS n_tokens,
+                      unnest(range(1, len(tk) - 6)) AS i
+               FROM tks WHERE len(tk) >= 8)),
+dup AS (SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT doc_id, n_tokens, pos
+        FROM (SELECT doc_id, n_tokens, unnest(range(start, start + 8)) AS pos
+              FROM inst JOIN dup USING (g)))
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, count(*)::BIGINT AS n_removed,
+       round(count(*) / n_tokens::DOUBLE, 6) AS removed_frac
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
 ORACLE_SQL["bm25_dismax_pf_topk"] = """
 WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents),
@@ -2153,4 +2234,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "callnum_lop": q_callnum_lop,
     "profile_battery": q_profile_battery,
     "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
+    "repetition_signals": q_repetition_signals,
+    "dedup_ngram_removal": q_dedup_ngram_removal,
 }
