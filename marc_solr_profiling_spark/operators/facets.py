@@ -88,6 +88,54 @@ def terms_browse(tf_or_tokens: DataFrame, lower_bound: str = "",
     )
 
 
+def terms_component(tf: DataFrame, *, key_col: str = "doc_id",
+                    term_col: str = "term",
+                    lower: str | None = None, lower_incl: bool = True,
+                    upper: str | None = None, upper_incl: bool = False,
+                    prefix: str | None = None, regex: str | None = None,
+                    mincount: int = 1, maxcount: int | None = None,
+                    sort: str = "count", limit: int = 10) -> DataFrame:
+    """The FULL Solr TermsComponent parameter surface (the component wired
+    at solrconfig.xml:294-304; parameters per Solr's TermsComponent:
+    terms.lower[.incl], terms.upper[.incl], terms.prefix, terms.regex,
+    terms.mincount, terms.maxcount, terms.sort=count|index, terms.limit).
+
+    Input is a (doc, term) frame; output is (term, df) where df is the
+    DOCUMENT frequency (Solr returns docFreq per term). ``sort='count'``
+    orders by df desc (ties by term asc, Solr's index order);
+    ``sort='index'`` by term asc.
+
+    Scale shape: range/prefix/regex predicates apply BEFORE the count
+    aggregation, so the shuffle carries only the browsed slice of the
+    vocabulary; on the physical index the same predicates are a range
+    scan of the sorted dictionary."""
+    t = F.col(term_col)
+    out = tf.select(key_col, term_col)
+    if lower is not None:
+        out = out.filter(t >= lower if lower_incl else t > lower)
+    if upper is not None:
+        out = out.filter(t <= upper if upper_incl else t < upper)
+    if prefix is not None:
+        out = out.filter(t.startswith(prefix))
+    if regex is not None:
+        out = out.filter(t.rlike(regex))
+    counted = (
+        out.distinct()
+        .groupBy(term_col)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= mincount)
+    )
+    if maxcount is not None:
+        counted = counted.filter(F.col("df") <= maxcount)
+    if sort == "count":
+        counted = counted.orderBy(F.desc("df"), F.asc(term_col))
+    elif sort == "index":
+        counted = counted.orderBy(F.asc(term_col))
+    else:
+        raise ValueError("terms.sort must be 'count' or 'index'")
+    return counted.limit(int(limit))
+
+
 def term_vectors(docs_with_tokens: DataFrame, key_col: str = "url",
                  tokens_col: str = "tokens") -> DataFrame:
     """Per-doc (term, tf, first_pos) — TermVectorComponent semantics

@@ -279,6 +279,38 @@ def q_terms_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms_browse(tf, lower_bound="m", limit=50)
 
 
+def q_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TermsComponent parameter surface (terms.prefix + range +
+    mincount + sort=count, solrconfig.xml:294-304): doc-frequency browse
+    of the 's'-prefixed vocabulary slice."""
+    from .operators.facets import terms_component
+
+    tf = term_freqs(_docs_tokens(spark, sf_dir), key_col="doc_id")
+    out = terms_component(
+        tf, key_col="doc_id", prefix="s", lower="s", upper="t",
+        mincount=2, sort="count", limit=20,
+    )
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_sort_spec_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key Solr sort spec (the advanced handler's 'score desc,
+    pub_date_sort desc, title_sort asc' shape, test/solr/conf/
+    solrconfig.xml:255) with sortMissingLast semantics: a three-key sort
+    where the primary key has injected nulls (every 'en' lang nulled) —
+    nulls must land LAST even under desc."""
+    from .functions.sort_spec import apply_sort
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.nullif(F.col("lang"), F.lit("en")).alias("lang_key"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return apply_sort(
+        docs, "lang_key desc, n_chars desc, doc_id asc", limit=50
+    )
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_tokens(spark, sf_dir).filter(F.col("doc_id") < 20)
     tv = term_vectors(toks, key_col="doc_id")
@@ -2011,6 +2043,25 @@ SELECT doc_id, callnum,
 FROM built
 """
 
+ORACLE_SQL["sort_spec_page"] = """
+SELECT doc_id, nullif(lang, 'en') AS lang_key, n_chars::BIGINT AS n_chars
+FROM documents
+ORDER BY lang_key DESC NULLS LAST, n_chars DESC, doc_id ASC
+LIMIT 50
+"""
+
+ORACLE_SQL["terms_component"] = """
+WITH tok AS (SELECT DISTINCT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents)
+SELECT term, count(*)::BIGINT AS df
+FROM tok
+WHERE term >= 's' AND term < 't' AND starts_with(term, 's')
+GROUP BY term HAVING count(*) >= 2
+ORDER BY df DESC, term ASC
+LIMIT 20
+"""
+
 ORACLE_SQL["repetition_signals"] = """
 WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents WHERE doc_id < 500),
@@ -2207,6 +2258,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "numfound": q_numfound,
     "terms_browse": q_terms_browse,
+    "terms_component": q_terms_component,
+    "sort_spec_page": q_sort_spec_page,
     "term_vectors": q_term_vectors,
     "facet_lang": q_facet_lang,
     "facet_source": q_facet_source,
