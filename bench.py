@@ -55,6 +55,7 @@ HEADLINE = [
     "year_facet",
     "repetition_signals",
     "dedup_ngram_removal",
+    "gopher_filter",
     "format_mixin_facet",
     "profile_battery",
 ]

@@ -213,3 +213,124 @@ def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
             ).alias("dup5_frac"),
         )
     )
+
+
+#: Gopher rule thresholds (Rae et al. 2021, table A1 — adapted
+#: deterministic subset; values chosen to be non-vacuous on the synthetic
+#: corpus, see queries.q_gopher_filter)
+GOPHER_DEFAULTS = dict(
+    min_tokens=30,
+    max_tokens=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    min_distinct_stopwords=2,
+    max_punct_ratio=0.25,
+    max_top2_frac=0.18,
+    max_dup5_frac=0.30,
+)
+
+
+def gopher_quality_flags(docs: DataFrame, key_col: str = "doc_id",
+                         text_col: str = "text",
+                         stopwords: list[str] | None = None,
+                         **thresholds) -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1):
+    one boolean column per rule, true = REJECTED by that rule —
+
+    - ``r_too_short`` / ``r_too_long``   token count outside
+      [min_tokens, max_tokens]
+    - ``r_word_len``   mean token length outside
+      [min_mean_word_len, max_mean_word_len]
+    - ``r_stopwords``  fewer than min_distinct_stopwords distinct
+      stop words present
+    - ``r_punct``      punctuation chars / chars > max_punct_ratio
+    - ``r_top2``       top-2-gram fraction > max_top2_frac
+    - ``r_dup5``       duplicated-5-gram fraction > max_dup5_frac
+
+    Scale shape: the scalar rules are pure per-row expressions on the
+    token scan; the two repetition rules join the (doc-keyed, tiny)
+    repetition_signals rollup back — one extra shuffle total, shared by
+    both rules.
+    """
+    thr = {**GOPHER_DEFAULTS, **thresholds}
+    sw_list = EN_STOPWORDS if stopwords is None else stopwords
+    toks = tokens_simple(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", ""))
+    ).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    distinct_sw = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in sw_list]),
+        )
+    )
+    scalar = docs.select(
+        F.col(key_col),
+        (n_tok < thr["min_tokens"]).alias("r_too_short"),
+        (n_tok > thr["max_tokens"]).alias("r_too_long"),
+        (
+            (mean_wl < thr["min_mean_word_len"])
+            | (mean_wl > thr["max_mean_word_len"])
+        ).alias("r_word_len"),
+        (distinct_sw < thr["min_distinct_stopwords"]).alias("r_stopwords"),
+        (punct_ratio > thr["max_punct_ratio"]).alias("r_punct"),
+    )
+    rep = repetition_signals(docs, key_col=key_col, text_col=text_col)
+    flags = scalar.join(
+        rep.select(
+            key_col,
+            (F.col("top2_frac") > thr["max_top2_frac"]).alias("r_top2"),
+            (F.col("dup5_frac") > thr["max_dup5_frac"]).alias("r_dup5"),
+        ),
+        key_col,
+        "left",
+    )
+    # docs with zero tokens never reach repetition_signals: they are
+    # r_too_short anyway; missing flags read as not-rejected-by-that-rule
+    return flags.fillna(False, subset=["r_top2", "r_dup5"])
+
+
+GOPHER_RULES = [
+    "r_too_short", "r_too_long", "r_word_len", "r_stopwords",
+    "r_punct", "r_top2", "r_dup5",
+]
+
+
+def gopher_filter_stats(docs: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text",
+                        stopwords: list[str] | None = None,
+                        **thresholds) -> DataFrame:
+    """Per-rule rejection counts plus the surviving-document count:
+    rows ``(rule, n)`` — each rule counted independently (a doc can fail
+    several), ``rule='kept'`` = docs failing none. One flags pass + one
+    stack/aggregate."""
+    flags = gopher_quality_flags(
+        docs, key_col=key_col, text_col=text_col, stopwords=stopwords,
+        **thresholds
+    )
+    kept = F.lit(True)
+    for r in GOPHER_RULES:
+        kept = kept & ~F.col(r)
+    with_kept = flags.withColumn("kept", kept)
+    pairs = ", ".join(f"'{r}', {r}" for r in GOPHER_RULES + ["kept"])
+    stacked = with_kept.selectExpr(
+        f"stack({len(GOPHER_RULES) + 1}, {pairs}) as (rule, flagged)"
+    )
+    return (
+        stacked.filter("flagged")
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+        .orderBy("rule")
+    )

@@ -467,6 +467,27 @@ def q_dedup_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter composition (Rae et al. 2021 §A1.1):
+    per-rule rejection counts + surviving-doc count over the corpus.
+    Thresholds are tuned so six of the eight rules fire on the synthetic
+    token-soup corpus (stopword list restricted to its two function
+    words; r_punct and r_dup5 cannot fire here by corpus construction —
+    no punctuation, no repeated 5-grams — and are exercised in
+    tests/test_repetition.py instead)."""
+    from .functions.textstats import gopher_filter_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_filter_stats(
+        docs, stopwords=["the", "a"],
+        min_tokens=30, max_tokens=80,
+        min_mean_word_len=4.4, max_mean_word_len=10.0,
+        min_distinct_stopwords=2, max_punct_ratio=0.25,
+        max_top2_frac=0.04, max_dup5_frac=0.0,
+    )
+    return out.select("rule", F.col("n").cast("long").alias("n"))
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     prof = text_profile(docs, key_col="doc_id")
@@ -2043,6 +2064,68 @@ SELECT doc_id, callnum,
 FROM built
 """
 
+ORACLE_SQL["gopher_filter"] = r"""
+WITH tks AS (SELECT doc_id, text,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+meas AS (
+  SELECT doc_id,
+    len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS mwl,
+    len(list_intersect(list_distinct(tk), ['the', 'a'])) AS dsw,
+    CASE WHEN length(text) > 0
+         THEN (length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+              ::DOUBLE / length(text)
+         ELSE 0.0 END AS punct
+  FROM tks),
+g2 AS (SELECT doc_id, 2 AS k,
+              array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             FROM tks WHERE len(tk) >= 2)),
+g5 AS (SELECT doc_id, 5 AS k,
+              array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             FROM tks WHERE len(tk) >= 5)),
+counted AS (SELECT doc_id, k, gram, count(*) AS c
+            FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5)
+            GROUP BY 1, 2, 3),
+rep AS (SELECT doc_id,
+               round(coalesce(max(CASE WHEN k = 2 THEN mx / total END), 0.0),
+                     6) AS top2,
+               round(coalesce(max(CASE WHEN k = 5 THEN dup / total END), 0.0),
+                     6) AS dup5
+        FROM (SELECT doc_id, k, sum(c)::DOUBLE AS total, max(c) AS mx,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM counted GROUP BY 1, 2)
+        GROUP BY doc_id),
+flags AS (
+  SELECT m.doc_id,
+    (n_tok < 30) AS r_too_short,
+    (n_tok > 80) AS r_too_long,
+    (mwl < 4.4 OR mwl > 10.0) AS r_word_len,
+    (dsw < 2) AS r_stopwords,
+    (punct > 0.25) AS r_punct,
+    coalesce(top2 > 0.04, false) AS r_top2,
+    coalesce(dup5 > 0.0, false) AS r_dup5
+  FROM meas m LEFT JOIN rep USING (doc_id)),
+pairs AS (
+  SELECT 'r_too_short' AS rule FROM flags WHERE r_too_short
+  UNION ALL SELECT 'r_too_long' FROM flags WHERE r_too_long
+  UNION ALL SELECT 'r_word_len' FROM flags WHERE r_word_len
+  UNION ALL SELECT 'r_stopwords' FROM flags WHERE r_stopwords
+  UNION ALL SELECT 'r_punct' FROM flags WHERE r_punct
+  UNION ALL SELECT 'r_top2' FROM flags WHERE r_top2
+  UNION ALL SELECT 'r_dup5' FROM flags WHERE r_dup5
+  UNION ALL SELECT 'kept' FROM flags
+    WHERE NOT (r_too_short OR r_too_long OR r_word_len OR r_stopwords
+               OR r_punct OR r_top2 OR r_dup5)
+)
+SELECT rule, count(*)::BIGINT AS n FROM pairs GROUP BY rule ORDER BY rule
+"""
+
 ORACLE_SQL["sort_spec_page"] = """
 SELECT doc_id, nullif(lang, 'en') AS lang_key, n_chars::BIGINT AS n_chars
 FROM documents
@@ -2260,6 +2343,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terms_browse": q_terms_browse,
     "terms_component": q_terms_component,
     "sort_spec_page": q_sort_spec_page,
+    "gopher_filter": q_gopher_filter,
     "term_vectors": q_term_vectors,
     "facet_lang": q_facet_lang,
     "facet_source": q_facet_source,

@@ -83,3 +83,63 @@ def test_ngram_removal_within_doc_repeat_not_flagged(spark):
         [(0, shared + " mid " + shared)], ["doc_id", "text"]
     )
     assert ngram_removal_stats(docs, n=8, min_docs=2).collect() == []
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    from marc_solr_profiling_spark.functions.textstats import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        # clean: all-distinct tokens (no repeated 2-gram), both stopwords
+        (0, " ".join(f"tok{i}xx" for i in range(20)) + " the of"),
+        (1, "tiny doc"),                                   # too short
+        (2, " ".join(f"t{i}" for i in range(200))),        # too long
+        (3, " ".join("ab" for _ in range(40))),            # word len low
+        (4, " ".join(f"pneumonoultra{i}" for i in range(40))),  # len high
+        (5, " ".join(f"u{i}vw" for i in range(40))),       # no stopwords
+        (6, "!!! ??? " * 30 + "the of " * 20),             # punct heavy
+        (7, ("the of " * 40).strip()),                     # repetition
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(
+            docs, min_tokens=20, max_tokens=100,
+            min_mean_word_len=3.0, max_mean_word_len=10.0,
+            min_distinct_stopwords=2, max_punct_ratio=0.25,
+            max_top2_frac=0.2, max_dup5_frac=0.3,
+        ).collect()
+    }
+    assert flags[1]["r_too_short"]
+    assert flags[2]["r_too_long"]
+    assert flags[3]["r_word_len"]          # mean length 2
+    assert flags[4]["r_word_len"]          # mean length > 10
+    assert flags[5]["r_stopwords"]
+    assert flags[6]["r_punct"]
+    assert flags[7]["r_top2"] and flags[7]["r_dup5"]
+    clean = flags[0]
+    assert not any(
+        clean[r] for r in (
+            "r_too_short", "r_too_long", "r_word_len", "r_stopwords",
+            "r_punct", "r_top2", "r_dup5",
+        )
+    )
+
+
+def test_gopher_filter_stats_kept_consistent(spark):
+    from marc_solr_profiling_spark.functions.textstats import (
+        gopher_filter_stats,
+    )
+
+    rows = [
+        (0, " ".join(f"tok{i}xx" for i in range(20)) + " the of"),
+        (1, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["rule"]: r["n"]
+        for r in gopher_filter_stats(docs, min_tokens=20).collect()
+    }
+    assert got["kept"] == 1
+    assert got["r_too_short"] == 1
