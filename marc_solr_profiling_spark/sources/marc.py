@@ -510,3 +510,63 @@ def read_marc_xml(xml_df: DataFrame, xml_col: str = "marc_xml",
             )
 
     return xml_df.select(*cols).mapInPandas(parse, schema=RECORDS_SCHEMA)
+
+
+def encode_record_split(leader: str, controlfields, datafields,
+                        threshold: int = 70_000,
+                        fields_to_split: str = r"9..") -> List[bytes]:
+    """Split-stream serialization — MarcSplitStreamWriter
+    (core/src/org/solrmarc/marcoverride/MarcSplitStreamWriter.java:45-156):
+    ISO 2709 caps a record at 99,999 bytes, so a record whose repeated
+    item fields (typically the 9xx) would overflow is written as SEVERAL
+    physical records. Every chunk repeats the control fields and all
+    non-split data fields; the split-tag fields are dealt out in original
+    order until each chunk's data section reaches ``threshold`` bytes.
+    The reader side reassembles them (MarcCombiningReader ->
+    operators/marc_merge.py:combine_partials), so split -> combine is the
+    identity.
+
+    Returns the list of encoded chunks (one element when nothing needs
+    splitting — including when the record has NO split-tag fields, which
+    still must emit one record, unlike a naive chunker).
+    """
+    import re as _re
+
+    tag_re = _re.compile(fields_to_split)
+    keep = [f for f in datafields if not tag_re.fullmatch(f[0])]
+    split = [f for f in datafields if tag_re.fullmatch(f[0])]
+
+    def field_len(f) -> int:
+        tag, ind1, ind2, subs = f
+        n = 2  # indicators
+        for code, value in subs:
+            n += 2 + len((value or "").encode("utf-8"))
+        return n + 1  # field terminator
+
+    base_len = sum(len(d.encode("utf-8")) + 1 for _, d in controlfields)
+    base_len += sum(field_len(f) for f in keep)
+
+    chunks: List[bytes] = []
+    i = 0
+    while True:
+        batch = []
+        size = base_len
+        # the reference writes at least one split field per chunk even
+        # when base_len already exceeds the threshold (its while guard
+        # checks BEFORE adding, after having written the fixed part)
+        while i < len(split) and size < threshold:
+            batch.append(split[i])
+            size += field_len(split[i])
+            i += 1
+        if i < len(split) and not batch:
+            # divergence from the reference: when the fixed part alone
+            # exceeds the threshold its writer loop would never advance
+            # (MarcSplitStreamWriter.java:102 re-checks `previous <
+            # recordThreshhold` without progress); force one split field
+            # per chunk so the writer always terminates
+            batch.append(split[i])
+            i += 1
+        chunks.append(encode_record(leader, controlfields, keep + batch))
+        if i >= len(split):
+            break
+    return chunks

@@ -175,3 +175,69 @@ def test_read_marc_xml_and_json_dataframes(spark):
     badx = spark.createDataFrame([("<oops>",)], "marc_xml string")
     out = read_marc_xml(badx).collect()
     assert len(out) == 1 and out[0]["parse_error"] is not None
+
+
+def test_encode_record_split_round_trip(spark):
+    """MarcSplitStreamWriter semantics (MarcSplitStreamWriter.java:45-156):
+    oversized records split across physical records, each repeating the
+    control + non-split fields and carrying a 999 batch; the
+    MarcCombiningReader side (combine_records) reassembles the original
+    field multiset."""
+    from marc_solr_profiling_spark.operators.marc_merge import (
+        combine_records,
+    )
+    from marc_solr_profiling_spark.sources.marc import (
+        decode_record, encode_record_split,
+    )
+
+    leader = "00000cam a2200000 a 4500"
+    controls = [("001", "a42"), ("008", " " * 38)]
+    keep = [("245", "1", "0", [("a", "A title")])]
+    items = [
+        ("999", " ", " ", [("a", f"QA{i} .B{i}"), ("i", f"barcode{i:04d}")])
+        for i in range(40)
+    ]
+    chunks = encode_record_split(
+        leader, controls, keep + items, threshold=400,
+        fields_to_split=r"9..",
+    )
+    assert len(chunks) > 1                      # actually split
+    assert all(len(c) <= 99999 for c in chunks)
+    decoded = [decode_record(c) for c in chunks]
+    # every chunk repeats the control + non-split fields
+    for _leader, ctrl, data in decoded:
+        assert ctrl == controls
+        assert data[0][0] == "245"
+    # chunks reassemble to the exact original 999 multiset, in order
+    rows = [
+        (i, "a42", d[0], d[1], d[2])
+        for i, d in enumerate(decoded)
+    ]
+    df = spark.createDataFrame(
+        rows, "seq int, record_id string, leader string,"
+        "controlfields array<struct<tag:string,data:string>>,"
+        "datafields array<struct<tag:string,ind1:string,ind2:string,"
+        "subfields:array<struct<code:string,value:string>>>>"
+    )
+    combined = combine_records(df).collect()[0]
+    got_999 = [
+        f["subfields"][0]["value"]
+        for f in combined["datafields"]
+        if f["tag"] == "999"
+    ]
+    assert got_999 == [f"QA{i} .B{i}" for i in range(40)]
+    # non-split fields present exactly once
+    assert [f["tag"] for f in combined["datafields"]].count("245") == 1
+
+
+def test_encode_record_split_no_split_fields_single_record():
+    from marc_solr_profiling_spark.sources.marc import (
+        decode_record, encode_record, encode_record_split,
+    )
+
+    leader = "00000cam a2200000 a 4500"
+    controls = [("001", "a1")]
+    data = [("245", "1", "0", [("a", "T")])]
+    chunks = encode_record_split(leader, controls, data, threshold=10)
+    assert len(chunks) == 1
+    assert chunks[0] == encode_record(leader, controls, data)
