@@ -467,6 +467,122 @@ def q_dedup_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL column over documents (the testdata ships no
+    url column; the north-star input does, so synthesize one the oracle can
+    reproduce byte-for-byte in SQL): case noise, default ports, trailing
+    slashes, tracking params, fragments — keyed on doc_id residues so
+    canonicalization collapses real groups."""
+    d = F.col("doc_id")
+    n100 = (d % 100).cast("string")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("WWW.Example.COM"))
+        .otherwise(F.lit("www.example.com")),
+        F.when(d % 5 == 0,
+               F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        .otherwise(F.lit("")),
+        F.lit("/page/"), n100,
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit("?utm_source=feed&id="), n100))
+        .when(d % 7 == 1,
+              F.concat(F.lit("?id="), n100, F.lit("&utm_campaign=x&b=2")))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RFC 3986 §6 + tracking-param/www-strip crawl
+    conventions) and exact URL-level dedup — the first dedup pass of any
+    Common-Crawl pipeline, before content hashing ever runs
+    (functions/webclean.py:canonicalize_url_expr/url_dedup). The twin
+    re-derives the canonical form independently in DuckDB SQL."""
+    from .functions.webclean import url_dedup
+
+    return url_dedup(_synth_urls(spark, sf_dir)).select(
+        "canonical_url",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_raw_variants").cast("long").alias("n_raw_variants"),
+        F.col("kept_doc_id").cast("long").alias("kept_doc_id"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over augmented documents: count + redact emails, IPv4
+    addresses, phone numbers (webclean.py:redact_pii — chained
+    regexp_count/regexp_replace, all codegen). PII strings are injected
+    deterministically by doc_id residue so every pattern class fires; the
+    md5 of the fully-redacted text pins the exact output string."""
+    from .functions.webclean import redact_pii
+
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" contact user"), d.cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit(" call 555-123-4567 or 555.987.6543"))
+        .otherwise(F.lit("")),
+    )
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text"))
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-structured derivation of the token-soup corpus (it ships as one
+    space-joined line): a boilerplate header shared by ALL docs, a footer in
+    3 variants, breaks at ' batch ' (no terminal punct) and ' scan ' (adds
+    '.'), so line-level operators have both passing and failing lines. The
+    oracle reproduces this with the same two replace() calls."""
+    nl = F.lit("\n")
+    lined = F.concat(
+        F.lit("cookie notice accept all"), nl,
+        F.replace(
+            F.replace(F.col("text"), F.lit(" batch "),
+                      F.concat(nl, F.lit("batch "))),
+            F.lit(" scan "), F.concat(F.lit("."), nl, F.lit("scan ")),
+        ),
+        nl, F.lit("copyright footer "), (F.col("doc_id") % 3).cast("string"),
+    )
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", lined.alias("text"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-then-document quality gate (Raffel et al. 2020 §2.2):
+    keep lines ending in terminal punctuation with >= 3 words and no
+    blacklist needle; keep docs with >= 2 surviving lines
+    (webclean.py:c4_line_filter — one split + higher-order filter, zero
+    shuffle). The injected header trips both the punctuation and the
+    'cookie' blacklist rules; ' batch ' breaks trip punctuation only."""
+    from .functions.webclean import c4_line_filter
+
+    return c4_line_filter(_lined_docs(spark, sf_dir))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus duplicated-line stats (Wenzek et al. 2020
+    §3.1): normalized lines appearing in >= 2 distinct docs are boilerplate
+    (webclean.py:duplicate_line_stats). Spark groups and joins on
+    xxhash64(line) so the shuffle moves 8-byte keys, never text; the twin
+    groups on the line itself — identical absent a 2^-64 collision."""
+    from .functions.webclean import duplicate_line_stats
+
+    return duplicate_line_stats(_lined_docs(spark, sf_dir))
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule filter composition (Rae et al. 2021 §A1.1):
     per-rule rejection counts + surviving-doc count over the corpus.
@@ -2311,6 +2427,132 @@ SELECT facet_field, facet_value, n, rank::INT AS rank
 FROM ranked WHERE rank <= 21 ORDER BY facet_field, rank
 """
 
+ORACLE_SQL["url_dedup"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+             ELSE 'www.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+             ELSE '' END)
+    || '/page/' || CAST(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+             WHEN doc_id % 7 = 1
+             THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x&b=2'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS host0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q0
+  FROM u),
+norm AS (
+  SELECT doc_id, url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           ELSE host0 END, '^www\.', '') AS host,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[a-z0-9_]+|fbclid|gclid|ref)='))) AS params
+  FROM parts)
+SELECT scheme || '://' || host || path
+       || (CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END)
+         AS canonical_url,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT url)::BIGINT AS n_raw_variants,
+       min(doc_id)::BIGINT AS kept_doc_id
+FROM norm GROUP BY 1
+"""
+
+ORACLE_SQL["pii_redact"] = r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' call 555-123-4567 or 555.987.6543' ELSE '' END) AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t
+       FROM aug),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT
+           AS n_ip,
+         regexp_replace(t, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT
+           AS n_phone,
+         regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS redacted_md5 FROM s3
+"""
+
+_LINED_SQL = """
+  SELECT doc_id,
+    'cookie notice accept all' || chr(10)
+    || replace(replace(text, ' batch ', chr(10) || 'batch '),
+               ' scan ', '.' || chr(10) || 'scan ')
+    || chr(10) || 'copyright footer ' || CAST(doc_id % 3 AS VARCHAR) AS t
+  FROM documents
+"""
+
+ORACLE_SQL["c4_line_filter"] = r"""
+WITH lined AS (%s),
+ls AS (SELECT doc_id,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines
+       FROM lined),
+kept AS (SELECT doc_id, lines,
+           list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+             AND len(string_split_regex(trim(x), '\s+')) >= 3
+             AND NOT contains(lower(trim(x)), 'javascript')
+             AND NOT contains(lower(trim(x)), 'cookie')
+             AND NOT contains(lower(trim(x)), 'lorem ipsum')) AS kl
+         FROM ls)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kl)::BIGINT AS n_kept,
+       len(kl) >= 2 AS kept,
+       coalesce(length(array_to_string(list_transform(kl, x -> trim(x)),
+                                       chr(10))), 0)::BIGINT AS clean_chars
+FROM kept
+""" % _LINED_SQL
+
+ORACLE_SQL["line_dedup"] = """
+WITH lined AS (%s),
+lines AS (SELECT doc_id, lower(trim(x)) AS line
+          FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS x
+                FROM lined)
+          WHERE trim(x) <> ''),
+dup AS (SELECT line FROM lines GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 2),
+tagged AS (SELECT l.doc_id, (d.line IS NOT NULL) AS isdup
+           FROM lines l LEFT JOIN dup d USING (line))
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN isdup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN isdup THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+         AS dup_frac
+FROM tagged GROUP BY doc_id
+""" % _LINED_SQL
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -2373,4 +2615,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
     "repetition_signals": q_repetition_signals,
     "dedup_ngram_removal": q_dedup_ngram_removal,
+    "url_dedup": q_url_dedup,
+    "pii_redact": q_pii_redact,
+    "c4_line_filter": q_c4_line_filter,
+    "line_dedup": q_line_dedup,
 }
