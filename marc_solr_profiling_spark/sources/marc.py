@@ -512,6 +512,121 @@ def read_marc_xml(xml_df: DataFrame, xml_col: str = "marc_xml",
     return xml_df.select(*cols).mapInPandas(parse, schema=RECORDS_SCHEMA)
 
 
+def sniff_marc_format(path: str | None, head: bytes) -> str:
+    """``"xml" | "json" | "marc21"`` for one input, the reference's
+    dispatch rule (MarcHandler.java:367-370 extension check, :400-415
+    stdin mark/read/reset first-byte check): filename extension wins when
+    present; otherwise the first non-whitespace byte — ``<`` is XML, ``{``
+    is JSON, anything else is binary MARC21."""
+    lc = (path or "").lower()
+    if lc.endswith(".xml"):
+        return "xml"
+    if lc.endswith(".json"):
+        return "json"
+    if not lc.endswith((".mrc", ".marc")):
+        if head.startswith(b"\xef\xbb\xbf"):  # UTF-8 BOM
+            head = head[3:]
+        first = head.lstrip(b" \t\r\n")[:1]
+        if first == b"<":
+            return "xml"
+        if first == b"{":
+            return "json"
+    return "marc21"
+
+
+def _split_json_objects(text: str) -> List[str]:
+    """Split a stream of concatenated/ndjson JSON objects into one string
+    per object (string-aware brace scan — the MarcJsonReader consumes the
+    same concatenated-object stream via its tokenizer)."""
+    out: List[str] = []
+    depth = 0
+    start = -1
+    in_str = esc = False
+    for i, ch in enumerate(text):
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                out.append(text[start:i + 1])
+                start = -1
+    if depth > 0 and start >= 0:
+        out.append(text[start:])  # truncated trailer -> quarantine row
+    return out
+
+
+def read_marc_any(binary_df: DataFrame, path_col: str = "path",
+                  content_col: str = "content",
+                  marc8: str = "never") -> DataFrame:
+    """Format-sniffed reader: (path, content) rows from a MIXED directory
+    of binary MARC / MARCXML / MARC-JSON files -> MARC_SCHEMA rows in one
+    pass. Per-file dispatch via :func:`sniff_marc_format`, so each file's
+    parse is independent (one task per batch of files, same parallelism
+    shape as :func:`read_marc_binary`); malformed payloads quarantine with
+    ``parse_error`` set, never an exception."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                raw = bytes(content)
+                fmt = sniff_marc_format(path, raw[:64])
+                if fmt == "marc21":
+                    for seq, rec in enumerate(split_records(raw)):
+                        rid = raw_record_id(rec)
+                        try:
+                            leader, control, data = decode_record(rec, marc8)
+                            rows.append((path, seq, None, rid or "",
+                                         leader, control, data))
+                        except ValueError as e:
+                            rows.append((path, seq, str(e), rid or "",
+                                         None, None, None))
+                    continue
+                text = raw.decode("utf-8", errors="replace")
+                if fmt == "xml":
+                    try:
+                        for seq, (leader, control, data) in enumerate(
+                                parse_marc_xml(text)):
+                            rid = next((d for t, d in control if t == "001"),
+                                       "").strip()
+                            rows.append((path, seq, None, rid,
+                                         leader, control, data))
+                    except ValueError as e:
+                        rows.append((path, 0, str(e), "", None, None, None))
+                else:
+                    for seq, obj in enumerate(_split_json_objects(text)):
+                        try:
+                            leader, control, data = parse_marc_json(obj)
+                            rid = next((d for t, d in control if t == "001"),
+                                       "").strip()
+                            rows.append((path, seq, None, rid,
+                                         leader, control, data))
+                        except ValueError as e:
+                            rows.append((path, seq, str(e), "",
+                                         None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "seq", "parse_error", "record_id",
+                         "leader", "controlfields", "datafields"],
+            )
+
+    return binary_df.select(path_col, content_col).mapInPandas(
+        parse, schema=RECORDS_SCHEMA)
+
+
 def encode_record_split(leader: str, controlfields, datafields,
                         threshold: int = 70_000,
                         fields_to_split: str = r"9..") -> List[bytes]:

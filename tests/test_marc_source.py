@@ -241,3 +241,57 @@ def test_encode_record_split_no_split_fields_single_record():
     chunks = encode_record_split(leader, controls, data, threshold=10)
     assert len(chunks) == 1
     assert chunks[0] == encode_record(leader, controls, data)
+
+
+def test_sniff_marc_format():
+    from marc_solr_profiling_spark.sources.marc import sniff_marc_format
+
+    raw = encode_record(LEADER, CONTROL, DATA)
+    # extension wins (MarcHandler.java:367-370)
+    assert sniff_marc_format("a.XML", raw) == "xml"
+    assert sniff_marc_format("a.json", b"<collection/>") == "json"
+    # stdin-style: no telling extension -> first non-ws byte (:400-415)
+    assert sniff_marc_format(None, b"  <collection>") == "xml"
+    assert sniff_marc_format("dump", b'\xef\xbb\xbf{"leader"') == "json"
+    assert sniff_marc_format("dump.dat", raw) == "marc21"
+    # a known-binary extension never content-sniffs ('{' can open a record)
+    assert sniff_marc_format("a.mrc", b"{weird") == "marc21"
+
+
+def test_split_json_objects_string_aware():
+    from marc_solr_profiling_spark.sources.marc import _split_json_objects
+
+    a = json.dumps({"x": 'brace } in { string', "y": 1})
+    b = json.dumps({"z": "two\\\"quote"})
+    objs = _split_json_objects(a + "\n" + b + "\n")
+    assert objs == [a, b]
+    # truncated trailer still surfaces (as a quarantine candidate)
+    objs = _split_json_objects(a + '{"cut": ')
+    assert len(objs) == 2 and objs[1].startswith('{"cut"')
+
+
+def test_read_marc_any_mixed_directory(spark, tmp_path):
+    """One scan over a mixed dir of .mrc/.xml/.json files -> identical
+    records from each format, plus quarantine for a corrupt member."""
+    from marc_solr_profiling_spark.sources.marc import (
+        read_marc_any, record_to_json, record_to_xml,
+    )
+
+    raw = encode_record(LEADER, CONTROL, DATA)
+    (tmp_path / "a.mrc").write_bytes(raw)
+    xml = record_to_xml(LEADER, CONTROL, DATA)
+    (tmp_path / "b.xml").write_text(
+        xml if xml.lstrip().startswith("<collection")
+        else "<collection>%s</collection>" % xml)
+    j = record_to_json(LEADER, CONTROL, DATA)
+    (tmp_path / "c.json").write_text(j + "\n" + j)  # concatenated objects
+    (tmp_path / "d.dat").write_bytes(b"0009" + b"X" * 30 + b"\x1d")
+
+    out = read_marc_any(
+        spark.read.format("binaryFile").load(str(tmp_path))).collect()
+    ok = [r for r in out if r["parse_error"] is None]
+    assert len(ok) == 4  # 1 mrc + 1 xml + 2 json
+    assert {r["record_id"] for r in ok} == {"ocm57136914"}
+    tags = {tuple(f["tag"] for f in r["datafields"]) for r in ok}
+    assert tags == {("245", "650")}
+    assert any(r["parse_error"] for r in out if r["path"].endswith("d.dat"))
