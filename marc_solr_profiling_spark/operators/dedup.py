@@ -569,3 +569,48 @@ def ngram_removal_stats(docs: DataFrame, key_col: str = "doc_id",
             .alias("removed_frac"),
         )
     )
+
+
+def benchmark_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set n-gram decontamination (the GPT-3 appendix-C / PaLM
+    train-test-overlap step): flag every training document that shares ANY
+    token n-gram with a benchmark/eval corpus, with per-doc overlap counts
+    so callers can choose flag-vs-drop thresholds.
+
+    Scale shape — the asymmetry is the whole design: the benchmark side is
+    an eval set (thousands of docs, fixed), the training side is the
+    10^12-doc corpus. The benchmark's distinct n-gram hashes are broadcast,
+    so the corpus side is one explode + map-side hash-probe join + partial
+    agg back to one row per doc: zero shuffle of corpus text, no corpus-
+    side repartition at all. Join keys are ``xxhash64(shingle)`` — 8 bytes
+    regardless of n (a 2^-64 collision flags one extra n-gram, the standard
+    accepted trade).
+
+    Returns ``<key>, n_grams (distinct), n_hit, contaminated``; docs with
+    zero shingles (empty text) are absent, like the other dedup operators.
+    """
+    bench_h = (
+        benchmark.select(
+            F.explode(shingles_expr(bench_text_col, n)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    doc_sh = docs.select(
+        F.col(key_col),
+        F.explode(shingles_expr(text_col, n)).alias("s"),
+    ).select(key_col, F.xxhash64("s").alias("h"))
+    tagged = doc_sh.join(F.broadcast(bench_h), "h", "left")
+    return tagged.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit").cast("long"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+        F.max(F.coalesce(F.col("hit"), F.lit(False))).alias("contaminated"),
+    )

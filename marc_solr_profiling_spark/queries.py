@@ -583,6 +583,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_line_stats(_lined_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination (GPT-3 appendix C / PaLM): flag
+    training docs sharing any 5-gram with a benchmark corpus
+    (operators/dedup.py:benchmark_decontaminate — broadcast benchmark
+    hashes, map-side probe, zero corpus shuffle). The benchmark here is the
+    doc_id % 41 == 0 slice of the corpus itself, so contamination is real
+    and deterministic; Spark probes on xxhash64(shingle), the twin joins on
+    the shingle string — identical absent a 2^-64 collision."""
+    from .operators.dedup import benchmark_decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return benchmark_decontaminate(docs, bench, n=5)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule filter composition (Rae et al. 2021 §A1.1):
     per-rule rejection counts + surviving-doc count over the corpus.
@@ -2553,6 +2568,28 @@ SELECT doc_id, count(*)::BIGINT AS n_lines,
 FROM tagged GROUP BY doc_id
 """ % _LINED_SQL
 
+ORACLE_SQL["decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(range(0, len(toks) - 4),
+        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5])
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE [] END)) AS s
+  FROM toks),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+tagged AS (SELECT d.doc_id, (b.s IS NOT NULL) AS hit
+           FROM sh d LEFT JOIN bench b USING (s))
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       bool_or(hit) AS contaminated
+FROM tagged GROUP BY doc_id
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
@@ -2619,4 +2656,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
 }

@@ -136,3 +136,32 @@ def test_connected_components_single_pair(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(df).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_benchmark_decontaminate(spark):
+    """Known-overlap fixture: doc 1 contains the benchmark sentence
+    verbatim (all its 3-grams hit), doc 2 shares a partial window, doc 3
+    is clean, empty doc absent from output."""
+    from marc_solr_profiling_spark.operators.dedup import (
+        benchmark_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro the quick brown fox jumps outro"),
+            (2, "a quick brown fox sat still here today"),  # shares 1 3-gram
+            (3, "completely different words entirely present"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           benchmark_decontaminate(docs, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_hit == 3  # all bench 3-grams
+    assert out[2].contaminated and out[2].n_hit == 1  # 'quick brown fox'
+    assert not out[3].contaminated and out[3].n_hit == 0
+    # n_grams is the distinct shingle count: len(toks) - 2
+    assert out[1].n_grams == 5 and out[3].n_grams == 3
