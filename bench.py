@@ -58,6 +58,11 @@ HEADLINE = [
     "gopher_filter",
     "format_mixin_facet",
     "profile_battery",
+    "url_dedup",
+    "pii_redact",
+    "c4_line_filter",
+    "line_dedup",
+    "decontaminate",
 ]
 
 
