@@ -63,6 +63,7 @@ HEADLINE = [
     "c4_line_filter",
     "line_dedup",
     "decontaminate",
+    "clean_funnel",
 ]
 
 

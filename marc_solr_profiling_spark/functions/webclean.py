@@ -222,3 +222,75 @@ def duplicate_line_stats(docs: DataFrame, text_col: str = "text",
             / F.count("*"), 6
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning-cascade funnel (the RefinedWeb / FineWeb pipeline shape)
+# ---------------------------------------------------------------------------
+
+def cleaning_funnel(docs: DataFrame, key_col: str = "doc_id",
+                    text_col: str = "text", url_col: Optional[str] = "url",
+                    stopwords: Optional[Sequence[str]] = None,
+                    **gopher_thresholds) -> DataFrame:
+    """The production cleaning cascade as ONE declarative plan with a
+    per-stage survivor funnel (the shape of RefinedWeb / FineWeb: URL-level
+    dedup first because it is cheapest per byte, quality filtering next,
+    content dedup last so it only hashes survivors):
+
+      1. ``url_dedup``   one winner (min key) per canonical URL
+      2. ``quality``     Gopher rule gate (textstats.gopher_quality_flags)
+      3. ``exact_dedup`` one winner (min key) per md5(text)
+
+    Returns ``(stage_order, stage, n_in, n_kept, n_dropped)`` — four rows
+    (three if ``url_col`` is None). Stage membership flows forward as
+    key-only semi-joins, so document text is scanned where a stage needs it
+    but never shuffled; the four counts land in one job via a cross-join of
+    single-row aggregates (each side is one row — broadcast by
+    construction).
+    """
+    from .textstats import GOPHER_RULES, gopher_quality_flags
+
+    stages = []  # (name, survivors key-only DF)
+    cur = docs
+    if url_col:
+        winners = (
+            cur.groupBy(canonicalize_url_expr(url_col).alias("cu"))
+            .agg(F.min(key_col).alias(key_col))
+            .select(key_col)
+        )
+        stages.append(("url_dedup", winners))
+        cur = docs.join(winners, key_col, "left_semi")
+    flags = gopher_quality_flags(
+        cur, key_col=key_col, text_col=text_col,
+        stopwords=list(stopwords) if stopwords is not None else None,
+        **gopher_thresholds)
+    rejected = F.lit(False)
+    for r in GOPHER_RULES:
+        rejected = rejected | F.col(r)
+    stages.append(("quality", flags.filter(~rejected).select(key_col)))
+    cur = cur.join(stages[-1][1], key_col, "left_semi")
+    stages.append((
+        "exact_dedup",
+        cur.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(key_col).alias(key_col)).select(key_col),
+    ))
+
+    counts = docs.agg(F.count("*").alias("n_0"))
+    for i, (_, surv) in enumerate(stages):
+        counts = counts.crossJoin(surv.agg(F.count("*").alias(f"n_{i + 1}")))
+    names = ["input"] + [name for name, _ in stages]
+    # row i: (order, name, n_in = previous stage's survivors, n_kept = own)
+    stack_args = ", ".join(
+        f"{i + 1}, '{name}', n_{max(i - 1, 0)}, n_{i}"
+        for i, name in enumerate(names)
+    )
+    return counts.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS "
+        "(stage_order, stage, n_in, n_kept)"
+    ).select(
+        F.col("stage_order").cast("int").alias("stage_order"),
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
+    )

@@ -467,12 +467,12 @@ def q_dedup_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic messy-URL column over documents (the testdata ships no
-    url column; the north-star input does, so synthesize one the oracle can
-    reproduce byte-for-byte in SQL): case noise, default ports, trailing
-    slashes, tracking params, fragments — keyed on doc_id residues so
-    canonicalization collapses real groups."""
+def _synth_url_expr():
+    """Deterministic messy-URL expression over a ``doc_id`` column (the
+    testdata ships no url column; the north-star input does, so synthesize
+    one the oracle can reproduce byte-for-byte in SQL): case noise, default
+    ports, trailing slashes, tracking params, fragments — keyed on doc_id
+    residues so canonicalization collapses real groups."""
     d = F.col("doc_id")
     n100 = (d % 100).cast("string")
     url = F.concat(
@@ -490,8 +490,12 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
+    return url
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _load(spark, sf_dir, "documents").select(
-        "doc_id", url.alias("url"))
+        "doc_id", _synth_url_expr().alias("url"))
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +585,29 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.webclean import duplicate_line_stats
 
     return duplicate_line_stats(_lined_docs(spark, sf_dir))
+
+
+def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb/FineWeb cleaning cascade as one plan with a survivor
+    funnel (webclean.py:cleaning_funnel): URL dedup -> Gopher quality gate
+    -> exact content dedup, reporting (n_in, n_kept, n_dropped) per stage.
+    Input = documents + the dedup_exact duplicate injection (doc_id % 50
+    re-inserted at +1,000,000 with the same text) + synthetic messy URLs,
+    so every stage drops real rows; gopher thresholds as in
+    q_gopher_filter. The twin recomputes the whole cascade in SQL."""
+    from .functions.webclean import cleaning_funnel
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    aug = docs.unionByName(dup).withColumn("url", _synth_url_expr())
+    return cleaning_funnel(
+        aug, stopwords=["the", "a"],
+        min_tokens=30, max_tokens=80,
+        min_mean_word_len=4.4, max_mean_word_len=10.0,
+        min_distinct_stopwords=2, max_punct_ratio=0.25,
+        max_top2_frac=0.04, max_dup5_frac=0.0,
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,6 +2595,114 @@ SELECT doc_id, count(*)::BIGINT AS n_lines,
 FROM tagged GROUP BY doc_id
 """ % _LINED_SQL
 
+ORACLE_SQL["clean_funnel"] = r"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+u AS (
+  SELECT doc_id, text,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+             ELSE 'www.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+             ELSE '' END)
+    || '/page/' || CAST(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+             WHEN doc_id % 7 = 1
+             THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x&b=2'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM docs2),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS host0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q0
+  FROM u),
+norm AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           ELSE host0 END, '^www\.', '') AS host,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[a-z0-9_]+|fbclid|gclid|ref)='))) AS params
+  FROM parts),
+s1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM norm
+  GROUP BY scheme || '://' || host || path
+           || (CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&') ELSE '' END)),
+tks AS (SELECT d.doc_id, d.text,
+               regexp_extract_all(lower(d.text), '[a-z0-9]+') AS tk
+        FROM docs2 d JOIN s1 USING (doc_id)),
+meas AS (
+  SELECT doc_id,
+    len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS mwl,
+    len(list_intersect(list_distinct(tk), ['the', 'a'])) AS dsw,
+    CASE WHEN length(text) > 0
+         THEN (length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+              ::DOUBLE / length(text)
+         ELSE 0.0 END AS punct
+  FROM tks),
+g2 AS (SELECT doc_id, 2 AS k,
+              array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             FROM tks WHERE len(tk) >= 2)),
+g5 AS (SELECT doc_id, 5 AS k,
+              array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             FROM tks WHERE len(tk) >= 5)),
+counted AS (SELECT doc_id, k, gram, count(*) AS c
+            FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5)
+            GROUP BY 1, 2, 3),
+rep AS (SELECT doc_id,
+               round(coalesce(max(CASE WHEN k = 2 THEN mx / total END), 0.0),
+                     6) AS top2,
+               round(coalesce(max(CASE WHEN k = 5 THEN dup / total END), 0.0),
+                     6) AS dup5
+        FROM (SELECT doc_id, k, sum(c)::DOUBLE AS total, max(c) AS mx,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM counted GROUP BY 1, 2)
+        GROUP BY doc_id),
+s2 AS (
+  SELECT m.doc_id
+  FROM meas m LEFT JOIN rep USING (doc_id)
+  WHERE NOT ((n_tok < 30) OR (n_tok > 80) OR (mwl < 4.4 OR mwl > 10.0)
+             OR (dsw < 2) OR (punct > 0.25)
+             OR coalesce(top2 > 0.04, false) OR coalesce(dup5 > 0.0, false))),
+s3 AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM docs2 d JOIN s2 USING (doc_id)
+  GROUP BY md5(d.text)),
+c AS (SELECT (SELECT count(*) FROM docs2) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT stage_order, stage, n_in::BIGINT AS n_in, n_kept::BIGINT AS n_kept,
+       (n_in - n_kept)::BIGINT AS n_dropped
+FROM (
+  SELECT 1 AS stage_order, 'input' AS stage, n0 AS n_in, n0 AS n_kept FROM c
+  UNION ALL SELECT 2, 'url_dedup', n0, n1 FROM c
+  UNION ALL SELECT 3, 'quality', n1, n2 FROM c
+  UNION ALL SELECT 4, 'exact_dedup', n2, n3 FROM c)
+"""
+
 ORACLE_SQL["decontaminate"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -2657,4 +2792,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
+    "clean_funnel": q_clean_funnel,
 }

@@ -139,3 +139,48 @@ def test_duplicate_line_stats_min_docs(spark):
     out3 = {r["doc_id"]: r["n_dup"]
             for r in duplicate_line_stats(df, min_docs=3).collect()}
     assert out3 == {1: 1, 2: 1, 3: 1}
+
+
+def test_cleaning_funnel_stages(spark):
+    """Hand-built fixture where each stage drops a known row: docs 1/2
+    share a canonical URL (2 loses), doc 3 fails the quality gate (too
+    short), docs 1/4 share text (4 loses exact dedup)."""
+    from marc_solr_profiling_spark.functions.webclean import cleaning_funnel
+
+    good = ("the quick brown fox jumps over a lazy dog near the "
+            "riverbank today " * 2)
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example/x", good),
+            (2, "HTTPS://A.EXAMPLE:443/x/", good + "tail variant here"),
+            (3, "https://b.example/y", "too short"),
+            (4, "https://c.example/z", good),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r.stage: r for r in cleaning_funnel(
+        docs, stopwords=["the", "a"], min_tokens=5, max_tokens=1000,
+        min_mean_word_len=1.0, max_mean_word_len=10.0,
+        min_distinct_stopwords=1, max_punct_ratio=0.5,
+        max_top2_frac=1.0, max_dup5_frac=1.0,
+    ).collect()}
+    assert (out["input"].n_in, out["input"].n_kept) == (4, 4)
+    assert (out["url_dedup"].n_in, out["url_dedup"].n_kept) == (4, 3)
+    assert (out["quality"].n_in, out["quality"].n_kept) == (3, 2)
+    assert (out["exact_dedup"].n_in, out["exact_dedup"].n_kept) == (2, 1)
+    assert out["exact_dedup"].n_dropped == 1
+
+
+def test_cleaning_funnel_no_url_stage(spark):
+    from marc_solr_profiling_spark.functions.webclean import cleaning_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog here")],
+        "doc_id long, text string")
+    stages = [r.stage for r in cleaning_funnel(
+        docs, url_col=None, stopwords=["the", "a"], min_tokens=5,
+        max_tokens=1000, min_mean_word_len=1.0, max_mean_word_len=10.0,
+        min_distinct_stopwords=1, max_punct_ratio=0.5,
+        max_top2_frac=1.0, max_dup5_frac=1.0,
+    ).orderBy("stage_order").collect()]
+    assert stages == ["input", "quality", "exact_dedup"]
