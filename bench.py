@@ -64,6 +64,7 @@ HEADLINE = [
     "line_dedup",
     "decontaminate",
     "clean_funnel",
+    "pagerank",
 ]
 
 

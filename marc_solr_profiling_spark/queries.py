@@ -610,6 +610,32 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph on the documents
+    table (each doc links to (id*7+1)%N and (id*13+3)%N — the testdata
+    ships no link column), 3 iterations, damping 0.85
+    (operators/linkgraph.py:pagerank — one edge join + grouped sum per
+    round, localCheckpoint plan truncation). The twin unrolls the same 3
+    power iterations in SQL; ranks rounded to 6 decimals on both sides."""
+    from .operators.linkgraph import pagerank
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    d = F.col("doc_id")
+    nn = F.col("n")
+    edges = docs.crossJoin(F.broadcast(n)).select(
+        d.alias("src"), ((d * 7 + 1) % nn).alias("dst")
+    ).unionByName(
+        docs.crossJoin(F.broadcast(n)).select(
+            d.alias("src"), ((d * 13 + 3) % nn).alias("dst"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination (GPT-3 appendix C / PaLM): flag
     training docs sharing any 5-gram with a benchmark corpus
@@ -2703,6 +2729,46 @@ FROM (
   UNION ALL SELECT 4, 'exact_dedup', n2, n3 FROM c)
 """
 
+ORACLE_SQL["pagerank"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn)
+    FROM documents)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+r0 AS (SELECT node, (1.0::DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+i1 AS (
+  SELECT nd.node,
+         (0.15::DOUBLE) / (SELECT n FROM nn)
+         + (0.85::DOUBLE) * coalesce(inf.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) inf USING (node)),
+i2 AS (
+  SELECT nd.node,
+         (0.15::DOUBLE) / (SELECT n FROM nn)
+         + (0.85::DOUBLE) * coalesce(inf.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) inf USING (node)),
+i3 AS (
+  SELECT nd.node,
+         (0.15::DOUBLE) / (SELECT n FROM nn)
+         + (0.85::DOUBLE) * coalesce(inf.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) inf USING (node))
+SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM i3
+"""
+
 ORACLE_SQL["decontaminate"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -2793,4 +2859,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "clean_funnel": q_clean_funnel,
+    "pagerank": q_pagerank,
 }
