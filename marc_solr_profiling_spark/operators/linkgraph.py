@@ -121,3 +121,44 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                 + F.lit(dangling / n))).alias("rank"),
         ).localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def anchor_text_field(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      max_anchors: int = 64) -> DataFrame:
+    """Incoming-anchor-text column per page — the classic web ranking
+    signal (anchors describe the TARGET document, so search engines index
+    a page under the words other pages use to link to it).
+
+    Pipeline: :func:`extract_links` -> drop empty/self anchors -> cap at
+    ``max_anchors`` distinct anchors per target (mega-inlink pages like
+    homepages would otherwise accumulate unbounded text — the cap bounds
+    both the groupBy state and the doc length) -> space-join. Returns
+    ``(url, anchor_text)`` for pages that HAVE incoming anchors; callers
+    left-join it onto the page table and concat into the searchable text,
+    e.g.::
+
+        anchors = anchor_text_field(pages)
+        enriched = pages.join(anchors, "url", "left").withColumn(
+            "text", F.concat_ws(" ", "text", "anchor_text"))
+
+    Scale shape: one shuffle keyed on target url. The ``(dst, anchor)``
+    distinct runs first with map-side partial aggregation, so repeated
+    anchors (nav chrome pointing at the same hub) collapse before the
+    wire; the cap then bounds the joined text. A true mega-hub still
+    accumulates up to its distinct-anchor set in the aggregation state —
+    if that becomes the skew key, salt the distinct by a hash of the
+    anchor and re-merge, the same two-level trick the facet battery uses.
+    """
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    cleaned = (
+        links.filter((F.col("anchor") != "") & (F.col("src") != F.col("dst")))
+        .select(F.col("dst").alias(url_col), "anchor")
+        .distinct()
+    )
+    return cleaned.groupBy(url_col).agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("anchor")), 1, max_anchors),
+            " ",
+        ).alias("anchor_text")
+    )

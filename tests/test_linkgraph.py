@@ -74,3 +74,47 @@ def test_pagerank_matches_reference(spark, iters):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, iters=2).count() == 0
+
+
+def test_anchor_text_field_and_search_composition(spark, tmp_path):
+    """Anchor text makes the TARGET findable: page A links to page B with
+    anchor 'zzanchorterm'; after enrichment, an index built over
+    text+anchor_text returns B for that query even though B's own text
+    never contains it."""
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.operators.linkgraph import (
+        anchor_text_field,
+    )
+    from marc_solr_profiling_spark.operators.wand import wand_topk
+    from marc_solr_profiling_spark.plans.build import build_index
+
+    def page(url, body_text, links=()):
+        body = body_text + "".join(
+            f'<a href="{h}">{a}</a>' for h, a in links)
+        return (url, bytearray(f"<html><body>{body}</body></html>"
+                               .encode()), body_text)
+
+    rows = [
+        page("https://s.example/a", "alpha body words here",
+             links=[("https://s.example/b", "zzanchorterm describes b"),
+                    ("https://s.example/a", "self ignored")]),
+        page("https://s.example/b", "beta body words here"),
+        page("https://s.example/c", "gamma body words here",
+             links=[("https://s.example/b", "zzanchorterm describes b")]),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string")
+
+    anchors = {r.url: r.anchor_text
+               for r in anchor_text_field(pages).collect()}
+    # duplicate anchor from a and c collapses; self-link dropped
+    assert anchors == {"https://s.example/b": "zzanchorterm describes b"}
+
+    enriched = pages.join(
+        anchor_text_field(pages), "url", "left"
+    ).withColumn("text", F.concat_ws(" ", "text", "anchor_text"))
+    idx = build_index(spark, enriched, str(tmp_path / "idx"),
+                      n_salts=2, block_size=32)
+    hits = wand_topk(idx, "zzanchorterm", k=5).collect()
+    assert [h.url for h in hits] == ["https://s.example/b"]
