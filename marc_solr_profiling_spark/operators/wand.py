@@ -501,7 +501,8 @@ def wand_topk(
         score, schema="doc_id long, score double"
     )
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if with_url:
+    if with_url and "url" in index.docs.columns:
+        # indexes keyed on a non-url column have no url in the docs stage
         topk = topk.join(index.docs.select("doc_id", "url"), "doc_id", "left")
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk
@@ -603,7 +604,7 @@ def dismax_topk(
         score, schema="doc_id long, score double"
     )
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
-    if with_url:
+    if with_url and "url" in index.docs.columns:
         topk = topk.join(index.docs.select("doc_id", "url"), "doc_id", "left")
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk

@@ -239,3 +239,17 @@ def test_wand_batch_auto_picks_dense_for_hot_overlap(spark, index):
     res = wand_topk_batch(index, batch, k=3, skip_acc=acc)
     assert res.count() > 0
     assert int(acc.value) == 0
+
+
+def test_wand_topk_index_without_url_column(spark, tmp_path):
+    """An index keyed on a non-url column (the spark-submit build path
+    with --key-col doc_id) has no url in its docs stage; wand_topk's
+    default with_url=True must degrade gracefully instead of failing
+    column resolution."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, str(tmp_path / "idx"), key_col="doc_id",
+                      id_col="doc_id", text_col="text", n_salts=2,
+                      block_size=32)
+    rows = wand_topk(idx, "the batch", k=5).collect()
+    assert len(rows) == 5
+    assert set(rows[0].asDict()) == {"doc_id", "score"}
