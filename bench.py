@@ -65,6 +65,8 @@ HEADLINE = [
     "decontaminate",
     "clean_funnel",
     "pagerank",
+    "hash_split",
+    "pack_shards",
 ]
 
 

@@ -1,0 +1,201 @@
+"""Dataset splitting, sampling, and shard packing for training pipelines.
+
+The last mile of a training-data pipeline after cleaning/dedup: carve the
+corpus into deterministic train/val/test splits, rebalance languages, and
+pack documents into fixed-token-budget shards. No reference counterpart
+(the reference profiles a finished index); semantics follow the standard
+LLM-data recipes — hash-based splits (stable under re-runs and corpus
+growth), temperature-based language rebalancing (the multilingual mixing
+rule of mT5/CC100: q_l proportional to p_l^alpha), and contiguous
+token-budget sharding.
+
+Determinism rule used throughout: selection decisions key on the md5 hex
+prefix of the document key. Both Spark and DuckDB emit identical lowercase
+md5 hex, and lexicographic order of fixed-width lowercase hex equals
+numeric order — so thresholds are plain string literals, reproducible in
+any engine, and a document's fate never depends on partitioning, sampling
+seeds, or row order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frac_to_hex8(frac: float) -> str:
+    """A [0,1) fraction as the 8-hex-digit threshold it corresponds to on
+    the md5-prefix line (2^32 buckets)."""
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def _bucket(key_col: str, salt: str):
+    """The 8-hex-char md5 prefix of (salt || key): a uniform draw in
+    [0, 2^32) encoded so string order == numeric order."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+
+
+def hash_split(docs: DataFrame, key_col: str = "doc_id",
+               weights: Mapping[str, float] | None = None,
+               salt: str = "split") -> DataFrame:
+    """Deterministic, re-run-stable train/val/test assignment: the split a
+    document lands in is a pure function of its key — growing the corpus
+    never moves an existing document between splits (the property random
+    splits lack and every data pipeline eventually needs for eval
+    hygiene).
+
+    Adds a ``split`` column; weights normalize to 1. Pure per-row
+    expressions — no shuffle, no RNG state.
+    """
+    w = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(w.values())
+    b = _bucket(key_col, salt)
+    expr = None
+    acc = 0.0
+    items = list(w.items())
+    for name, frac in items[:-1]:
+        acc += frac / total
+        cond = b < F.lit(frac_to_hex8(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(docs: DataFrame, fractions: Mapping[str, float],
+                      stratum_col: str = "lang", key_col: str = "doc_id",
+                      default_frac: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum subsample: keep a document iff its hash
+    bucket falls under its stratum's fraction. Same guarantees as
+    :func:`hash_split` (re-run stable, partition-independent), unlike
+    ``df.sampleBy`` whose selection depends on seed+partitioning. Zero
+    shuffle."""
+    b = _bucket(key_col, salt)
+    thr = None
+    for val, frac in sorted(fractions.items()):
+        c = F.lit(frac_to_hex8(frac))
+        thr = (F.when(F.col(stratum_col) == val, c)
+               if thr is None else thr.when(F.col(stratum_col) == val, c))
+    thr = (thr.otherwise(F.lit(frac_to_hex8(default_frac)))
+           if thr is not None else F.lit(frac_to_hex8(default_frac)))
+    return docs.filter(b < thr)
+
+
+def temperature_rebalance_plan(docs: DataFrame, alpha: float = 0.3,
+                               stratum_col: str = "lang",
+                               round_to: int = 6) -> DataFrame:
+    """The multilingual temperature-sampling plan (mT5 §3.1 / CC100):
+    language l with corpus share p_l is sampled with probability
+    proportional to p_l^alpha; alpha<1 up-weights tail languages. Returns
+    one row per stratum: ``(stratum, n_docs, share, mix_weight,
+    keep_prob)`` where ``mix_weight`` is the normalized q_l and
+    ``keep_prob`` is the per-document acceptance probability that realizes
+    the mix in one pass, scaled so the largest-upweight stratum keeps
+    everything (q_l/p_l normalized by its max).
+
+    One groupBy on the stratum; the quantities are pure column math on the
+    tiny per-stratum rollup. Apply with :func:`stratified_sample` using
+    the emitted ``keep_prob`` values.
+    """
+    by = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"))
+    tot = by.agg(F.sum("n_docs").alias("total"))
+    p = by.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_docs") / F.col("total"))
+    q = p.withColumn("q_raw", F.pow("share", F.lit(alpha)))
+    qsum = q.agg(F.sum("q_raw").alias("q_sum"))
+    r = q.crossJoin(F.broadcast(qsum)).withColumn(
+        "mix_weight", F.col("q_raw") / F.col("q_sum")).withColumn(
+        "ratio", F.col("mix_weight") / F.col("share"))
+    rmax = r.agg(F.max("ratio").alias("ratio_max"))
+    out = r.crossJoin(F.broadcast(rmax)).select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("share", round_to).alias("share"),
+        F.round("mix_weight", round_to).alias("mix_weight"),
+        F.round(F.col("ratio") / F.col("ratio_max"), round_to)
+        .alias("keep_prob"),
+    )
+    return out
+
+
+def pack_shards(docs: DataFrame, tokens_per_shard: int,
+                key_col: str = "doc_id", weight_col: str = "n_tokens",
+                partitions: int | None = None) -> DataFrame:
+    """Contiguous fixed-token-budget shard assignment: documents in key
+    order are laid end to end on the token line and a document's shard is
+    the budget-sized bin its START position falls in — shards hold
+    ~``tokens_per_shard`` tokens (overflow bounded by one document, which
+    is never split). This is the prefix-sum-expressible packing rule;
+    greedy carry-over packing is inherently sequential and cannot
+    parallelize. Returns ``(key, weight, shard_id)``.
+
+    Scale shape — this is a GLOBAL prefix sum, and the naive Spark
+    spelling (``sum().over(Window.orderBy(key))`` with no partition key)
+    funnels the whole corpus through ONE task. Instead, the classic
+    two-phase distributed scan:
+
+      1. range-partition + sort by key, local cumulative sums per
+         partition (one pass),
+      2. collect the P per-partition totals (P scalars — driver-sized by
+         construction), prefix-sum them on the driver,
+      3. broadcast the offsets back as a literal map and add.
+
+    One range shuffle total; every partition works independently in both
+    passes. ``shard_id = floor(global_start / tokens_per_shard)``.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = docs.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        docs.select(F.col(key_col), F.col(weight_col).cast("long"))
+        .repartitionByRange(parts, key_col)
+        .sortWithinPartitions(key_col)
+    )
+
+    def local_scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            w = pdf[weight_col].to_numpy()
+            cum = w.cumsum() + run
+            run = int(cum[-1]) if len(cum) else run
+            yield pd.DataFrame({
+                key_col: pdf[key_col],
+                weight_col: pdf[weight_col],
+                "pid": pid,
+                "local_end": cum,  # cumsum INCLUDING this row, within pid
+            })
+
+    scanned = d.mapInPandas(
+        local_scan,
+        schema=f"{key_col} long, {weight_col} long, pid int, local_end long",
+    )
+    # cache: pass 2 must see the same partition numbering as the totals
+    from . import _cache
+
+    _cache.begin("pack_shards")
+    scanned = _cache.hold("pack_shards", scanned)
+    totals = dict(
+        scanned.groupBy("pid").agg(F.max("local_end").alias("t")).collect()
+    )
+    offsets: Dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    start = (F.coalesce(omap[F.col("pid")], F.lit(0))
+             + F.col("local_end") - F.col(weight_col))
+    return scanned.select(
+        key_col, weight_col,
+        F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),
+    )

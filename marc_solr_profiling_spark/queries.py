@@ -610,6 +610,48 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment
+    (operators/sampling.py:hash_split — md5-prefix threshold rule, so the
+    twin reproduces the EXACT per-document assignment, not just the
+    fractions). Zero shuffle; re-run- and corpus-growth-stable."""
+    from .operators.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample (sampling.py:
+    stratified_sample): keep 50% of en, 20% of de, 80% of fr by the same
+    md5-prefix rule — exact per-document agreement with the SQL twin."""
+    from .operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, {"en": 0.5, "de": 0.2, "fr": 0.8})
+
+
+def q_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature-sampling plan (mT5 §3.1: q_l ~ p_l^alpha,
+    alpha=0.3) over the documents language column
+    (sampling.py:temperature_rebalance_plan)."""
+    from .operators.sampling import temperature_rebalance_plan
+
+    docs = _load(spark, sf_dir, "documents").select("lang")
+    return temperature_rebalance_plan(docs, alpha=0.3)
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the two-phase distributed prefix sum
+    (sampling.py:pack_shards — never a single-partition global window);
+    weight = the documents table's n_chars, budget 50k. The twin computes
+    the same assignment with a serial window cumsum."""
+    from .operators.sampling import pack_shards
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_shards(docs, 50_000, weight_col="n_chars", partitions=8)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the documents
     table (each doc links to (id*7+1)%N and (id*13+3)%N — the testdata
@@ -2729,6 +2771,50 @@ FROM (
   UNION ALL SELECT 4, 'exact_dedup', n2, n3 FROM c)
 """
 
+ORACLE_SQL["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < (CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '33333333'
+                   WHEN 'fr' THEN 'cccccccc' ELSE '00000000' END)
+"""
+
+ORACLE_SQL["temperature_plan"] = """
+WITH by_l AS (SELECT lang AS stratum, count(*) AS n_docs
+              FROM documents GROUP BY lang),
+p AS (SELECT stratum, n_docs,
+             n_docs::DOUBLE / (SELECT sum(n_docs) FROM by_l) AS share
+      FROM by_l),
+q AS (SELECT stratum, n_docs, share, pow(share, 0.3::DOUBLE) AS q_raw
+      FROM p),
+r AS (SELECT stratum, n_docs, share,
+             q_raw / (SELECT sum(q_raw) FROM q) AS mix_weight
+      FROM q)
+SELECT stratum, n_docs::BIGINT AS n_docs,
+       round(share, 6) AS share,
+       round(mix_weight, 6) AS mix_weight,
+       round((mix_weight / share)
+             / (SELECT max(mix_weight / share) FROM r), 6) AS keep_prob
+FROM r
+"""
+
+ORACLE_SQL["pack_shards"] = """
+SELECT doc_id, n_chars,
+       ((sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars)
+        // 50000)::BIGINT AS shard_id
+FROM documents
+"""
+
 ORACLE_SQL["pagerank"] = """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 e AS (
@@ -2860,4 +2946,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "clean_funnel": q_clean_funnel,
     "pagerank": q_pagerank,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "temperature_plan": q_temperature_plan,
+    "pack_shards": q_pack_shards,
 }

@@ -1,0 +1,117 @@
+"""Splitting/sampling/sharding: determinism, stability-under-growth, the
+mT5 temperature math against a numpy reference, and the two-phase
+distributed prefix sum against a serial one."""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.operators.sampling import (
+    frac_to_hex8,
+    hash_split,
+    pack_shards,
+    stratified_sample,
+    temperature_rebalance_plan,
+)
+
+
+def _ids(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_hash_split_fractions_and_disjoint(spark):
+    out = hash_split(_ids(spark, 20000)).groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 20000
+    assert got["train"] == pytest.approx(18000, rel=0.02)
+    assert got["val"] == pytest.approx(1000, rel=0.15)
+    assert got["test"] == pytest.approx(1000, rel=0.15)
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """THE property: a doc's split never changes when the corpus grows."""
+    small = {r.doc_id: r.split
+             for r in hash_split(_ids(spark, 1000)).collect()}
+    big = {r.doc_id: r.split
+           for r in hash_split(_ids(spark, 5000)).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_matches_reference_hash(spark):
+    """Assignment is exactly the md5-prefix rule (engine-portable)."""
+    rows = hash_split(_ids(spark, 500)).collect()
+    t_val = frac_to_hex8(0.9)
+    t_test = frac_to_hex8(0.95)
+    for r in rows:
+        h = hashlib.md5(f"split{r.doc_id}".encode()).hexdigest()[:8]
+        want = ("train" if h < t_val else "val" if h < t_test else "test")
+        assert r.split == want
+
+
+def test_stratified_sample_per_stratum(spark):
+    docs = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"))
+    kept = stratified_sample(
+        docs, {"en": 0.5, "de": 0.05}).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in kept}
+    assert got["en"] == pytest.approx(5000, rel=0.05)
+    assert got["de"] == pytest.approx(1000, rel=0.15)
+    # default_frac=0 drops unknown strata entirely
+    docs2 = docs.withColumn("lang", F.lit("xx"))
+    assert stratified_sample(docs2, {"en": 0.5}).count() == 0
+
+
+def test_temperature_rebalance_matches_reference(spark):
+    counts = {"en": 8000, "de": 1500, "fr": 500}
+    rows = []
+    for lang, n in counts.items():
+        rows += [(i, lang) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    alpha = 0.3
+    got = {r.stratum: r for r in
+           temperature_rebalance_plan(docs, alpha=alpha).collect()}
+
+    tot = sum(counts.values())
+    p = {k: v / tot for k, v in counts.items()}
+    q_raw = {k: v ** alpha for k, v in p.items()}
+    qs = sum(q_raw.values())
+    mix = {k: v / qs for k, v in q_raw.items()}
+    ratio = {k: mix[k] / p[k] for k in p}
+    rmax = max(ratio.values())
+    for k in counts:
+        assert got[k].n_docs == counts[k]
+        assert got[k].share == pytest.approx(p[k], abs=1e-6)
+        assert got[k].mix_weight == pytest.approx(mix[k], abs=1e-6)
+        assert got[k].keep_prob == pytest.approx(ratio[k] / rmax, abs=1e-6)
+    # alpha<1 up-weights the tail: rarest language keeps everything
+    assert got["fr"].keep_prob == 1.0
+    assert got["en"].keep_prob < got["de"].keep_prob < 1.0
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_pack_shards_matches_serial_prefix_sum(spark, parts):
+    rng = np.random.default_rng(7)
+    w = rng.integers(10, 500, 1000)
+    docs = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(w)],
+        "doc_id long, n_tokens long")
+    got = {r.doc_id: r.shard_id for r in
+           pack_shards(docs, 2048, partitions=parts).collect()}
+    start = np.concatenate([[0], w.cumsum()[:-1]])
+    want = start // 2048
+    assert len(got) == 1000
+    assert all(got[i] == want[i] for i in range(1000))
+
+
+def test_pack_shards_budget_held(spark):
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(100)], "doc_id long, n_tokens long")
+    out = pack_shards(docs, 1000, partitions=4)
+    sizes = {r.shard_id: r["sum(n_tokens)"] for r in
+             out.groupBy("shard_id").sum("n_tokens").collect()}
+    assert sizes == {i: 1000 for i in range(10)}
