@@ -67,6 +67,7 @@ HEADLINE = [
     "pagerank",
     "hash_split",
     "pack_shards",
+    "lm_perplexity",
 ]
 
 

@@ -610,6 +610,19 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-quality stage (Wenzek et al. 2020 §3.3) with the
+    deterministic add-alpha bigram stand-in for KenLM (functions/lm.py):
+    train on the trusted slice doc_id % 10 == 0, score every document.
+    The twin re-derives counts, smoothing, and perplexity in SQL; ppl
+    rounded to 4 decimals on both sides."""
+    from .functions.lm import ccnet_perplexity
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return ccnet_perplexity(docs, ref, alpha=0.1)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment
     (operators/sampling.py:hash_split — md5-prefix threshold rule, so the
@@ -2771,6 +2784,34 @@ FROM (
   UNION ALL SELECT 4, 'exact_dedup', n2, n3 FROM c)
 """
 
+ORACLE_SQL["lm_perplexity"] = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END) AS bg
+  FROM tk),
+c2 AS (SELECT bg, count(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY bg),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS v
+      FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 10 = 0)),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(c2.c2, 0) + 0.1::DOUBLE)
+            / (coalesce(c1.c1, 0) + 0.1::DOUBLE * (SELECT v FROM v)))
+           AS logp
+  FROM bg b
+  LEFT JOIN c2 ON b.bg = c2.bg
+  LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
 ORACLE_SQL["hash_split"] = """
 SELECT doc_id,
        CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -2950,4 +2991,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "temperature_plan": q_temperature_plan,
     "pack_shards": q_pack_shards,
+    "lm_perplexity": q_lm_perplexity,
 }
