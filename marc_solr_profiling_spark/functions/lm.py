@@ -34,19 +34,17 @@ from .textstats import tokens_simple
 def bigrams_expr(text_col: str) -> Column:
     """Token bigrams WITH multiplicity (unlike ``shingles_expr``, which
     dedups and has a short-doc fallback — an LM needs the raw stream).
-    Docs with < 2 tokens yield an empty array."""
+    Docs with < 2 tokens yield an empty array. ``zip_with`` over shifted
+    slices, not element_at inside a lambda (see shingles_expr: a lambda's
+    child expressions are evaluated per element, which put the tokenizer
+    regexp in the per-element loop)."""
     toks = tokens_simple(text_col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def train_bigram_lm(ref_docs: DataFrame, text_col: str = "text"):

@@ -38,18 +38,22 @@ def exact_dup_groups(docs: DataFrame, key_col: str = "doc_id",
 
 def shingles_expr(text_col: str, n: int = 3):
     """Distinct n-gram token shingles of the simple-chain token stream,
-    as 'tok1 tok2 tok3' strings. Pure JVM (transform over sequence)."""
+    as 'tok1 tok2 tok3' strings. Pure JVM.
+
+    Built as a ``zip_with`` chain over n shifted ``slice`` views of the
+    token array — NOT ``transform(sequence, i -> element_at(toks, i+j))``:
+    Spark evaluates a lambda's child expressions per ELEMENT, so with the
+    tokenizer inside the lambda the regexp ran once per shingle per term
+    (O(tokens^2) per doc — measured 12x slower at sf0.1). Each ``slice``
+    argument here is a row-level input evaluated once per row."""
     toks = tokens_simple(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, m),
+                           lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                ),
-            ),
-        ).otherwise(
+        F.when(F.size(toks) >= n, grams).otherwise(
             # short docs: single shingle = whole token stream (non-empty only)
             F.when(F.size(toks) > 0,
                    F.array(F.array_join(toks, " "))).otherwise(F.array())
