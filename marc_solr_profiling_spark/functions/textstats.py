@@ -119,6 +119,55 @@ def text_profile(docs: DataFrame, key_col: str = "doc_id",
     )
 
 
+def _grams_of(tk, k: int) -> Column:
+    """k-grams (with multiplicity) of a BOUND token-array column, via
+    slice/array_join per index — tk must be a materialized column, never a
+    derived expression (lambda children evaluate per element)."""
+    if k == 1:
+        return tk
+    n = F.size(tk)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(tk, i, F.lit(k)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(grams: Column) -> Column:
+    """(max_multiplicity, dup_occurrences) of an array's values, computed
+    PER ROW: sort the array, then a single aggregate() pass over the
+    sorted run structure — the most frequent value is the longest run, and
+    values occurring >= 2x are runs of length >= 2. Returns a struct
+    ``(best, dup)``; empty arrays yield (0, 0).
+
+    This replaces a corpus-wide explode + groupBy(doc, gram) with pure
+    map work: in-document repetition never needed a shuffle, because
+    every gram of a document is already in its row.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("cur"),
+        F.lit(0).alias("best"), F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        same = x == acc["prev"]
+        cur = F.when(same, acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            (acc["dup"] + F.when(same & (acc["cur"] == 1), 2)
+             .when(same, 1).otherwise(0)).alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams), zero, step,
+        lambda acc: F.struct(acc["best"].alias("best"),
+                             acc["dup"].alias("dup")),
+    )
+
+
 def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition quality signals (Rae et al.
@@ -131,87 +180,36 @@ def repetition_signals(docs: DataFrame, key_col: str = "doc_id",
     - ``dup5_frac``  occurrences of 5-grams seen >=2x in the doc / all
                      5-grams
 
-    Scale shape: 1-, 2- and 5-grams are emitted from ONE generator column
-    (``k`` tagged) and exploded once — a single shuffle keyed on
-    (doc, k, gram) for the in-doc counts, then one partial-aggregated
-    rollup back to (doc). Gram strings never leave the (doc, k) group, so
-    skew is bounded by document length, not corpus vocabulary.
+    Scale shape: ZERO shuffle. All three signals are per-document facts,
+    so they are computed as per-row expressions over the (materialized)
+    token array — sorted-run aggregates for the multiplicity stats
+    (:func:`_run_stats`). The previous implementation exploded k-tagged
+    grams into a corpus-wide (doc, k, gram) groupBy; at 3.2M docs that
+    shuffle was ~3 billion gram-string rows and the measured bottleneck of
+    the whole webtext family.
     """
     toks = docs.select(
         F.col(key_col), tokens_simple(text_col).alias("tk")
+    ).filter(F.size("tk") > 0)
+    tk = F.col("tk")
+    with_grams = toks.select(
+        key_col, tk,
+        _grams_of(tk, 2).alias("g2"), _grams_of(tk, 5).alias("g5"),
     )
-
-    def grams(k: int) -> Column:
-        if k == 1:
-            src = F.col("tk")
-        else:
-            n = F.size("tk")
-            src = F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.array_join(
-                        F.slice(F.col("tk"), i, F.lit(k)), " "
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        return F.transform(
-            src,
-            lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram")),
-        )
-
-    pairs = toks.select(
+    r2 = _run_stats(F.col("g2"))
+    r5 = _run_stats(F.col("g5"))
+    n2 = F.size("g2")
+    n5 = F.size("g5")
+    return with_grams.select(
         key_col,
-        F.explode(
-            F.concat(grams(1), grams(2), grams(5))
-        ).alias("p"),
-    ).select(key_col, "p.k", "p.gram")
-    counted = pairs.groupBy(key_col, "k", "gram").agg(
-        F.count("*").alias("c")
-    )
-    per_k = counted.groupBy(key_col, "k").agg(
-        F.sum("c").alias("total"),
-        F.count("*").alias("distinct_grams"),
-        F.max("c").alias("max_c"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-        .alias("dup_occ"),
-    )
-    return (
-        per_k.groupBy(key_col)
-        .agg(
-            F.max(F.when(F.col("k") == 1, F.col("total"))).alias("n_tokens"),
-            F.round(
-                F.max(
-                    F.when(
-                        F.col("k") == 1,
-                        F.col("distinct_grams") / F.col("total"),
-                    )
-                ),
-                6,
-            ).alias("ttr"),
-            F.round(
-                F.coalesce(
-                    F.max(
-                        F.when(
-                            F.col("k") == 2, F.col("max_c") / F.col("total")
-                        )
-                    ),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("top2_frac"),
-            F.round(
-                F.coalesce(
-                    F.max(
-                        F.when(
-                            F.col("k") == 5, F.col("dup_occ") / F.col("total")
-                        )
-                    ),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("dup5_frac"),
-        )
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(tk)) / F.size(tk), 6).alias("ttr"),
+        F.round(
+            F.when(n2 > 0, r2["best"] / n2).otherwise(F.lit(0.0)), 6
+        ).alias("top2_frac"),
+        F.round(
+            F.when(n5 > 0, r5["dup"] / n5).otherwise(F.lit(0.0)), 6
+        ).alias("dup5_frac"),
     )
 
 

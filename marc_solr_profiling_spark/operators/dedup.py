@@ -90,20 +90,29 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(key, h0..h{n-1}) signatures via ONE shingle pass: explode distinct
-    shingles (computed once per row) then a grouped min per hash function.
-    Partial aggregation makes the shuffle n_hashes mins per doc, not the
-    shingle stream. Docs with zero shingles (empty text) are absent —
-    matching the SQL twin's GROUP BY semantics."""
+    """(key, h0..h{n-1}) signatures with ZERO shuffle: materialize the
+    distinct-shingle array once per row, then each signature slot is an
+    ``array_min(transform(...md5...))`` over that BOUND column — all of a
+    document's shingles already live in its row, so a min over them never
+    needed the explode + corpus-wide groupBy this used previously (the
+    md5 work is identical; the ~per-shingle-row exchange is gone). Docs
+    with zero shingles (empty text) are absent — matching the SQL twin's
+    GROUP BY semantics."""
     sh = docs.select(
-        F.col(key_col),
-        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"),
+        F.col(key_col), shingles_expr(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return sh.select(
+        key_col,
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy(key_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
