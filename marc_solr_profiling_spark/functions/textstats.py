@@ -224,59 +224,87 @@ def gopher_quality_flags(docs: DataFrame, key_col: str = "doc_id",
     - ``r_top2``       top-2-gram fraction > max_top2_frac
     - ``r_dup5``       duplicated-5-gram fraction > max_dup5_frac
 
-    Scale shape: the scalar rules are pure per-row expressions on the
-    token scan; the two repetition rules join the (doc-keyed, tiny)
-    repetition_signals rollup back — one extra shuffle total, shared by
-    both rules.
+    Scale shape: ZERO shuffle — tokens come from the shared JVM tokenizer
+    expression once, then ONE fused Arrow kernel computes every measure
+    (token/char/punct counts, mean word length, distinct stopwords, and
+    the integer-gram repetition stats of :func:`repetition_signals`) and
+    the thresholds apply as column expressions. The previous shape
+    (per-row JVM expressions re-evaluating the tokenizer per rule + a
+    join against the repetition rollup) measured 729 s at 3.2M docs
+    /local[32]; the fused kernel removes both the repeated regexp passes
+    and the join.
     """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
     thr = {**GOPHER_DEFAULTS, **thresholds}
-    sw_list = EN_STOPWORDS if stopwords is None else stopwords
-    toks = tokens_simple(text_col)
-    n_tok = F.size(toks).cast("double")
-    n_chars = F.length(F.col(text_col)).cast("double")
-    n_punct = (
-        n_chars
-        - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", ""))
-    ).cast("double")
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(
-        F.lit(0.0)
+    sw_set = frozenset(EN_STOPWORDS if stopwords is None else stopwords)
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    base = docs.select(
+        F.col(key_col), F.col(text_col).alias("_text"),
+        tokens_simple(text_col).alias("tk"),
     )
-    mean_wl = F.when(
-        n_tok > 0,
-        F.aggregate(
-            toks, F.lit(0), lambda acc, t: acc + F.length(t)
-        ).cast("double") / n_tok,
-    ).otherwise(F.lit(0.0))
-    distinct_sw = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in sw_list]),
-        )
+    # ASCII \s to match the Java/RE2 semantics of the expression form
+    punct_re = _re.compile(r"[^a-zA-Z0-9\s]", _re.ASCII)
+
+    def rnd6(x: float) -> float:
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for key, text, tk in zip(pdf[key_col], pdf["_text"], pdf["tk"]):
+                text = text or ""
+                n = len(tk)
+                n_chars = len(text)
+                punct = (len(punct_re.findall(text)) / n_chars
+                         if n_chars else 0.0)
+                if n == 0:
+                    out.append((key, 0, 0.0, len(sw_set & set()),
+                                punct, 0.0, 0.0))
+                    continue
+                mwl = sum(map(len, tk)) / n
+                dsw = len(sw_set.intersection(tk))
+                codes, uniq = pd.factorize(
+                    np.asarray(tk, dtype=object), sort=False)
+                c = codes.astype(np.int64)
+                v = np.int64(len(uniq))
+                rep = []
+                for k in (2, 5):
+                    m = n - k + 1
+                    if m <= 0:
+                        rep.append(0.0)
+                        continue
+                    g = c[:m].copy()
+                    for j in range(1, k):
+                        g = g * v + c[j:j + m]
+                    _, counts = np.unique(g, return_counts=True)
+                    top = (counts.max() if k == 2
+                           else counts[counts >= 2].sum())
+                    rep.append(rnd6(top / m))
+                out.append((key, n, mwl, dsw, punct, rep[0], rep[1]))
+            yield pd.DataFrame(
+                out, columns=[key_col, "n_tok", "mwl", "dsw", "punct",
+                              "top2", "dup5"])
+
+    meas = base.mapInPandas(
+        kernel,
+        schema=(f"{key_col} {key_t}, n_tok long, mwl double, dsw int, "
+                "punct double, top2 double, dup5 double"),
     )
-    scalar = docs.select(
+    return meas.select(
         F.col(key_col),
-        (n_tok < thr["min_tokens"]).alias("r_too_short"),
-        (n_tok > thr["max_tokens"]).alias("r_too_long"),
-        (
-            (mean_wl < thr["min_mean_word_len"])
-            | (mean_wl > thr["max_mean_word_len"])
-        ).alias("r_word_len"),
-        (distinct_sw < thr["min_distinct_stopwords"]).alias("r_stopwords"),
-        (punct_ratio > thr["max_punct_ratio"]).alias("r_punct"),
+        (F.col("n_tok") < thr["min_tokens"]).alias("r_too_short"),
+        (F.col("n_tok") > thr["max_tokens"]).alias("r_too_long"),
+        ((F.col("mwl") < thr["min_mean_word_len"])
+         | (F.col("mwl") > thr["max_mean_word_len"])).alias("r_word_len"),
+        (F.col("dsw") < thr["min_distinct_stopwords"]).alias("r_stopwords"),
+        (F.col("punct") > thr["max_punct_ratio"]).alias("r_punct"),
+        (F.col("top2") > thr["max_top2_frac"]).alias("r_top2"),
+        (F.col("dup5") > thr["max_dup5_frac"]).alias("r_dup5"),
     )
-    rep = repetition_signals(docs, key_col=key_col, text_col=text_col)
-    flags = scalar.join(
-        rep.select(
-            key_col,
-            (F.col("top2_frac") > thr["max_top2_frac"]).alias("r_top2"),
-            (F.col("dup5_frac") > thr["max_dup5_frac"]).alias("r_dup5"),
-        ),
-        key_col,
-        "left",
-    )
-    # docs with zero tokens never reach repetition_signals: they are
-    # r_too_short anyway; missing flags read as not-rejected-by-that-rule
-    return flags.fillna(False, subset=["r_top2", "r_dup5"])
 
 
 GOPHER_RULES = [

@@ -52,9 +52,10 @@ def main() -> None:
 
     M = 3_200_000
     h = F.col("doc_id")
+    node = F.pmod(h, F.lit(M))  # bounded first: xxhash64*7 overflows ANSI
     edges = pages.select(
-        (F.pmod(h, F.lit(M))).alias("src"),
-        (F.pmod(h * 7 + 1, F.lit(M))).alias("dst"),
+        node.alias("src"),
+        F.pmod(node * 7 + 1, F.lit(M)).alias("dst"),
     )
     ref_lm = pages.filter(F.pmod(h, F.lit(1000)) == 0)      # ~3.2k docs
     bench = pages.filter(F.pmod(h, F.lit(1000)) == 1)       # ~3.2k docs
