@@ -16,11 +16,12 @@ re-derivable in SQL (the oracle twin), which a backoff KenLM is not; the
 pipeline shape — train on a trusted slice, score the whole corpus —
 is identical.
 
-Scale shape: the model is two aggregate tables keyed on bigram/history
-(bounded by observed bigrams, NOT corpus size). Scoring is one explode of
-the corpus bigram stream + two equi-joins against the model + one per-doc
-aggregate; when the trusted corpus is Wikipedia-sized the model tables
-broadcast, making the whole scorer map-side.
+Scale shape: the model is bounded by the TRUSTED corpus's observed
+bigrams, never the scored corpus. Two scoring paths: ``ccnet_perplexity``
+(the production one) broadcasts the model as sorted hash arrays into an
+Arrow kernel — zero shuffle, zero join, one output row per scored doc;
+``bigram_perplexity`` takes the model as DataFrames (explode + two
+broadcast joins) for callers that materialize or persist models.
 """
 
 from __future__ import annotations
@@ -102,7 +103,134 @@ def ccnet_perplexity(docs: DataFrame, ref_docs: DataFrame,
                      alpha: float = 0.1, key_col: str = "doc_id",
                      text_col: str = "text",
                      round_to: int = 4) -> DataFrame:
-    """The composed CCNet stage: train on ``ref_docs``, score ``docs``."""
-    bc, hc, v = train_bigram_lm(ref_docs, text_col=text_col)
-    return bigram_perplexity(docs, bc, hc, v, alpha=alpha, key_col=key_col,
-                             text_col=text_col, round_to=round_to)
+    """The composed CCNet stage: train on ``ref_docs``, score ``docs`` —
+    fused into Arrow kernels with NO corpus-side join or shuffle.
+
+    The trusted corpus is small by definition (CCNet trains on Wikipedia),
+    so the whole model — sorted bigram-hash array + counts, sorted
+    history-hash array + counts, vocab size — is collected once and
+    broadcast; the corpus kernel then derives each document's bigram
+    hashes (64-bit md5-prefix token codes combined by an int64 polynomial,
+    identical on the training side) and resolves both probability terms
+    with two ``searchsorted`` probes, emitting one row per document. The
+    DataFrame-model path (:func:`bigram_perplexity`) measured 155 s at
+    3.2M docs/local[32] — ~1B bigram instance rows through two broadcast
+    joins; this kernel never materializes the instance stream.
+
+    Same semantics as train_bigram_lm + bigram_perplexity (probabilities
+    identical; hash-vs-string bigram identity differs only on negligible
+    64-bit collisions).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    P = np.int64(1099511628211)
+
+    def token_codes(tk, memo):
+        def code(t):
+            c = memo.get(t)
+            if c is None:
+                c = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8],
+                    "big", signed=True)
+                memo[t] = c
+            return c
+        return np.fromiter((code(t) for t in tk), dtype=np.int64,
+                           count=len(tk))
+
+    # ---- train: one kernel pass emitting typed model fragments --------
+    # (kind 0 = bigram count, 1 = history count, 2 = vocab token), merged
+    # on the driver. The ref corpus is trusted-set-sized, so fragments
+    # and the merged model are driver-sized by definition.
+    ref_tk = ref_docs.select(
+        tokens_simple(text_col).alias("tk")).filter(F.size("tk") > 0)
+
+    def train_kernel(batches):
+        memo: dict = {}
+        bg: dict = {}
+        hist: dict = {}
+        vocab: set = set()
+        for pdf in batches:
+            for tk in pdf["tk"]:
+                c = token_codes(tk, memo)
+                vocab.update(c.tolist())
+                if len(c) >= 2:
+                    hs, counts = np.unique(c[:-1] * P + c[1:],
+                                           return_counts=True)
+                    for h_, n_ in zip(hs.tolist(), counts.tolist()):
+                        bg[h_] = bg.get(h_, 0) + n_
+                    hs, counts = np.unique(c[:-1], return_counts=True)
+                    for h_, n_ in zip(hs.tolist(), counts.tolist()):
+                        hist[h_] = hist.get(h_, 0) + n_
+        rows = (
+            [(0, h, n) for h, n in bg.items()]
+            + [(1, h, n) for h, n in hist.items()]
+            + [(2, h, 0) for h in vocab]
+        )
+        yield pd.DataFrame(rows, columns=["kind", "h", "c"])
+
+    frags = ref_tk.mapInPandas(
+        train_kernel, schema="kind int, h long, c long").collect()
+    bg_counts: dict = {}
+    hist_counts: dict = {}
+    vocab_codes: set = set()
+    for r in frags:
+        if r.kind == 0:
+            bg_counts[r.h] = bg_counts.get(r.h, 0) + r.c
+        elif r.kind == 1:
+            hist_counts[r.h] = hist_counts.get(r.h, 0) + r.c
+        else:
+            vocab_codes.add(r.h)
+    v_size = len(vocab_codes)
+
+    def sorted_map(d: dict):
+        hs = np.sort(np.fromiter(d.keys(), dtype=np.int64, count=len(d)))
+        return hs, np.array([d[h] for h in hs.tolist()], dtype=np.int64)
+
+    spark = docs.sparkSession
+    bc_model = spark.sparkContext.broadcast(
+        (*sorted_map(bg_counts), v_size))
+    bc_hist = spark.sparkContext.broadcast(sorted_map(hist_counts))
+
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    toks = docs.select(
+        F.col(key_col), tokens_simple(text_col).alias("tk")
+    ).filter(F.size("tk") >= 2)
+
+    def lookup(sorted_h, vals, query):
+        if len(sorted_h) == 0:
+            return np.zeros(len(query), dtype=np.int64)
+        pos = np.searchsorted(sorted_h, query)
+        pos[pos >= len(sorted_h)] = len(sorted_h) - 1
+        hit = sorted_h[pos] == query
+        out = np.where(hit, vals[pos], 0)
+        return out
+
+    a = float(alpha)
+
+    def score_kernel(batches):
+        bh, bcnt, V = bc_model.value
+        hh, hcnt = bc_hist.value
+        aV = a * V
+        memo: dict = {}
+        for pdf in batches:
+            keys, nbg, ppl = [], [], []
+            for key, tk in zip(pdf[key_col], pdf["tk"]):
+                c = token_codes(tk, memo)
+                g = c[:-1] * P + c[1:]
+                c2 = lookup(bh, bcnt, g)
+                c1 = lookup(hh, hcnt, c[:-1])
+                logp = np.log((c2 + a) / (c1 + aV))
+                keys.append(key)
+                nbg.append(len(g))
+                ppl.append(float(np.floor(
+                    np.exp(-logp.mean()) * 10**round_to + 0.5
+                ) / 10**round_to))
+            yield pd.DataFrame({
+                key_col: keys, "n_bigrams": nbg, "ppl": ppl})
+
+    return toks.mapInPandas(
+        score_kernel,
+        schema=f"{key_col} {key_t}, n_bigrams long, ppl double")
