@@ -248,16 +248,21 @@ def cleaning_funnel(docs: DataFrame, key_col: str = "doc_id",
     single-row aggregates (each side is one row — broadcast by
     construction).
     """
+    from ..operators import _cache
     from .textstats import GOPHER_RULES, gopher_quality_flags
 
-    stages = []  # (name, survivors key-only DF)
+    # survivor key sets are persisted: each stage's n_kept count AND the
+    # next stage's semi-join both consume them, and the expensive upstream
+    # (the Gopher kernel) must run once, not once per funnel row
+    _cache.begin("cleaning_funnel")
+    stages = []  # (name, survivors key-only DF, persisted)
     cur = docs
     if url_col:
-        winners = (
+        winners = _cache.hold("cleaning_funnel", (
             cur.groupBy(canonicalize_url_expr(url_col).alias("cu"))
             .agg(F.min(key_col).alias(key_col))
             .select(key_col)
-        )
+        ))
         stages.append(("url_dedup", winners))
         cur = docs.join(winners, key_col, "left_semi")
     flags = gopher_quality_flags(
@@ -267,7 +272,8 @@ def cleaning_funnel(docs: DataFrame, key_col: str = "doc_id",
     rejected = F.lit(False)
     for r in GOPHER_RULES:
         rejected = rejected | F.col(r)
-    stages.append(("quality", flags.filter(~rejected).select(key_col)))
+    stages.append(("quality", _cache.hold(
+        "cleaning_funnel", flags.filter(~rejected).select(key_col))))
     cur = cur.join(stages[-1][1], key_col, "left_semi")
     stages.append((
         "exact_dedup",
