@@ -165,3 +165,28 @@ def test_benchmark_decontaminate(spark):
     assert not out[3].contaminated and out[3].n_hit == 0
     # n_grams is the distinct shingle count: len(toks) - 2
     assert out[1].n_grams == 5 and out[3].n_grams == 3
+
+
+def test_minhash_xxhash_variant_finds_same_dups(spark):
+    """The xxhash64 production variant is a valid min-hash family: on a
+    corpus with injected exact duplicates, banded LSH over either hash
+    implementation must surface every (original, copy) pair — identical
+    signatures for identical shingle sets, regardless of family."""
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    aug = docs.unionByName(dup)
+    want = {(r.doc_id, r.doc_id + 1_000_000)
+            for r in dup.select((F.col("doc_id") - 1_000_000)
+                                .alias("doc_id")).collect()}
+    for impl in ("md5", "fast64"):
+        pairs = {(r.key_a, r.key_b) for r in minhash_lsh_candidates(
+            aug, hash_impl=impl).collect()}
+        assert want <= pairs, impl
