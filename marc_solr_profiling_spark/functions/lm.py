@@ -184,6 +184,10 @@ def ccnet_perplexity(docs: DataFrame, ref_docs: DataFrame,
         else:
             vocab_codes.add(r.h)
     v_size = len(vocab_codes)
+    if v_size == 0:
+        raise ValueError(
+            "ccnet_perplexity: reference corpus has no tokens — "
+            "smoothing is undefined with an empty vocabulary")
 
     def sorted_map(d: dict):
         hs = np.sort(np.fromiter(d.keys(), dtype=np.int64, count=len(d)))

@@ -52,3 +52,13 @@ def test_ccnet_head_vs_tail_ordering(spark):
         "doc_id long, text string")
     out = {r.doc_id: r.ppl for r in ccnet_perplexity(docs, ref).collect()}
     assert out[100] < out[101]
+
+
+def test_ccnet_empty_reference_raises(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "some words here")],
+                                 "doc_id long, text string")
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    with _pt.raises(ValueError, match="reference corpus"):
+        ccnet_perplexity(docs, empty_ref)
