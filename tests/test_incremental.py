@@ -74,6 +74,72 @@ def test_incremental_equals_rebuild(spark, workdir):
     assert not deleted_hits
 
 
+def test_kill_mid_build_resumes_without_recompute(spark, workdir, monkeypatch):
+    """Kill-mid-build resume (north-rule criterion): abort a build AFTER the
+    tf stage commits but BEFORE the segments stage commits, re-run
+    ``build_index``, and assert via lineage rows that tf/stats/docs are NOT
+    recomputed and that the resumed index is identical (rows and query
+    results) to an uninterrupted build of the same input.
+
+    Reference analog: the per-id-range indexing scripts restart from the
+    last completed range (core/src/org/solrmarc/marc/MarcImporter.java
+    commit handling); here the unit of resume is the committed stage
+    snapshot (plans/lineage.py)."""
+    from marc_solr_profiling_spark.plans import lineage as lin
+
+    docs = _docs(spark, 150).persist()
+    kw = dict(key_col="url", id_col="doc_id", chain="text",
+              n_salts=4, block_size=32)
+
+    # uninterrupted reference build
+    ref_idx = build_index(spark, docs, f"{workdir}/kill_ref", **kw)
+
+    # interrupted build: raise inside the segments commit (simulated driver
+    # loss between the tf barrier and the segment shuffle's sink)
+    out = f"{workdir}/kill_resume"
+    real_commit = lin.IndexStore.commit_stage
+
+    def failing_commit(self, stage, df, **kwargs):
+        if stage == "segments":
+            raise RuntimeError("simulated kill mid-build")
+        return real_commit(self, stage, df, **kwargs)
+
+    monkeypatch.setattr(lin.IndexStore, "commit_stage", failing_commit)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        build_index(spark, docs, out, **kw)
+    monkeypatch.setattr(lin.IndexStore, "commit_stage", real_commit)
+
+    m_aborted = lin.IndexStore(out)._read_manifest()
+    assert "tf" in m_aborted["stages"], "tf must be committed before the kill"
+    assert "segments" not in m_aborted["stages"]
+    pre = {st: m_aborted["stages"][st]["committed_at"]
+           for st in m_aborted["stages"]}
+
+    # resume: completed stages must be skipped (identical committed_at),
+    # only segments + dictionary run
+    idx = build_index(spark, docs, out, **kw)
+    m_resumed = idx.store._read_manifest()
+    for st, ts in pre.items():
+        assert m_resumed["stages"][st]["committed_at"] == ts, (
+            f"stage {st} was recomputed on resume")
+    assert "segments" in m_resumed["stages"]
+
+    # resumed index identical to the uninterrupted build: every stage
+    # table row-identical, and query results rank- and score-identical
+    for st in ["docs", "stats", "dictionary", "segments"]:
+        got = sorted(map(tuple, idx.store.read_stage(spark, st).collect()))
+        want = sorted(map(tuple,
+                          ref_idx.store.read_stage(spark, st).collect()))
+        assert got == want, f"stage {st} differs after resume"
+    for q in ["the of and", "voyage time", "new said"]:
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_topk(idx, q, k=10, with_url=False).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in wand_topk(ref_idx, q, k=10, with_url=False).collect()]
+        assert got == want, q
+    docs.unpersist()
+
+
 def test_incremental_is_resumable(spark, workdir):
     docs = _docs(spark, 80)
     base_idx = build_index(
