@@ -49,6 +49,7 @@ from typing import Callable, Dict, List, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from ..functions.domain import pub_date_slider_expr, split_lang_codes_expr
 from ..functions.remap import remap_expr, remap_multi_expr
@@ -527,6 +528,28 @@ def _m_pub_date_slider(fld, ctx) -> Column:
     return pub_date_slider_expr(c008, vals260c, ctx["current_year"])
 
 
+def _m_pub_date_data(fld, ctx) -> Dict[str, Column]:
+    """Map-returning custom method: ONE method emitting SEVERAL output
+    columns at once (SolrIndexer.finishCustomMethod, SolrIndexer.java:
+    875-903 — when ``returnType.isAssignableFrom(Map.class)``, the map's
+    KEYS name the solr fields and the spec line's own field name is a
+    dummy).  The Spark analog returns ``{output_name: Column}``; the
+    compiler expands each entry into its own projected column.
+
+    This built-in example derives the slider year set and its sortable
+    minimum in one compiled method."""
+    vals260c = field_list_expr("260c")
+    c008 = F.try_element_at(field_list_expr("008"), F.lit(1))
+    slider = pub_date_slider_expr(c008, vals260c, ctx["current_year"])
+    return {
+        "pub_year_itsim": slider,
+        "pub_date_sort": F.array_min(slider),
+    }
+
+
+_m_pub_date_data.returns_map = True  # type: ignore[attr-defined]
+
+
 _DISPATCH: Dict[str, Callable] = {
     "getId": _m_get_id,
     "getFormats": _m_get_formats,
@@ -538,7 +561,45 @@ _DISPATCH: Dict[str, Callable] = {
     "getLCCallNumCats": _m_lc_callnum_cats,
     "getLCCallNumsB4Cutter": _m_lc_b4cutter,
     "getPubDateSliderVals": _m_pub_date_slider,
+    "getPubDateData": _m_pub_date_data,
 }
+
+
+def register_custom_method(name: str, fn: Callable, *,
+                           returns_map: bool = False) -> None:
+    """Register a user custom method for the profile compiler — the analog
+    of dropping a custom method on SolrIndexer's classpath
+    (SolrIndexer.java:760-814 reflective dispatch).  ``fn(fld, ctx)`` must
+    return a Column, or a ``{output_name: Column}`` dict when
+    ``returns_map`` (SolrIndexer.java:880-884 Map-return semantics)."""
+    if returns_map:
+        fn.returns_map = True  # type: ignore[attr-defined]
+    _DISPATCH[name] = fn
+
+
+def _returns_map(method: Optional[str]) -> bool:
+    fn = _DISPATCH.get(method or "")
+    return bool(getattr(fn, "returns_map", False))
+
+
+def map_field_columns(fld: ProfileField, ctx: Mapping) -> Dict[str, Column]:
+    """Compile a map-returning custom method to its named Columns.
+    Translation maps do NOT apply to Map returns (SolrIndexer.java:880-884
+    puts the map straight into indexMap with no remap, unlike the
+    Set/String branches at :886-902); the method controls value shapes."""
+    fn = _DISPATCH.get(fld.method or "")
+    if fn is None or not getattr(fn, "returns_map", False):
+        raise NotImplementedError(
+            f"custom method {fld.method!r} is not a registered "
+            "map-returning method"
+        )
+    out = fn(fld, ctx)
+    if not isinstance(out, dict):
+        raise TypeError(
+            f"map-returning method {fld.method!r} must return a dict of "
+            f"Columns, got {type(out).__name__}"
+        )
+    return out
 
 
 def _resolve_map(map_name: str) -> Mapping[str, str]:
@@ -566,6 +627,12 @@ def field_column(fld: ProfileField, ctx: Mapping) -> Column:
         if fn is None:
             raise NotImplementedError(
                 f"custom method {fld.method!r} has no Spark dispatch"
+            )
+        if getattr(fn, "returns_map", False):
+            raise TypeError(
+                f"custom method {fld.method!r} returns a Map — use "
+                "map_field_columns / profile_frame, which expand it into "
+                "one column per map key"
             )
         col = fn(fld, ctx)
     # translation map (third comma part): Set-valued remap drops unmapped
@@ -611,16 +678,31 @@ def profile_frame(
     ).withColumn(
         _ST_FORMATS, formats_set_expr(items=F.col(_ST_ITEMS))
     )
+    def _nonempty(col: Column) -> Column:
+        # type-aware "has a value" test (analysis-time only, no job): empty
+        # arrays count as empty, like Set.size()==0 in finishCustomMethod
+        dt = staged.select(col.alias("_g")).schema[0].dataType
+        if isinstance(dt, ArrayType):
+            return F.size(F.coalesce(col, F.array().cast(dt))) > 0
+        return col.isNotNull()
+
     # record-dropping gates run before the wide projection
     for fld in fields:
         if fld.handler == "custom_delete_if_empty":
-            gate = field_column(
-                ProfileField(
-                    name=fld.name, raw=fld.raw, handler="custom",
-                    method=fld.method, args=fld.args, map_name=fld.map_name,
-                ),
-                ctx,
+            base = ProfileField(
+                name=fld.name, raw=fld.raw, handler="custom",
+                method=fld.method, args=fld.args, map_name=fld.map_name,
             )
+            if _returns_map(fld.method):
+                # Map return + deleteIfEmpty: drop when the map is empty
+                # (SolrIndexer.java:882-883) — columnar analog: every
+                # emitted value empty/null
+                vals = map_field_columns(base, ctx).values()
+                staged = staged.filter(
+                    _any([_nonempty(v) for v in vals])
+                )
+                continue
+            gate = field_column(base, ctx)
             if fld.multivalued:
                 staged = staged.filter(F.size(F.coalesce(
                     gate, F.array().cast("array<string>"))) > 0)
@@ -634,7 +716,14 @@ def profile_frame(
                 method=fld.method, args=fld.args, map_name=fld.map_name,
             )
         )
-        cols.append(field_column(base, ctx).alias(fld.name))
+        if base.handler != "spec" and _returns_map(base.method):
+            # the map's keys name the output columns; the spec line's own
+            # field name is a dummy (SolrIndexer.java:860-863)
+            cols.extend(
+                v.alias(k) for k, v in map_field_columns(base, ctx).items()
+            )
+        else:
+            cols.append(field_column(base, ctx).alias(fld.name))
     return staged.select(*cols)
 
 

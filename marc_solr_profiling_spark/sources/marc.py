@@ -82,7 +82,8 @@ def encode_record(leader: str, controlfields: List[Tuple[str, str]],
     return lead.encode("utf-8")[:24] + directory + payload
 
 
-def decode_record(buf: bytes, marc8: str = "never"):
+def decode_record(buf: bytes, marc8: str = "never",
+                  charset_errors: Optional[list] = None):
     """ISO 2709 bytes -> (leader, controlfields, datafields). Permissive:
     raises ValueError with a reason on structural corruption (the caller
     quarantines, mirroring MarcImporter's error triage,
@@ -96,14 +97,24 @@ def decode_record(buf: bytes, marc8: str = "never"):
     because legacy fixtures with blank leader/09 but UTF-8 payloads
     (common in the wild) must not be mis-converted by default —
     matching the reference, where conversion is a config switch
-    (``marc.to_utf_8`` / permissive BESTGUESS), not a constant."""
+    (``marc.to_utf_8`` / permissive BESTGUESS), not a constant.
+
+    ``charset_errors``: optional list the MARC-8 path appends charset
+    notes to (unmapped EACC codes, truncated multibyte codes — see
+    ``marc8.marc8_decode``); callers surface them as soft-quarantine
+    annotations instead of letting replacement text flow silently."""
     if len(buf) < 24:
         raise ValueError("record shorter than leader")
     leader = buf[:24].decode("utf-8", errors="replace")
     if marc8 == "always" or (marc8 == "auto" and (len(leader) < 10
                                                   or leader[9] != "a")):
-        from .marc8 import marc8_to_unicode
-        decode_value = marc8_to_unicode
+        from .marc8 import marc8_decode
+
+        def decode_value(bs: bytes) -> str:
+            text, err = marc8_decode(bs)
+            if err is not None and charset_errors is not None:
+                charset_errors.append(err)
+            return text
     else:
         def decode_value(bs: bytes) -> str:
             return bs.decode("utf-8", errors="replace")
@@ -213,10 +224,18 @@ def read_marc_binary(binary_df: DataFrame,
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 for seq, raw in enumerate(split_records(bytes(content))):
                     rid = raw_record_id(raw)
+                    cerrs: list = []
                     try:
-                        leader, control, data = decode_record(raw, marc8)
+                        leader, control, data = decode_record(
+                            raw, marc8, charset_errors=cerrs)
+                        # charset notes are a SOFT quarantine: the decoded
+                        # record still flows (permissive posture), but
+                        # parse_error marks it so `parse_error IS NULL`
+                        # keeps selecting clean records
+                        note = "; ".join(dict.fromkeys(cerrs)) or None
                         rows.append(
-                            (path, seq, None, rid or "", leader, control, data)
+                            (path, seq, note, rid or "", leader, control,
+                             data)
                         )
                     except ValueError as e:
                         rows.append(

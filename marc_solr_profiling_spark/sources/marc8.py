@@ -13,11 +13,20 @@ MARC-8 places combining diacritics BEFORE their base character;
 Unicode places them AFTER — the converter buffers combinings and
 reorders (same algorithm as ``AnselToUnicode.convert``).
 
-Scope: the multibyte East-Asian set (EACC, designation ``$1``) is NOT
-ported — encountering it yields U+FFFD replacement characters and the
-record keeps flowing (the reference's permissive posture). Everything
-byte-identical for Latin-script ANSEL data, which is what the
-profiling corpus contains.
+EACC (the multibyte East-Asian set, ANSI/NISO Z39.64, designations
+``ESC $ 1`` / ``ESC $ , 1`` for G0 and ``ESC $ ) 1`` / ``ESC $ - 1``
+for G1 — the very encoding of 880 vernacular fields that the
+linked-880 projections exist for, MarcUtils.java:310-358): the
+MECHANICS are fully implemented — designation parsing, 3-byte code
+consumption (controls/space pass through without consuming), G1
+high-bit stripping, truncated-triple recovery — so EACC content never
+desynchronizes the byte stream.  The code->Unicode TABLE itself is
+~16k entries of LOC data (marc4j generates ``EastAsianCodes`` from
+LOC's codetables.xml); it is NOT bundled — load one at runtime with
+:func:`load_eacc_table`.  Unmapped triples yield U+FFFD and are
+COUNTED: :func:`marc8_decode` returns the charset-error note that the
+readers surface as a quarantine annotation (``parse_error``), instead
+of the pre-round-4 silent replacement.
 """
 
 from __future__ import annotations
@@ -118,46 +127,121 @@ _ALT_SETS = {0x62: _SUBSCRIPT, 0x70: _SUPERSCRIPT, 0x67: _GREEK_SYMBOLS}
 _ESC = 0x1B
 NORMALIZE_MODES = {"C": "NFC", "D": "NFD", "KC": "NFKC", "KD": "NFKD"}
 
+#: EACC 3-byte code (b1<<16 | b2<<8 | b3, 7-bit bytes) -> Unicode char.
+#: Empty by default: the real table is ~16k entries of LOC codetable data
+#: (marc4j's EastAsianCodes); bundle-free here — load with
+#: :func:`load_eacc_table`.  The decode MECHANICS work either way.
+_EACC_CHARS: dict[int, str] = {}
 
-def marc8_to_unicode(data: bytes) -> str:
-    """Convert one MARC-8 (ANSEL + Basic Latin) byte string to a Unicode
-    string, reordering prefixed combining marks after their base
-    character (``AnselToUnicode.convert`` semantics). Unknown high bytes
-    and unsupported escape designations yield U+FFFD; the subfield
-    separators/ASCII controls pass through untouched."""
+
+def load_eacc_table(text: str) -> int:
+    """Load an EACC -> Unicode mapping into the converter.  Accepts the
+    simple two-column hex format (one mapping per line,
+    ``<6-hex-digit EACC code><whitespace><4-6 hex digit UCS>``, ``#``
+    comments) that LOC's published codetable data trivially exports to.
+    Returns the number of entries loaded.  (AnselToUnicode +
+    EastAsianCodes wiring: MarcHandler.java:425-431.)"""
+    n = 0
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        _EACC_CHARS[int(parts[0], 16)] = chr(int(parts[1], 16))
+        n += 1
+    return n
+
+
+def marc8_decode(data: bytes) -> tuple[str, str | None]:
+    """Convert one MARC-8 byte string (Basic Latin + ANSEL + the
+    single-byte alternate sets + EACC multibyte mechanics) to Unicode,
+    reordering prefixed combining marks after their base character
+    (``AnselToUnicode.convert`` semantics).  Subfield separators/ASCII
+    controls pass through untouched.
+
+    Returns ``(text, charset_error)``: ``charset_error`` is None for a
+    clean decode, else a short note counting unmapped EACC triples /
+    truncated multibyte codes / unknown escapes — the readers surface it
+    as a quarantine annotation instead of letting U+FFFD text flow
+    silently."""
     out: list[str] = []
     pending: list[str] = []  # buffered combining marks awaiting a base
     alt: dict | None = None  # active alternate single-byte set
+    multibyte = False        # EACC mode (ESC $ 1 et al.)
+    unmapped_eacc = 0
+    truncated = 0
+    bad_escape = 0
     i, n = 0, len(data)
     while i < n:
         b = data[i]
         if b == _ESC and i + 1 < n:
             d = data[i + 1]
             if d in _ALT_SETS:  # ESC b / p / g
-                alt = _ALT_SETS[d]
+                alt, multibyte = _ALT_SETS[d], False
                 i += 2
                 continue
             if d == 0x73:  # ESC s -> Basic Latin
-                alt = None
+                alt, multibyte = None, False
                 i += 2
                 continue
-            if (d in (0x28, 0x29, 0x2C) and i + 2 < n
+            if d == 0x24:  # ESC $ ... : multibyte designations
+                # ESC $ 1 (G0), ESC $ , 1 (G0), ESC $ ) 1 / ESC $ - 1 (G1)
+                # all designate EACC (MARC-8 spec; marc4j AnselToUnicode
+                # tracks the same four forms)
+                if i + 2 < n and data[i + 2] == 0x31:
+                    alt, multibyte = None, True
+                    i += 3
+                    continue
+                if (i + 3 < n and data[i + 2] in (0x2C, 0x29, 0x2D)
+                        and data[i + 3] == 0x31):
+                    alt, multibyte = None, True
+                    i += 4
+                    continue
+                bad_escape += 1
+                out.append("�")
+                i += 2
+                continue
+            if (d in (0x28, 0x29, 0x2C, 0x2D) and i + 2 < n
                     and data[i + 2] == 0x42):  # ESC ( B etc.: Basic Latin
-                alt = None
+                alt, multibyte = None, False
                 i += 3
                 continue
-            if d in (0x28, 0x29, 0x24, 0x2C, 0x2D):  # multi-byte
-                # designation (e.g. ESC $ 1 = EACC): not ported; skip
-                # the designation and replace set bytes until the next
-                # escape (permissive posture, record keeps flowing)
-                j = i + 2
-                while j < n and 0x20 < data[j] != _ESC and data[j] < 0x7F:
-                    j += 1
-                out.append("�")
-                i = j
+            if (d in (0x28, 0x29, 0x2C, 0x2D) and i + 2 < n
+                    and data[i + 2] == 0x45):  # ESC ( E etc.: ANSEL
+                alt, multibyte = None, False
+                i += 3
                 continue
+            bad_escape += 1
             out.append("�")
             i += 2
+            continue
+        if multibyte:
+            if b <= 0x20 or b == 0x7F:  # controls + space pass through
+                out.append(chr(b))
+                i += 1
+                continue
+            if i + 2 < n and data[i + 1] > 0x20 and data[i + 2] > 0x20 \
+                    and _ESC not in (data[i + 1], data[i + 2]):
+                code = (((b & 0x7F) << 16)
+                        | ((data[i + 1] & 0x7F) << 8)
+                        | (data[i + 2] & 0x7F))  # G1 high bits stripped
+                ch = _EACC_CHARS.get(code)
+                if ch is None:
+                    unmapped_eacc += 1
+                    ch = "�"
+                out.append(ch)
+                if pending:
+                    out.extend(reversed(pending))
+                    pending.clear()
+                i += 3
+                continue
+            # truncated triple (end of field or an escape mid-code):
+            # consume the lone byte so the stream cannot desynchronize
+            truncated += 1
+            out.append("�")
+            i += 1
             continue
         if alt is not None and b in alt:
             ch = alt[b]
@@ -177,7 +261,22 @@ def marc8_to_unicode(data: bytes) -> str:
             pending.clear()
         i += 1
     out.extend(pending)  # trailing orphan combinings kept (marc4j does)
-    return "".join(out)
+    err = None
+    if unmapped_eacc or truncated or bad_escape:
+        parts = []
+        if unmapped_eacc:
+            parts.append(f"{unmapped_eacc} unmapped EACC code(s)")
+        if truncated:
+            parts.append(f"{truncated} truncated multibyte code(s)")
+        if bad_escape:
+            parts.append(f"{bad_escape} unknown escape(s)")
+        err = "charset: " + ", ".join(parts)
+    return "".join(out), err
+
+
+def marc8_to_unicode(data: bytes) -> str:
+    """Text-only view of :func:`marc8_decode` (back-compat surface)."""
+    return marc8_decode(data)[0]
 
 
 def is_utf8_record(leader: str) -> bool:

@@ -81,6 +81,77 @@ def test_trailing_orphan_combining_kept():
     assert marc8_to_unicode(b"ab\xe2") == "ab\u0301"
 
 
+# ------------------------------------------------------------------ EACC
+
+def test_eacc_triples_consume_three_bytes_and_count():
+    from marc_solr_profiling_spark.sources.marc8 import marc8_decode
+
+    # two unmapped triples between designation and return-to-latin:
+    # exactly TWO replacement chars (not one per byte), and a counted note
+    text, err = marc8_decode(b"a\x1b$1!!!\x22\x22\x22\x1b(Bz")
+    assert text == "a\ufffd\ufffdz"
+    assert err == "charset: 2 unmapped EACC code(s)"
+
+
+def test_eacc_loaded_table_round_trip():
+    from marc_solr_profiling_spark.sources.marc8 import (
+        _EACC_CHARS,
+        load_eacc_table,
+        marc8_decode,
+    )
+
+    # mechanics under a pinned test table (the real ~16k-entry LOC table
+    # is runtime-loaded, never bundled): 0x212321 -> one CJK char
+    n = load_eacc_table("# comment\n212321 4E2D\n214E5C 6587\n")
+    try:
+        assert n == 2
+        text, err = marc8_decode(b"\x1b$1!#!!N\\\x1b(B!")
+        assert text == "\u4e2d\u6587!"
+        assert err is None
+        # G1 designation form ESC $ ) 1 with high-bit-set triple bytes
+        text_g1, err_g1 = marc8_decode(b"\x1b$)1\xa1\xa3\xa1\x1b(B")
+        assert text_g1 == "\u4e2d"
+        assert err_g1 is None
+    finally:
+        _EACC_CHARS.clear()
+
+
+def test_eacc_space_and_separators_pass_through():
+    from marc_solr_profiling_spark.sources.marc8 import (
+        _EACC_CHARS,
+        load_eacc_table,
+        marc8_decode,
+    )
+
+    load_eacc_table("212321 4E2D\n")
+    try:
+        # space between triples is NOT consumed as a code byte
+        text, err = marc8_decode(b"\x1b$1!#! !#! \x1b(B")
+        assert text == "\u4e2d \u4e2d "
+        assert err is None
+    finally:
+        _EACC_CHARS.clear()
+
+
+def test_eacc_truncated_triple_does_not_desync():
+    from marc_solr_profiling_spark.sources.marc8 import marc8_decode
+
+    # a lone byte before the return escape: consumed as ONE replacement,
+    # the escape still honored, and the note says truncated
+    text, err = marc8_decode(b"\x1b$1!\x1b(Bz")
+    assert text == "\ufffdz"
+    assert "truncated multibyte" in err
+
+
+def test_eacc_alternate_g0_designation_form():
+    from marc_solr_profiling_spark.sources.marc8 import marc8_decode
+
+    # ESC $ , 1 is the other G0 EACC form
+    text, err = marc8_decode(b"\x1b$,1!!!\x1b(B")
+    assert text == "\ufffd"
+    assert "unmapped EACC" in err
+
+
 def test_is_utf8_record():
     assert is_utf8_record("00000cam a2200000 a 4500"[:9] + "a" + "2200000")
     assert not is_utf8_record("000000000 0000000000000")
@@ -114,6 +185,21 @@ def test_decode_record_marc8_auto_skips_utf8_records():
     raw = _record_bytes("caf\u00e9".encode("utf-8"), coding=b"a")
     _, _, data = decode_record(raw, marc8="auto")
     assert data[0][3][0][1] == "caf\u00e9"
+
+
+def test_read_marc_binary_eacc_soft_quarantine(spark):
+    # a MARC-8 record with unmapped EACC content: the record still flows
+    # (decoded fields present) but parse_error carries the charset note,
+    # so `parse_error IS NULL` keeps selecting clean records
+    raw = _record_bytes(b"\x1b$1!#!\x1b(B ok", coding=b" ")
+    clean = _record_bytes(b"caf\xe2e", coding=b" ")
+    df = spark.createDataFrame(
+        [("f1", bytearray(raw + clean))], "path string, content binary")
+    rows = read_marc_binary(df, marc8="auto").orderBy("seq").collect()
+    assert rows[0]["parse_error"] == "charset: 1 unmapped EACC code(s)"
+    assert rows[0]["leader"] is not None  # record kept, not dropped
+    assert rows[0]["datafields"][0]["subfields"][0]["value"].endswith(" ok")
+    assert rows[1]["parse_error"] is None
 
 
 def test_read_marc_binary_marc8_auto(spark):

@@ -252,6 +252,101 @@ def test_spec_fields_and_cardinality(spark, profiled):
     assert rows["111"]["f245a_ssi"] == "Sonata"  # _ssi -> scalar
 
 
+def test_map_returning_method_expands_columns(spark, profiled):
+    """Map-returning custom method (SolrIndexer.java:875-903): the spec
+    line's own field name is a dummy; the returned map's keys name the
+    output columns."""
+    _, _fields = profiled
+    rows_src = spark.createDataFrame(
+        [
+            _record("r2", "00000cam a2200000 a 4500",
+                    [("001", "a222"),
+                     ("008", "760629s1960" + " " * 24 + "fre  ")],
+                    [("245", "1", "0", [("a", "Music theory")])]),
+            _record("r4", "00000cjm a2200000 a 4500",
+                    [("001", "a444"),
+                     ("008", "850101d19801982" + " " * 20 + "ita  ")],
+                    []),
+        ],
+        MARC_SCHEMA,
+    )
+    spec = "id = custom, getId\ndummy_name = custom, getPubDateData\n"
+    prof = profile_frame(
+        rows_src, parse_index_properties(spec), current_year=2026
+    )
+    # the dummy spec-line name is NOT an output column; the map keys are
+    assert prof.columns == ["record_id", "id", "pub_year_itsim",
+                            "pub_date_sort"]
+    rows = {r["id"]: r.asDict() for r in prof.collect()}
+    assert rows["222"]["pub_year_itsim"] == ["1960"]
+    assert rows["222"]["pub_date_sort"] == "1960"
+    assert rows["444"]["pub_year_itsim"] == ["1980", "1981", "1982"]
+    assert rows["444"]["pub_date_sort"] == "1980"
+
+
+def test_map_returning_method_delete_if_empty_gate(spark):
+    """deleteIfEmpty + Map return: record dropped when the map is empty
+    (SolrIndexer.java:882-883) — columnar analog: every emitted value
+    empty/null."""
+    rows_src = spark.createDataFrame(
+        [
+            _record("r1", "00000ccm a2200000 a 4500",
+                    [("001", "a111"), ("008", " " * 38)], []),  # no dates
+            _record("r2", "00000cam a2200000 a 4500",
+                    [("001", "a222"),
+                     ("008", "760629s1960" + " " * 24 + "fre  ")], []),
+        ],
+        MARC_SCHEMA,
+    )
+    spec = ("id = custom, getId\n"
+            "dates = customDeleteRecordIfFieldEmpty, getPubDateData\n")
+    prof = profile_frame(
+        rows_src, parse_index_properties(spec), current_year=2026
+    )
+    ids = {r["id"] for r in prof.select("id").collect()}
+    assert ids == {"222"}  # r1's slider set is empty -> dropped
+
+
+def test_map_returning_method_user_registration(spark):
+    """register_custom_method(returns_map=True): a user method emitting two
+    columns at once, compiled into the wide frame."""
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.plans.profile import (
+        _DISPATCH,
+        field_column,
+        register_custom_method,
+    )
+
+    def two_col(fld, ctx):
+        lang = F.substring(
+            F.try_element_at(
+                F.filter("controlfields", lambda c: c["tag"] == "008")
+                .getField("data"), F.lit(1)), 36, 3)
+        return {"lang_008": lang,
+                "lang_008_upper": F.upper(lang)}
+
+    register_custom_method("getTwoCols", two_col, returns_map=True)
+    try:
+        rows_src = spark.createDataFrame(
+            [_record("r2", "00000cam a2200000 a 4500",
+                     [("001", "a222"),
+                      ("008", "760629s1960" + " " * 24 + "fre  ")], [])],
+            MARC_SCHEMA,
+        )
+        spec = "id = custom, getId\nx = custom, getTwoCols\n"
+        fields = parse_index_properties(spec)
+        prof = profile_frame(rows_src, fields, current_year=2026)
+        row = prof.collect()[0]
+        assert row["lang_008"] == "fre"
+        assert row["lang_008_upper"] == "FRE"
+        # the scalar compile path refuses map-returning methods loudly
+        with pytest.raises(TypeError, match="returns a Map"):
+            field_column(fields[1], {"current_year": 2026})
+    finally:
+        _DISPATCH.pop("getTwoCols", None)
+
+
 def test_skipped_location_excludes_item(spark):
     # an item whose current location is on the skipped list never enters
     # the item set (Item.java:89-94) -> no buildings, no lcCallnums
