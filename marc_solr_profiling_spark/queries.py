@@ -739,6 +739,18 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counts under the pinned tiny (vocab, merges) pair
+    (functions/bpe.py): the real merge-loop tokenizer, oracle-checked
+    against the rank-ordered replace-chain SQL twin."""
+    from .functions.bpe import tiny_tokenizer, with_bpe_token_count
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_bpe_token_count(docs, tiny_tokenizer()).select(
+        "doc_id", F.col("bpe_tokens").cast("long").alias("bpe_tokens")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(
@@ -2431,6 +2443,17 @@ SELECT doc_id, n_tokens::BIGINT AS n_tokens, count(*)::BIGINT AS n_removed,
 FROM cov GROUP BY doc_id, n_tokens
 """
 
+from .functions.bpe import tiny_vocab_oracle_expr as _bpe_oracle_expr  # noqa: E402
+
+# real-vocab BPE under the pinned tiny merges list: the SQL twin applies
+# the merges as a rank-ordered replace chain (equivalent to the merge
+# loop for learned merge lists — functions/bpe.py module docstring, and
+# property-tested in tests/test_bpe.py)
+ORACLE_SQL["bpe_tokens"] = (
+    "SELECT doc_id, " + _bpe_oracle_expr("text")
+    + " AS bpe_tokens FROM documents"
+)
+
 ORACLE_SQL["bm25_dismax_pf_topk"] = """
 WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents),
@@ -2946,6 +2969,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_plan": q_temperature_plan,
     "pack_shards": q_pack_shards,
     "lm_perplexity": q_lm_perplexity,
+    "bpe_tokens": q_bpe_tokens,
     # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
