@@ -121,29 +121,96 @@ def ccnet_perplexity(docs: DataFrame, ref_docs: DataFrame,
     identical; hash-vs-string bigram identity differs only on negligible
     64-bit collisions).
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
-    P = np.int64(1099511628211)
+    P = np.int64(GRAM_POLY_P)
+    token_codes = token_codes_md5
+    bh, bcnt, hh, hcnt, v_size = train_model_arrays(ref_docs, text_col)
 
-    def token_codes(tk, memo):
-        def code(t):
-            c = memo.get(t)
-            if c is None:
-                c = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8],
-                    "big", signed=True)
-                memo[t] = c
-            return c
-        return np.fromiter((code(t) for t in tk), dtype=np.int64,
-                           count=len(tk))
+    spark = docs.sparkSession
+    bc_model = spark.sparkContext.broadcast((bh, bcnt, v_size))
+    bc_hist = spark.sparkContext.broadcast((hh, hcnt))
 
-    # ---- train: one kernel pass emitting typed model fragments --------
-    # (kind 0 = bigram count, 1 = history count, 2 = vocab token), merged
-    # on the driver. The ref corpus is trusted-set-sized, so fragments
-    # and the merged model are driver-sized by definition.
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    toks = docs.select(
+        F.col(key_col), tokens_simple(text_col).alias("tk")
+    ).filter(F.size("tk") >= 2)
+
+    def lookup(sorted_h, vals, query):
+        if len(sorted_h) == 0:
+            return np.zeros(len(query), dtype=np.int64)
+        pos = np.searchsorted(sorted_h, query)
+        pos[pos >= len(sorted_h)] = len(sorted_h) - 1
+        hit = sorted_h[pos] == query
+        out = np.where(hit, vals[pos], 0)
+        return out
+
+    a = float(alpha)
+
+    def score_kernel(batches):
+        bh, bcnt, V = bc_model.value
+        hh, hcnt = bc_hist.value
+        aV = a * V
+        memo: dict = {}
+        for pdf in batches:
+            keys, nbg, ppl = [], [], []
+            for key, tk in zip(pdf[key_col], pdf["tk"]):
+                c = token_codes(tk, memo)
+                g = c[:-1] * P + c[1:]
+                c2 = lookup(bh, bcnt, g)
+                c1 = lookup(hh, hcnt, c[:-1])
+                logp = np.log((c2 + a) / (c1 + aV))
+                keys.append(key)
+                nbg.append(len(g))
+                ppl.append(float(np.floor(
+                    np.exp(-logp.mean()) * 10**round_to + 0.5
+                ) / 10**round_to))
+            yield pd.DataFrame({
+                key_col: keys, "n_bigrams": nbg, "ppl": ppl})
+
+    return toks.mapInPandas(
+        score_kernel,
+        schema=f"{key_col} {key_t}, n_bigrams long, ppl double")
+
+
+#: the shared int64 gram-combination polynomial base (FNV-64 prime) —
+#: identical across the LM, decontamination and fused-pass kernels so
+#: gram identities agree everywhere
+GRAM_POLY_P = 1099511628211
+
+
+def token_codes_md5(tk, memo):
+    """Per-token 64-bit md5-prefix codes (int64) with a caller-owned
+    memo — the shared token-identity scheme of the LM/decontamination/
+    fused-pass kernels."""
+    import hashlib
+
+    import numpy as np
+
+    def code(t):
+        c = memo.get(t)
+        if c is None:
+            c = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8],
+                "big", signed=True)
+            memo[t] = c
+        return c
+    return np.fromiter((code(t) for t in tk), dtype=np.int64,
+                       count=len(tk))
+
+
+def train_model_arrays(ref_docs: DataFrame, text_col: str = "text"):
+    """Train the CCNet bigram model and return it as broadcastable
+    sorted-hash arrays: ``(bg_hashes, bg_counts, hist_hashes,
+    hist_counts, vocab_size)``.  One kernel pass over the (driver-sized,
+    trusted) reference corpus emitting typed fragments (kind 0 = bigram
+    count, 1 = history count, 2 = vocab token), merged on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.int64(GRAM_POLY_P)
+    token_codes = token_codes_md5
     ref_tk = ref_docs.select(
         tokens_simple(text_col).alias("tk")).filter(F.size("tk") > 0)
 
@@ -193,48 +260,6 @@ def ccnet_perplexity(docs: DataFrame, ref_docs: DataFrame,
         hs = np.sort(np.fromiter(d.keys(), dtype=np.int64, count=len(d)))
         return hs, np.array([d[h] for h in hs.tolist()], dtype=np.int64)
 
-    spark = docs.sparkSession
-    bc_model = spark.sparkContext.broadcast(
-        (*sorted_map(bg_counts), v_size))
-    bc_hist = spark.sparkContext.broadcast(sorted_map(hist_counts))
-
-    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
-    toks = docs.select(
-        F.col(key_col), tokens_simple(text_col).alias("tk")
-    ).filter(F.size("tk") >= 2)
-
-    def lookup(sorted_h, vals, query):
-        if len(sorted_h) == 0:
-            return np.zeros(len(query), dtype=np.int64)
-        pos = np.searchsorted(sorted_h, query)
-        pos[pos >= len(sorted_h)] = len(sorted_h) - 1
-        hit = sorted_h[pos] == query
-        out = np.where(hit, vals[pos], 0)
-        return out
-
-    a = float(alpha)
-
-    def score_kernel(batches):
-        bh, bcnt, V = bc_model.value
-        hh, hcnt = bc_hist.value
-        aV = a * V
-        memo: dict = {}
-        for pdf in batches:
-            keys, nbg, ppl = [], [], []
-            for key, tk in zip(pdf[key_col], pdf["tk"]):
-                c = token_codes(tk, memo)
-                g = c[:-1] * P + c[1:]
-                c2 = lookup(bh, bcnt, g)
-                c1 = lookup(hh, hcnt, c[:-1])
-                logp = np.log((c2 + a) / (c1 + aV))
-                keys.append(key)
-                nbg.append(len(g))
-                ppl.append(float(np.floor(
-                    np.exp(-logp.mean()) * 10**round_to + 0.5
-                ) / 10**round_to))
-            yield pd.DataFrame({
-                key_col: keys, "n_bigrams": nbg, "ppl": ppl})
-
-    return toks.mapInPandas(
-        score_kernel,
-        schema=f"{key_col} {key_t}, n_bigrams long, ppl double")
+    bh, bcnt = sorted_map(bg_counts)
+    hh, hcnt = sorted_map(hist_counts)
+    return bh, bcnt, hh, hcnt, v_size

@@ -124,6 +124,27 @@ def test_merge_loop_vs_bruteforce_property():
         assert tok._merge_piece(piece) == tuple(brute(piece)), piece
 
 
+def test_pack_shards_on_exact_bpe_counts(spark):
+    """Budget shard packing denominated in EXACT BPE tokens — the
+    composition the tiny-vocab counter exists for."""
+    from marc_solr_profiling_spark.operators.sampling import pack_shards
+
+    tok = tiny_tokenizer()
+    rows = [(i, " the thin and of " * (1 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = with_bpe_token_count(df, tok)
+    packed = pack_shards(counted, tokens_per_shard=64,
+                         weight_col="bpe_tokens")
+    got = {r["doc_id"]: (r["shard_id"], r["bpe_tokens"])
+           for r in packed.collect()}
+    # serial reference: docs laid end to end in doc_id order
+    start = 0
+    for i in range(40):
+        w = tok.count(rows[i][1])
+        assert got[i] == (start // 64, w), i
+        start += w
+
+
 def test_with_bpe_token_count_spark(spark):
     tok = tiny_tokenizer()
     rows = [(1, " the thin and"), (2, ""), (3, None), (4, "of the er")]
