@@ -751,6 +751,31 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webtext_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused tokenize-once webtext pass (functions/webtext_pass.py) —
+    oracle checks its SQL-expressible column groups per doc (repetition
+    signals + the Gopher flag battery, same thresholds as
+    q_gopher_filter); the MinHash/decontamination/LM groups are covered
+    by the differential pytest tier (tests/test_webtext_pass.py)."""
+    from .functions.webtext_pass import webtext_signals
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = webtext_signals(
+        docs, stopwords=["the", "a"], n_hashes=2,
+        min_tokens=30, max_tokens=80,
+        min_mean_word_len=4.4, max_mean_word_len=10.0,
+        min_distinct_stopwords=2, max_punct_ratio=0.25,
+        max_top2_frac=0.04, max_dup5_frac=0.0,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ttr", "top2_frac", "dup5_frac",
+        "r_too_short", "r_too_long", "r_word_len", "r_stopwords",
+        "r_punct", "r_top2", "r_dup5",
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(
@@ -2377,6 +2402,56 @@ pairs AS (
 SELECT rule, count(*)::BIGINT AS n FROM pairs GROUP BY rule ORDER BY rule
 """
 
+ORACLE_SQL["webtext_pass"] = r"""
+WITH tks AS (SELECT doc_id, text,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+nz AS (SELECT * FROM tks WHERE len(tk) > 0),
+meas AS (
+  SELECT doc_id,
+    len(tk) AS n_tok,
+    list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) AS mwl,
+    len(list_intersect(list_distinct(tk), ['the', 'a'])) AS dsw,
+    CASE WHEN length(text) > 0
+         THEN (length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+              ::DOUBLE / length(text)
+         ELSE 0.0 END AS punct
+  FROM nz),
+g1 AS (SELECT doc_id, 1 AS k, unnest(tk) AS gram FROM nz),
+g2 AS (SELECT doc_id, 2 AS k,
+              array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             FROM nz WHERE len(tk) >= 2)),
+g5 AS (SELECT doc_id, 5 AS k,
+              array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             FROM nz WHERE len(tk) >= 5)),
+pairs AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+          UNION ALL SELECT * FROM g5),
+counted AS (SELECT doc_id, k, gram, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+per_k AS (SELECT doc_id, k, sum(c) AS total, count(*) AS dg, max(c) AS mx,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+          FROM counted GROUP BY 1, 2),
+rep AS (SELECT doc_id,
+  max(CASE WHEN k = 1 THEN total END)::BIGINT AS n_tokens,
+  round(max(CASE WHEN k = 1 THEN dg / total::DOUBLE END), 6) AS ttr,
+  round(coalesce(max(CASE WHEN k = 2 THEN mx / total::DOUBLE END), 0.0), 6)
+    AS top2_frac,
+  round(coalesce(max(CASE WHEN k = 5 THEN dup / total::DOUBLE END), 0.0), 6)
+    AS dup5_frac
+  FROM per_k GROUP BY doc_id)
+SELECT r.doc_id, r.n_tokens, r.ttr, r.top2_frac, r.dup5_frac,
+  (m.n_tok < 30) AS r_too_short,
+  (m.n_tok > 80) AS r_too_long,
+  (m.mwl < 4.4 OR m.mwl > 10.0) AS r_word_len,
+  (m.dsw < 2) AS r_stopwords,
+  (m.punct > 0.25) AS r_punct,
+  (r.top2_frac > 0.04) AS r_top2,
+  (r.dup5_frac > 0.0) AS r_dup5
+FROM rep r JOIN meas m USING (doc_id)
+"""
+
 ORACLE_SQL["sort_spec_page"] = """
 SELECT doc_id, nullif(lang, 'en') AS lang_key, n_chars::BIGINT AS n_chars
 FROM documents
@@ -2970,6 +3045,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_shards": q_pack_shards,
     "lm_perplexity": q_lm_perplexity,
     "bpe_tokens": q_bpe_tokens,
+    "webtext_pass": q_webtext_pass,
     # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
