@@ -413,3 +413,47 @@ def ann_lsh_topk(
         buckets.filter(F.col("bucket").isin(probes)).select(key_col), key_col
     )
     return cosine_topk(candidates, query_vec, key_col=key_col, vec_col=vec_col, k=k)
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 4,
+    max_bucket: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — within each
+    embedding-space cluster, drop every document whose cosine similarity
+    to an already-kept cluster-mate exceeds ``threshold``. Returns
+    ``(key, kept)`` for every input vector.
+
+    Clustering stand-in: the deterministic sign-pattern LSH buckets of
+    :func:`embedding_neardup_pairs` play the role of SemDeDup's k-means
+    cells (the paper clusters only to bound the pairwise comparison to
+    within-cell; any partition with the near-dup-collision property
+    works, and sign-LSH keeps the oracle SQL-exact where seeded k-means
+    would not). Keep rule: the paper keeps one representative per
+    epsilon-group; here the representative is the smallest key — a
+    vector is dropped iff some bucket-mate with a SMALLER key sits
+    within ``threshold`` cosine. Deterministic, order-free, and exactly
+    the rule the SQL twin replays.
+
+    Scale shape: pair generation is the bucket-equi-join of
+    ``embedding_neardup_pairs`` (co-partitioned candidates, never
+    all-pairs; ``max_bucket`` caps degenerate cells); the keep flag is
+    one key-only distinct + one left anti-style join — embeddings never
+    shuffle a second time.
+    """
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=threshold, key_col=key_col, vec_col=vec_col,
+        sign_bits=sign_bits, max_bucket=max_bucket, round_to=round_to,
+    )
+    dropped = pairs.select(F.col("key_b").alias(key_col)).distinct()
+    return embeddings.select(key_col).join(
+        dropped.withColumn("_dup", F.lit(True)), key_col, "left"
+    ).select(
+        key_col,
+        (~F.coalesce(F.col("_dup"), F.lit(False))).alias("kept"),
+    )

@@ -1521,6 +1521,40 @@ def q_callnum_lop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL — MUST alias columns identically to the Spark plans
 # ---------------------------------------------------------------------------
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style model-based quality filtering (Brown et al. 2020
+    App. A) with the deterministic Naive-Bayes hashed-bucket stand-in
+    for the fasttext/LR classifier (functions/quality_classifier.py):
+    train on positive seed doc_id % 10 == 0 vs negative seed
+    doc_id % 10 == 1, score every document with the broadcast dense
+    log-ratio array in one zero-shuffle Arrow kernel. The twin
+    re-derives bucket counts, smoothing, and the per-document log-ratio
+    sum in SQL (buckets keyed by the same substr(md5(token),1,3))."""
+    from .functions.quality_classifier import nb_quality_score
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 10 == 0)
+    neg = docs.filter(F.col("doc_id") % 10 == 1)
+    return nb_quality_score(docs, pos, neg, alpha=0.5).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "nb_logratio", "keep",
+    )
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): within each
+    sign-LSH cell (the SQL-exact k-means stand-in), drop every vector
+    with cosine >= 0.3 to a smaller-keyed cell-mate; keep the rest
+    (operators/similarity.py:semdedup_prune)."""
+    from .operators.similarity import semdedup_prune
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = semdedup_prune(
+        emb, threshold=0.3, key_col="vec_id", sign_bits=4, round_to=6
+    )
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "kept")
+
+
 def _duck_phrase_pred(phrase: list, slop: int) -> str:
     """DuckDB predicate over ``tk`` mirroring ``phrase_match_expr``:
     exact adjacency at slop 0, ordered window at slop > 0 (nested
@@ -3016,11 +3050,63 @@ SELECT doc_id, count(*)::BIGINT AS n_grams,
 FROM tagged GROUP BY doc_id
 """
 
+ORACLE_SQL["quality_classifier"] = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+inst AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+bkt AS (SELECT doc_id, substr(md5(w), 1, 3) AS b FROM inst),
+cpos AS (SELECT b, count(*)::DOUBLE AS c FROM bkt
+         WHERE doc_id % 10 = 0 GROUP BY b),
+cneg AS (SELECT b, count(*)::DOUBLE AS c FROM bkt
+         WHERE doc_id % 10 = 1 GROUP BY b),
+np AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM cpos),
+nn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM cneg),
+scored AS (
+  SELECT k.doc_id,
+         ln((coalesce(p.c, 0) + 0.5)
+            / ((SELECT n FROM np) + 0.5 * 4096))
+         - ln((coalesce(g.c, 0) + 0.5)
+              / ((SELECT n FROM nn) + 0.5 * 4096)) AS s
+  FROM bkt k
+  LEFT JOIN cpos p ON k.b = p.b
+  LEFT JOIN cneg g ON k.b = g.b)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(s), 4) AS nb_logratio,
+       round(sum(s), 4) > 0.0 AS keep
+FROM scored GROUP BY doc_id
+"""
+
+ORACLE_SQL["semdedup_prune"] = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+     + 2 * CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END
+     + 4 * CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END
+     + 8 * CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS key_a, y.vec_id AS key_b,
+         unnest(x.embedding)::DOUBLE AS xa,
+         unnest(y.embedding)::DOUBLE AS yb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+cc AS (
+  SELECT key_a, key_b,
+         round(sum(xa * yb) / (sqrt(sum(xa * xa)) * sqrt(sum(yb * yb))), 6)
+           AS cosine
+  FROM pairs GROUP BY 1, 2),
+dropped AS (SELECT DISTINCT key_b FROM cc WHERE cosine >= 0.3)
+SELECT e.vec_id, (d.key_b IS NULL) AS kept
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.key_b
+"""
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rotation note (round 4): the driver's CORRECTNESS gate checks only the
     # FIRST 50 dict entries.  Entries that have never had (or lost) a
     # driver-green row are placed FIRST; round-3-green entries follow.  Every
     # entry keeps passing tools/check_oracle.py regardless of position.
+    "quality_classifier": q_quality_classifier,
+    "semdedup_prune": q_semdedup_prune,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

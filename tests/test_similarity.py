@@ -129,3 +129,41 @@ def test_ivf_assignment_literal_matches_dataframe_path(spark):
     dfp = {(r["vec_id"], r["cid"])
            for r in ivf_assignments(df, cdf).collect()}
     assert lit == dfp
+
+
+def test_semdedup_prune_keeps_smallest_key_per_group(spark):
+    from marc_solr_profiling_spark.operators.similarity import semdedup_prune
+
+    # {0, 1, 4} near-identical in one sign cell; 2 alone in another cell;
+    # 3 shares 0's cell but is far from everything (below threshold)
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.5, 0.25, 0.1]),
+            (1, [1.0, 0.5, 0.25, 0.11]),
+            (2, [-0.1, 0.9, -0.8, 0.7]),
+            (3, [0.9, 0.01, 0.9, 0.01]),
+            (4, [1.0, 0.5, 0.26, 0.1]),
+        ],
+    )
+    got = {r["vec_id"]: r["kept"] for r in
+           semdedup_prune(df, threshold=0.9, sign_bits=4).collect()}
+    # representative (smallest key) of the near-dup group survives;
+    # its two >=0.9-cosine cell-mates are dropped; singletons survive
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: False}
+
+
+def test_semdedup_prune_oracle_twin_nonvacuous(spark):
+    import duckdb
+
+    from marc_solr_profiling_spark.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r["kept"]
+           for r in QUERIES["semdedup_prune"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = dict(con.execute(ORACLE_SQL["semdedup_prune"]).fetchall())
+    assert got == want
+    assert any(got.values()) and not all(got.values())  # some drops happen
