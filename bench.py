@@ -68,6 +68,13 @@ HEADLINE = [
     "hash_split",
     "pack_shards",
     "lm_perplexity",
+    "bpe_tokens",
+    "webtext_pass",
+    "quality_classifier",
+    "semdedup_prune",
+    "fuzzy_dedup_keep",
+    "line_dedup_clean",
+    "corpus_datacard",
 ]
 
 

@@ -339,3 +339,39 @@ def gopher_filter_stats(docs: DataFrame, key_col: str = "doc_id",
         .agg(F.count("*").alias("n"))
         .orderBy("rule")
     )
+
+
+def corpus_datacard(docs: DataFrame, lang_col: str = "lang",
+                    text_col: str = "text",
+                    round_to: int = 6) -> DataFrame:
+    """Per-language corpus data card — the dataset-documentation rollup
+    (Gebru et al. 2021 "Datasheets for Datasets"; the per-source tables
+    in the C4/Pile/RefinedWeb papers) and the webtext analog of the
+    reference's whole-collection profiling battery: one row per language
+    with ``n_docs, total_tokens, mean_quality, p50_tokens, p90_tokens``.
+
+    Scale shape: ONE groupBy on the language key. The percentiles are
+    Spark's EXACT ``percentile`` aggregate, which buffers a count per
+    DISTINCT value — the value domain is integer token counts, whose
+    cardinality is bounded by the longest document, not the corpus, so
+    the aggregation state stays small and partial-aggregatable at any
+    corpus size (an approx-percentile swap is only needed if doc lengths
+    were unbounded). Quality is the shared ``quality_score_expr``
+    (already rounded per doc); its mean is rounded one digit looser than
+    the per-doc values so cross-engine float summation order cannot flip
+    the last digit.
+    """
+    base = docs.select(
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
+        F.size(tokens_simple(text_col)).alias("n_tok"),
+        quality_score_expr(text_col).alias("q"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), round_to)
+        .alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), round_to)
+        .alias("p90_tokens"),
+    )

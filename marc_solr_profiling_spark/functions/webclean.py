@@ -300,3 +300,57 @@ def cleaning_funnel(docs: DataFrame, key_col: str = "doc_id",
         F.col("n_kept").cast("long").alias("n_kept"),
         (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
     )
+
+
+def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide duplicated-line REMOVAL — the mutation step of the
+    CCNet §3.1 paragraph dedup (``duplicate_line_stats`` is its
+    measurement twin): every normalized (trimmed, lowercased) line keeps
+    exactly its FIRST occurrence in corpus order (min ``(key, position)``)
+    and every later instance is deleted from its document. Blank lines
+    are dropped outright (whitespace normalization). Returns one row per
+    input document: ``(key, n_lines, n_kept, clean_md5)`` with
+    ``clean_md5`` the md5 of the surviving lines re-joined by ``\\n``
+    (empty string when nothing survives) — the pinned-digest output
+    contract of ``redact_pii``.
+
+    Scale shape: lines explode once; the first-occurrence winner per
+    line is a groupBy-min on ``xxhash64(line)`` (8-byte keys, line text
+    never shuffles in the heavy stage — the duplicate_line_stats
+    rationale); the join back is hash+instance equality; reassembly is
+    the only stage that moves surviving text, one groupBy over the
+    (already reduced) kept lines. A 2^-64 hash collision deletes one
+    extra line, the CCNet trade.
+    """
+    lines = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim("line") != "").select(
+        key_col, "pos", "line",
+        F.xxhash64(F.lower(F.trim("line"))).alias("h"),
+    )
+    winners = lines.groupBy("h").agg(
+        F.min(F.struct(key_col, "pos")).alias("w"))
+    kept = lines.join(winners, "h").filter(
+        (F.col(key_col) == F.col("w")[key_col])
+        & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ), "\n")).alias("clean_md5"),
+    )
+    totals = lines.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_lines"))
+    return docs.select(key_col).join(totals, key_col, "left").join(
+        rebuilt, key_col, "left"
+    ).select(
+        key_col,
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -769,3 +769,46 @@ def benchmark_decontaminate(
         schema=(f"{key_col} {key_t}, n_grams long, n_hit long, "
                 "contaminated boolean"),
     )
+
+
+def fuzzy_dedup_keep(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The END-TO-END fuzzy-dedup stage (the FineWeb / RefinedWeb
+    "MinHash dedup" step as one call): MinHash signatures -> banded LSH
+    candidates -> exact-Jaccard verification -> connected components ->
+    keep ONE representative per duplicate cluster. Returns
+    ``(key, cluster_id, kept)`` for EVERY input document — singletons
+    are their own cluster and are kept; within a cluster only the
+    minimum key survives (the deterministic representative rule the
+    cluster step documents).
+
+    This is pure composition of the verified pieces
+    (:func:`lsh_jaccard_pairs` + :func:`connected_components`), so the
+    scale shape is theirs: banded bucket joins (never all-pairs),
+    verification on candidates only, one O(|E|) join+agg per component
+    round, and the final keep flag is a key-only left join against the
+    component labels — document text never shuffles after the shingle
+    stage.
+    """
+    pairs = lsh_jaccard_pairs(
+        docs, key_col=key_col, text_col=text_col, n_hashes=n_hashes,
+        bands=bands, shingle_n=shingle_n, max_bucket=max_bucket,
+        threshold=threshold,
+    )
+    comp = connected_components(
+        pairs, key_out=key_col, label_out="cluster_id")
+    out = docs.select(key_col).join(comp, key_col, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(key_col))
+    return out.select(
+        F.col(key_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(key_col)).alias("kept"),
+    )

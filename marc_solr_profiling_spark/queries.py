@@ -1555,6 +1555,51 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long").alias("vec_id"), "kept")
 
 
+def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end FineWeb-style fuzzy-dedup stage as ONE call
+    (operators/dedup.py:fuzzy_dedup_keep): MinHash -> banded LSH ->
+    exact-Jaccard verify -> connected components -> keep the minimum
+    key per duplicate cluster; singletons keep. The twin replays the
+    whole chain: the lsh_jaccard SQL feeding a recursive-CTE closure
+    plus the same keep rule, left-joined to every document."""
+    from .operators.dedup import fuzzy_dedup_keep
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    out = fuzzy_dedup_keep(
+        docs, key_col="doc_id", n_hashes=16, bands=4, shingle_n=3,
+        max_bucket=200, threshold=0.2,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "kept",
+    )
+
+
+def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line REMOVAL (the CCNet §3.1 mutation step;
+    webclean.py:remove_duplicate_lines): every normalized line keeps its
+    first corpus occurrence (min (doc_id, position)); output pins the
+    cleaned text by md5. Spark keys the winner election on
+    xxhash64(line); the twin elects winners on the line string itself —
+    identical absent a 2^-64 collision."""
+    from .functions.webclean import remove_duplicate_lines
+
+    return remove_duplicate_lines(_lined_docs(spark, sf_dir))
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus data card (textstats.py:corpus_datacard):
+    doc counts, token totals, mean quality, and EXACT p50/p90 token
+    percentiles in one groupBy — the datasheet rollup. The twin uses
+    DuckDB's quantile_cont (same linear interpolation as Spark's exact
+    percentile)."""
+    from .functions.textstats import corpus_datacard
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return corpus_datacard(docs)
+
+
 def _duck_phrase_pred(phrase: list, slop: int) -> str:
     """DuckDB predicate over ``tk`` mirroring ``phrase_match_expr``:
     exact adjacency at slop 0, ordered window at slop > 0 (nested
@@ -3077,6 +3122,85 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 
+ORACLE_SQL["corpus_datacard"] = r"""
+WITH m AS (
+  SELECT coalesce(lang, 'und') AS lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+         round(
+           0.4 * least(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN length(text) > 0
+               THEN (length(text)
+                     - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '',
+                                             'g')))::DOUBLE / length(text)
+               ELSE 0.0 END)
+           + 0.3 * least(
+               (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+                THEN len(list_filter(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       t -> t IN ('the','of','and','to','in','is','that',
+                                  'for','it','with')))::DOUBLE
+                     / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                ELSE 0.0 END) / 0.1, 1.0),
+           6) AS q
+  FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(q), 4) AS mean_quality,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens
+FROM m GROUP BY lang
+"""
+
+ORACLE_SQL["fuzzy_dedup_keep"] = (
+    """WITH RECURSIVE pairs AS (
+  SELECT key_a, key_b FROM ("""
+    + _LSH_JACCARD_SQL
+    + """) t
+),
+edges AS (SELECT key_a AS a, key_b AS b FROM pairs
+          UNION SELECT key_b, key_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+LEFT JOIN comp c USING (doc_id)
+"""
+)
+
+ORACLE_SQL["line_dedup_clean"] = """
+WITH lined AS (%s),
+l0 AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM lined),
+l AS (SELECT doc_id, pos, line FROM l0 WHERE trim(line) <> ''),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY lower(trim(line))
+                                ORDER BY doc_id, pos) AS rn
+      FROM l),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        FROM r WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+""" % _LINED_SQL
+
 ORACLE_SQL["semdedup_prune"] = """
 WITH b AS (
   SELECT vec_id, embedding,
@@ -3107,6 +3231,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entry keeps passing tools/check_oracle.py regardless of position.
     "quality_classifier": q_quality_classifier,
     "semdedup_prune": q_semdedup_prune,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "line_dedup_clean": q_line_dedup_clean,
+    "corpus_datacard": q_corpus_datacard,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
