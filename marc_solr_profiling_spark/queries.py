@@ -755,8 +755,10 @@ def q_webtext_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused tokenize-once webtext pass (functions/webtext_pass.py) —
     oracle checks its SQL-expressible column groups per doc (repetition
     signals + the Gopher flag battery, same thresholds as
-    q_gopher_filter); the MinHash/decontamination/LM groups are covered
-    by the differential pytest tier (tests/test_webtext_pass.py)."""
+    q_gopher_filter, + the NB quality-classifier columns with the same
+    seeds as q_quality_classifier); the MinHash/decontamination/LM
+    groups are covered by the differential pytest tier
+    (tests/test_webtext_pass.py)."""
     from .functions.webtext_pass import webtext_signals
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -766,6 +768,9 @@ def q_webtext_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_mean_word_len=4.4, max_mean_word_len=10.0,
         min_distinct_stopwords=2, max_punct_ratio=0.25,
         max_top2_frac=0.04, max_dup5_frac=0.0,
+        nb_pos_docs=docs.filter(F.col("doc_id") % 10 == 0),
+        nb_neg_docs=docs.filter(F.col("doc_id") % 10 == 1),
+        nb_alpha=0.5,
     )
     return out.select(
         "doc_id",
@@ -773,6 +778,7 @@ def q_webtext_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ttr", "top2_frac", "dup5_frac",
         "r_too_short", "r_too_long", "r_word_len", "r_stopwords",
         "r_punct", "r_top2", "r_dup5",
+        "nb_logratio", "nb_keep",
     )
 
 
@@ -2519,7 +2525,25 @@ rep AS (SELECT doc_id,
     AS top2_frac,
   round(coalesce(max(CASE WHEN k = 5 THEN dup / total::DOUBLE END), 0.0), 6)
     AS dup5_frac
-  FROM per_k GROUP BY doc_id)
+  FROM per_k GROUP BY doc_id),
+qb AS (SELECT doc_id, substr(md5(w), 1, 3) AS b
+       FROM (SELECT doc_id, unnest(tk) AS w FROM tks)),
+qpos AS (SELECT b, count(*)::DOUBLE AS c FROM qb
+         WHERE doc_id % 10 = 0 GROUP BY b),
+qneg AS (SELECT b, count(*)::DOUBLE AS c FROM qb
+         WHERE doc_id % 10 = 1 GROUP BY b),
+qnp AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM qpos),
+qnn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM qneg),
+qs AS (SELECT k.doc_id,
+              ln((coalesce(p.c, 0) + 0.5)
+                 / ((SELECT n FROM qnp) + 0.5 * 4096))
+              - ln((coalesce(g.c, 0) + 0.5)
+                   / ((SELECT n FROM qnn) + 0.5 * 4096)) AS s
+       FROM qb k
+       LEFT JOIN qpos p ON k.b = p.b
+       LEFT JOIN qneg g ON k.b = g.b),
+qdoc AS (SELECT doc_id, round(sum(s), 4) AS nb_logratio
+         FROM qs GROUP BY doc_id)
 SELECT r.doc_id, r.n_tokens, r.ttr, r.top2_frac, r.dup5_frac,
   (m.n_tok < 30) AS r_too_short,
   (m.n_tok > 80) AS r_too_long,
@@ -2527,8 +2551,10 @@ SELECT r.doc_id, r.n_tokens, r.ttr, r.top2_frac, r.dup5_frac,
   (m.dsw < 2) AS r_stopwords,
   (m.punct > 0.25) AS r_punct,
   (r.top2_frac > 0.04) AS r_top2,
-  (r.dup5_frac > 0.0) AS r_dup5
-FROM rep r JOIN meas m USING (doc_id)
+  (r.dup5_frac > 0.0) AS r_dup5,
+  q.nb_logratio,
+  (q.nb_logratio > 0.0) AS nb_keep
+FROM rep r JOIN meas m USING (doc_id) JOIN qdoc q USING (doc_id)
 """
 
 ORACLE_SQL["sort_spec_page"] = """

@@ -47,6 +47,8 @@ def fused(spark, corpus):
     ref = corpus.filter("doc_id % 7 = 0")
     return webtext_signals(
         corpus, n_hashes=N_HASHES, bench_docs=bench, ref_docs=ref,
+        nb_pos_docs=corpus.filter("doc_id % 7 = 0"),
+        nb_neg_docs=corpus.filter("doc_id % 7 = 1"),
     ).persist()
 
 
@@ -106,3 +108,29 @@ def test_lm_absent_without_ref(spark, corpus):
     rows = out.collect()
     assert all(r["ppl"] is None for r in rows)
     assert all(r["contaminated"] is None for r in rows)
+
+
+def test_nb_quality_group_matches(spark, corpus, fused):
+    from marc_solr_profiling_spark.functions.quality_classifier import (
+        nb_quality_score,
+    )
+
+    want = _by_key(
+        nb_quality_score(
+            corpus,
+            corpus.filter("doc_id % 7 = 0"),
+            corpus.filter("doc_id % 7 = 1"),
+        ).select("doc_id", "nb_logratio", F.col("keep").alias("nb_keep")),
+        ["nb_logratio", "nb_keep"],
+    )
+    got = _by_key(fused.select("doc_id", "nb_logratio", "nb_keep"),
+                  ["nb_logratio", "nb_keep"])
+    assert got == want
+
+
+def test_nb_columns_null_without_seeds(spark, corpus):
+    out = webtext_signals(
+        corpus.limit(5), n_hashes=2,
+    ).select("nb_logratio", "nb_keep").collect()
+    assert all(r["nb_logratio"] is None and r["nb_keep"] is None
+               for r in out)
