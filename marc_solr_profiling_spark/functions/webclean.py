@@ -321,15 +321,22 @@ def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
     rationale); the join back is hash+instance equality; reassembly is
     the only stage that moves surviving text, one groupBy over the
     (already reduced) kept lines. A 2^-64 hash collision deletes one
-    extra line, the CCNet trade.
+    extra line, the CCNet trade. The exploded lines frame feeds three
+    consumers (winner election, keep join, totals), so it is persisted
+    under the ``_cache`` generation protocol — otherwise the scan +
+    explode re-runs per consumer (the lsh_jaccard survivor-persist
+    pattern).
     """
-    lines = docs.select(
+    from ..operators import _cache
+
+    _cache.begin("line_dedup_clean")
+    lines = _cache.hold("line_dedup_clean", docs.select(
         F.col(key_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).filter(F.trim("line") != "").select(
         key_col, "pos", "line",
         F.xxhash64(F.lower(F.trim("line"))).alias("h"),
-    )
+    ))
     winners = lines.groupBy("h").agg(
         F.min(F.struct(key_col, "pos")).alias("w"))
     kept = lines.join(winners, "h").filter(
