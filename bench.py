@@ -75,6 +75,7 @@ HEADLINE = [
     "fuzzy_dedup_keep",
     "line_dedup_clean",
     "corpus_datacard",
+    "domain_stats",
 ]
 
 

@@ -361,3 +361,50 @@ def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+def host_expr(url) -> Column:
+    """Lowercased host of an http(s) URL, default-port- and ``www.``-
+    stripped — the grouping key for domain-level corpus stages. Pure
+    regexp expressions (whole-stage codegen)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 key_col: str = "doc_id",
+                 text_col: Optional[str] = None,
+                 blocklist: Sequence[str] = ()) -> DataFrame:
+    """Per-domain corpus rollup + blocklist gate — the site-level stage
+    (C4 §2.2's "bad domains" filter / the UT1-blocklist pass in
+    RefinedWeb, and the per-domain datasheet tables in Dolma): one row
+    per host with ``host, n_docs, n_tokens, blocked``.
+
+    A host is blocked when it equals a blocklist entry or is a
+    subdomain of one (``host = b OR host LIKE '%.b'`` — the registrable-
+    domain convention; a public-suffix-list refinement is data, not
+    structure). ``n_tokens`` is 0 when no ``text_col`` is given.
+
+    Scale shape: host extraction is a per-row expression; ONE groupBy on
+    the host string; the blocklist is a literal OR-chain (driver-sized
+    by definition — UT1 ships ~4M entries, which at that size would move
+    to a broadcast semi-join, same plan class as the decontaminate
+    probe).
+    """
+    from .textstats import token_count
+
+    host = host_expr(url_col).alias("host")
+    n_tok = (token_count(text_col) if text_col else F.lit(0)).alias("_nt")
+    rolled = df.select(host, n_tok).groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    blocked = F.lit(False)
+    for b in blocklist:
+        lb = b.lower()
+        blocked = blocked | (F.col("host") == lb) \
+            | F.col("host").endswith("." + lb)
+    return rolled.select("host", "n_docs", "n_tokens",
+                         blocked.alias("blocked"))

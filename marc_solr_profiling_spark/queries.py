@@ -1594,6 +1594,32 @@ def q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(_lined_docs(spark, sf_dir))
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup + blocklist gate (webclean.py:domain_stats —
+    the C4 "bad domains" / RefinedWeb UT1 site-level stage) over a
+    deterministic multi-host URL synth (13 hosts x 2 TLDs, www/port
+    noise on residues). The twin re-derives the host from the same
+    doc_id residues — Spark's host_expr must strip the www/port noise
+    to agree."""
+    from .functions.webclean import domain_stats
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 13).cast("string"),
+        F.when(d % 2 == 0, F.lit(".com")).otherwise(F.lit(".org")),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), d.cast("string"),
+    )
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text").withColumn("url", url)
+    return domain_stats(
+        docs, text_col="text",
+        blocklist=["site3.org", "site4.com", "bad.example"],
+    )
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus data card (textstats.py:corpus_datacard):
     doc counts, token totals, mean quality, and EXACT p50/p90 token
@@ -3148,6 +3174,21 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 
+ORACLE_SQL["domain_stats"] = """
+WITH u AS (
+  SELECT doc_id, text,
+         'site' || CAST(doc_id % 13 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS host
+  FROM documents)
+SELECT host, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT
+         AS n_tokens,
+       (host = 'site3.org' OR host LIKE '%.site3.org'
+        OR host = 'site4.com' OR host LIKE '%.site4.com'
+        OR host = 'bad.example' OR host LIKE '%.bad.example') AS blocked
+FROM u GROUP BY host
+"""
+
 ORACLE_SQL["corpus_datacard"] = r"""
 WITH m AS (
   SELECT coalesce(lang, 'und') AS lang,
@@ -3260,6 +3301,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "line_dedup_clean": q_line_dedup_clean,
     "corpus_datacard": q_corpus_datacard,
+    "domain_stats": q_domain_stats,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -184,3 +184,25 @@ def test_cleaning_funnel_no_url_stage(spark):
         max_top2_frac=1.0, max_dup5_frac=1.0,
     ).orderBy("stage_order").collect()]
     assert stages == ["input", "quality", "exact_dedup"]
+
+
+def test_domain_stats_host_and_blocklist(spark):
+    from marc_solr_profiling_spark.functions.webclean import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://WWW.Good.COM:443/a", "one two"),
+            (1, "https://good.com/b", "three"),
+            (2, "http://sub.evil.org:80/x", "a b c"),
+            (3, "https://evil.org/y", "d"),
+            (4, "https://evilish.org/z", "e f"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {r["host"]: (r["n_docs"], r["n_tokens"], r["blocked"])
+           for r in domain_stats(df, text_col="text",
+                                 blocklist=["evil.org"]).collect()}
+    assert got["good.com"] == (2, 3, False)       # www/port/case collapsed
+    assert got["sub.evil.org"] == (1, 3, True)    # subdomain blocked
+    assert got["evil.org"] == (1, 1, True)
+    assert got["evilish.org"] == (1, 2, False)    # suffix rule, not substring
