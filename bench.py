@@ -76,6 +76,7 @@ HEADLINE = [
     "line_dedup_clean",
     "corpus_datacard",
     "domain_stats",
+    "bpe_train_step",
 ]
 
 

@@ -279,3 +279,122 @@ def with_bpe_token_count(docs: DataFrame, tokenizer: BPETokenizer,
             yield out
 
     return docs.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+# of Rare Words with Subword Units", Algorithm 1) — learn the merges from
+# the corpus instead of loading a pretrained pair.
+# ---------------------------------------------------------------------------
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ONE corpus pass of BPE training: pre-tokenize with the shared
+    ``BPE_SPLIT_RE`` and count distinct pieces — ``(w, c)``. Everything
+    after this operates on the word-frequency table, whose size is
+    bounded by the pre-tokenizer vocabulary (Zipf: ~1e7-1e8 distinct
+    pieces at web scale), never by the corpus."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0)
+        )).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("c"))
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts for the FIRST training round
+    (symbols = characters), distributed: ``(pair, cnt)``. This is the
+    per-round aggregation of a fully-distributed trainer, exposed for
+    the oracle contract; :func:`train_bpe_merges` runs the loop on the
+    collected heavy-hitter table instead (see its scale note)."""
+    from pyspark.sql import functions as F
+
+    return words.filter(F.length("w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+        )).alias("pair"),
+        F.col("c"),
+    ).groupBy("pair").agg(F.sum("c").cast("long").alias("cnt"))
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = 50,
+                     text_col: str = "text", min_count: int = 2,
+                     top_k: int = 100_000,
+                     byte_level: bool = False) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Deterministic
+    tie-break: highest weighted count, then lexicographically smallest
+    pair — so the learned merges are reproducible across runs and
+    partitionings.
+
+    Scale shape: the corpus is touched ONCE (:func:`word_freq_table`,
+    the only full-volume shuffle); the merge loop then runs over the
+    top-``top_k``-by-count word table collected to the driver — the
+    same driver-sized-side-input pattern as the k-means centroids,
+    eval-set hashes and LM model arrays. The cutoff is principled, not
+    a shortcut: pair mass is dominated by head words (Zipf), Sennrich's
+    reference implementation trains on exactly this word-frequency
+    dict, and tail words below ``min_count`` cannot win a merge round
+    against head pairs. A fully-distributed per-round variant is one
+    :func:`bpe_pair_counts`-shaped aggregation per merge over the
+    words table (kept distributed) — the upgrade path if ``top_k``
+    must be unbounded.
+
+    Returns merges in rank order, directly consumable by
+    :class:`BPETokenizer` (every pair's constituents are produced by
+    strictly earlier merges, the property the encode loop relies on).
+    """
+    from pyspark.sql import functions as F
+
+    wf = word_freq_table(docs, text_col).filter(F.col("c") >= min_count)
+    rows = (wf.orderBy(F.desc("c"), F.asc("w")).limit(top_k)).collect()
+
+    b2u = bytes_to_unicode() if byte_level else None
+    seqs: List[List[str]] = []
+    weights: List[int] = []
+    for r in rows:
+        w = r["w"]
+        if byte_level:
+            w = "".join(b2u[b] for b in w.encode("utf-8"))
+        if len(w) < 2:
+            continue
+        seqs.append(list(w))
+        weights.append(int(r["c"]))
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Dict[Tuple[str, str], int] = {}
+        for syms, c in zip(seqs, weights):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for syms in seqs:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i:i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def tokenizer_from_corpus(docs: DataFrame, n_merges: int = 50,
+                          text_col: str = "text", min_count: int = 2,
+                          byte_level: bool = False) -> BPETokenizer:
+    """Train merges on the corpus and wrap them as a
+    :class:`BPETokenizer` (vocab = all symbols reachable from the
+    merges; ids in deterministic sorted order)."""
+    merges = train_bpe_merges(docs, n_merges, text_col,
+                              min_count=min_count, byte_level=byte_level)
+    toks = set()
+    for a, b in merges:
+        toks.update((a, b, a + b))
+    vocab = {t: i for i, t in enumerate(sorted(toks))}
+    return BPETokenizer(vocab, merges, byte_level=byte_level)

@@ -1620,6 +1620,21 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed aggregation at the heart of BPE TRAINING
+    (Sennrich et al. 2016 alg. 1; functions/bpe.py:word_freq_table +
+    bpe_pair_counts): corpus -> piece-frequency table (the one
+    full-volume shuffle) -> weighted adjacent-character-pair counts,
+    top 20 (cnt DESC, pair ASC — a total order). The full iterative
+    trainer (train_bpe_merges) is pytest-verified against a from-scratch
+    reference loop; this row pins its per-round aggregation to SQL."""
+    from .functions.bpe import bpe_pair_counts, word_freq_table
+
+    docs = _load(spark, sf_dir, "documents").select("text")
+    pc = bpe_pair_counts(word_freq_table(docs))
+    return pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus data card (textstats.py:corpus_datacard):
     doc counts, token totals, mean quality, and EXACT p50/p90 token
@@ -3174,6 +3189,20 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 
+ORACLE_SQL["bpe_train_step"] = r"""
+WITH pieces AS (
+  SELECT unnest(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'
+  )) AS w FROM documents),
+wc AS (SELECT w, count(*) AS c FROM pieces GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        FROM wc WHERE length(w) >= 2))
+SELECT pair, sum(c)::BIGINT AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
 ORACLE_SQL["domain_stats"] = """
 WITH u AS (
   SELECT doc_id, text,
@@ -3302,6 +3331,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_clean": q_line_dedup_clean,
     "corpus_datacard": q_corpus_datacard,
     "domain_stats": q_domain_stats,
+    "bpe_train_step": q_bpe_train_step,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -153,3 +153,102 @@ def test_with_bpe_token_count_spark(spark):
            for r in with_bpe_token_count(df, tok).collect()}
     assert got == {1: tok.count(" the thin and"), 2: 0, 3: 0,
                    4: tok.count("of the er")}
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (round 4): learn the merges from the corpus
+# ---------------------------------------------------------------------------
+
+def _ref_train(word_counts, n_merges):
+    """From-scratch Sennrich reference: recompute pair counts from the
+    ORIGINAL words after each merge (different code path from the
+    incremental in-place trainer)."""
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, c in word_counts.items():
+            syms = list(w)
+            for a, b in merges:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i:i + 2] = [a + b]
+                    else:
+                        i += 1
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        merges.append(min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+    return merges
+
+
+def test_train_hand_computed(spark):
+    from marc_solr_profiling_spark.functions.bpe import train_bpe_merges
+
+    # the classic Sennrich example shape: 'lo' dominates, then 'low'
+    docs = spark.createDataFrame(
+        [("low low low low low lower lower newest newest",)], "text string")
+    merges = train_bpe_merges(docs, n_merges=3, min_count=1)
+    # pieces carry the GPT-2 leading space except the first word:
+    # ('low' x1, ' low' x4, ' lower' x2, ' newest' x2)
+    # round 1: ('l','o') count 7 wins (('o','w') also 7; lex tie-break)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")   # 'low' now one symbol path
+    assert merges[2] == (" ", "low")
+
+
+def test_train_matches_reference_loop(spark):
+    import random
+
+    from marc_solr_profiling_spark.functions.bpe import (
+        train_bpe_merges, word_freq_table,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "beer", "bear", "bean"]
+    text = " ".join(rng.choice(vocab) for _ in range(400))
+    docs = spark.createDataFrame([(text,)], "text string")
+
+    got = train_bpe_merges(docs, n_merges=12, min_count=1)
+    wc = {r["w"]: r["c"]
+          for r in word_freq_table(docs).collect() if len(r["w"]) >= 2}
+    want = _ref_train(wc, 12)
+    assert got == want
+
+
+def test_trained_tokenizer_roundtrip(spark):
+    from marc_solr_profiling_spark.functions.bpe import (
+        tokenizer_from_corpus, with_bpe_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox"),
+         (2, "dog dog dog the the the")],
+        "doc_id long, text string")
+    tok = tokenizer_from_corpus(docs, n_merges=20, min_count=1)
+    # learned merges compress: fewer tokens than characters, and common
+    # words trained into the vocab merge further than rare ones
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in with_bpe_token_count(docs, tok).collect()}
+    assert out[1] < len("the quick brown fox")
+    assert out[2] <= 6  # ' the'/' dog' families fully merged
+    # counts are consistent with direct encode
+    assert out[0] == tok.count("the quick brown fox jumps over the lazy dog")
+
+
+def test_pair_counts_match_duckdb(spark):
+    import duckdb
+
+    from marc_solr_profiling_spark.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["pair"], r["cnt"])
+           for r in QUERIES["bpe_train_step"](spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["bpe_train_step"]).fetchall()
+    assert got == [tuple(r) for r in want]
