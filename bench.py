@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_datacard",
     "domain_stats",
     "bpe_train_step",
+    "bm25_fq_topk",
 ]
 
 

@@ -495,6 +495,7 @@ def bm25_topk_sql_plan(
     min_match: int | str | None = None,
     phrase: str | None = None,
     phrase_slop: int = 0,
+    filter_query=None,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
     the oracle-checkable form (entire plan is Catalyst-visible; collection
@@ -516,6 +517,13 @@ def bm25_topk_sql_plan(
     as an exact token adjacency (:func:`phrase_match_expr`); scoring and
     collection stats stay CORPUS-wide (Lucene scores a phrase-filtered
     query with global idf/avgdl, not stats of the filtered subset).
+
+    ``filter_query``: the Solr ``fq`` parameter — a Column predicate (or
+    SQL string) over the ORIGINAL docs columns that restricts the result
+    set WITHOUT touching scores: idf/avgdl/doc stats remain
+    collection-wide, exactly Solr's cached-filter intersection
+    semantics. Applied as a key semi-join of the passing docs against
+    the scored frame (AQE broadcasts when the filter is selective).
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -575,6 +583,11 @@ def bm25_topk_sql_plan(
             phrase_match_expr("tokens", phrase_terms, slop=phrase_slop)
         ).select(key_col)
         scored = scored.join(pm, key_col, "left_semi")
+    if filter_query is not None:
+        pred = (F.expr(filter_query) if isinstance(filter_query, str)
+                else filter_query)
+        scored = scored.join(
+            docs.filter(pred).select(key_col), key_col, "left_semi")
     return (
         scored.orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)

@@ -1620,6 +1620,19 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_fq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr filter-query (fq) semantics: BM25 top-k restricted to
+    lang='en' docs while idf/avgdl/doc stats stay COLLECTION-wide (the
+    cached-filter intersection — scores must equal the unfiltered
+    query's scores for surviving docs). bm25.py:bm25_topk_sql_plan
+    filter_query parameter."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, filter_query=F.col("lang") == "en",
+    )
+
+
 def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed aggregation at the heart of BPE TRAINING
     (Sennrich et al. 2016 alg. 1; functions/bpe.py:word_freq_table +
@@ -1685,6 +1698,7 @@ def _duck_phrase_pred(phrase: list, slop: int) -> str:
 def _bm25_sql(
     having: str = "", terms: list | None = None,
     phrase: list | None = None, phrase_slop: int = 0,
+    fq_pred: str | None = None,
 ) -> str:
     qterms = _QTERMS if terms is None else terms
     phrase_cte = phrase_join = ""
@@ -1695,6 +1709,10 @@ tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
 pm AS (SELECT doc_id FROM tks
        WHERE {_duck_phrase_pred(phrase, phrase_slop)})"""
         phrase_join = " JOIN pm USING (doc_id)"
+    if fq_pred:
+        phrase_cte += f""",
+fqd AS (SELECT doc_id FROM documents WHERE {fq_pred})"""
+        phrase_join += " JOIN fqd USING (doc_id)"
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -3189,6 +3207,8 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 
+ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
+
 ORACLE_SQL["bpe_train_step"] = r"""
 WITH pieces AS (
   SELECT unnest(regexp_extract_all(text,
@@ -3332,6 +3352,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datacard": q_corpus_datacard,
     "domain_stats": q_domain_stats,
     "bpe_train_step": q_bpe_train_step,
+    "bm25_fq_topk": q_bm25_fq_topk,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -110,3 +110,30 @@ def test_phrase_gate_on_bm25_plan(spark):
     }
     for d, s in gated_scores.items():
         assert ungated_scores[d] == s
+
+
+def test_filter_query_keeps_collection_wide_scores(spark):
+    """Solr fq semantics: the filtered top-k is the unfiltered ranking
+    restricted to passing docs — scores identical, no re-scoring against
+    the filtered subset."""
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.operators.bm25 import bm25_topk_sql_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = "spark merge window stream"
+    unfiltered = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, q, key_col="doc_id", k=500, chain="simple").collect()}
+    fq = bm25_topk_sql_plan(
+        docs, q, key_col="doc_id", k=10, chain="simple",
+        filter_query=F.col("lang") == "en").collect()
+    en_ids = {r["doc_id"] for r in
+              docs.filter("lang = 'en'").select("doc_id").collect()}
+    assert len(fq) == 10
+    assert all(r["doc_id"] in en_ids for r in fq)
+    for r in fq:  # same scores as the unfiltered ranking
+        assert unfiltered[r["doc_id"]] == r["score"]
+    # and it is exactly the en-restriction of the unfiltered order
+    want = sorted(((s, d) for d, s in unfiltered.items() if d in en_ids),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["score"], r["doc_id"]) for r in fq] == want
