@@ -78,6 +78,7 @@ HEADLINE = [
     "domain_stats",
     "bpe_train_step",
     "bm25_fq_topk",
+    "bm25_grouped_topk",
 ]
 
 

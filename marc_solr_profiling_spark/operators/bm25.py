@@ -496,6 +496,7 @@ def bm25_topk_sql_plan(
     phrase: str | None = None,
     phrase_slop: int = 0,
     filter_query=None,
+    return_all_scored: bool = False,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
     the oracle-checkable form (entire plan is Catalyst-visible; collection
@@ -588,6 +589,10 @@ def bm25_topk_sql_plan(
                 else filter_query)
         scored = scored.join(
             docs.filter(pred).select(key_col), key_col, "left_semi")
+    if return_all_scored:
+        # the full matching set (for grouping/collapse consumers) — the
+        # same frame the top-k is taken from, no rank cutoff applied
+        return scored.select(key_col, "score")
     return (
         scored.orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
@@ -709,4 +714,56 @@ def bm25_score_all(
         )
         .groupBy(key_col)
         .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_grouped_topk(
+    docs: DataFrame,
+    query: str,
+    group_col: str,
+    key_col: str = "doc_id",
+    k_groups: int = 10,
+    k_per_group: int = 2,
+    chain: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+    min_match: int | str | None = None,
+) -> DataFrame:
+    """Solr result grouping / field collapse
+    (``group=true&group.field=X&group.limit=N``, the /select grouping
+    surface): groups ranked by their BEST document's score (Solr's
+    default ``group.sort=score desc``), each carrying its matching-doc
+    count (``numFound`` per group) and its top ``k_per_group`` documents
+    ranked within the group. Output one row per kept (group, doc):
+    ``(group, group_found, rank, key, score)``.
+
+    Scale shape: the scoring core is :func:`bm25_topk_sql_plan`'s plan
+    (matched postings only — docs with zero query terms never enter);
+    grouping adds one window over ``group_col`` partitions (a shuffle
+    keyed on the group field, partial-ordered per group, no global
+    sort of the corpus) and a groups-level top-k that is
+    TakeOrderedAndProject over one row per group.
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_topk_sql_plan(
+        docs, query, key_col=key_col, chain=chain, k1=k1, b=b,
+        round_to=round_to, min_match=min_match, return_all_scored=True,
+    )
+    tagged = scored.join(docs.select(key_col, group_col), key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc(key_col))
+    ranked = tagged.withColumn("rank", F.row_number().over(w))
+    groups = (
+        tagged.groupBy(group_col)
+        .agg(F.count("*").cast("long").alias("group_found"),
+             F.max("score").alias("_top"))
+        .orderBy(F.desc("_top"), F.asc(group_col))
+        .limit(k_groups)
+    )
+    return (
+        ranked.filter(F.col("rank") <= k_per_group)
+        .join(groups, group_col)
+        .select(group_col, "group_found", "rank", key_col, "score")
     )

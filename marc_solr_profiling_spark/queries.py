@@ -1633,6 +1633,24 @@ def q_bm25_fq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr result grouping / field collapse (group=true&group.field=
+    lang&group.limit=2): top-3 language groups ranked by best-doc score,
+    each with its per-group numFound and top-2 docs
+    (bm25.py:bm25_grouped_topk)."""
+    from .operators.bm25 import bm25_grouped_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = bm25_grouped_topk(
+        docs, FLAGSHIP_QUERY, group_col="lang", key_col="doc_id",
+        k_groups=3, k_per_group=2, chain="simple", round_to=4,
+    )
+    return out.select(
+        "lang", F.col("group_found").cast("long").alias("group_found"),
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score",
+    )
+
+
 def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed aggregation at the heart of BPE TRAINING
     (Sennrich et al. 2016 alg. 1; functions/bpe.py:word_freq_table +
@@ -3209,6 +3227,36 @@ FROM scored GROUP BY doc_id
 
 ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
+ORACLE_SQL["bm25_grouped_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+           AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs
+  GROUP BY doc_id),
+tagged AS (SELECT s.doc_id, s.score, d.lang
+           FROM scored s JOIN documents d USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rank
+           FROM tagged),
+groups AS (SELECT lang, count(*)::BIGINT AS group_found,
+                  max(score) AS _top
+           FROM tagged GROUP BY lang
+           ORDER BY _top DESC, lang ASC LIMIT 3)
+SELECT r.lang, g.group_found, r.rank::BIGINT AS rank, r.doc_id, r.score
+FROM ranked r JOIN groups g USING (lang)
+WHERE r.rank <= 2
+"""
+
 ORACLE_SQL["bpe_train_step"] = r"""
 WITH pieces AS (
   SELECT unnest(regexp_extract_all(text,
@@ -3353,6 +3401,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "bpe_train_step": q_bpe_train_step,
     "bm25_fq_topk": q_bm25_fq_topk,
+    "bm25_grouped_topk": q_bm25_grouped_topk,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -137,3 +137,29 @@ def test_filter_query_keeps_collection_wide_scores(spark):
     want = sorted(((s, d) for d, s in unfiltered.items() if d in en_ids),
                   key=lambda t: (-t[0], t[1]))[:10]
     assert [(r["score"], r["doc_id"]) for r in fq] == want
+
+
+def test_grouped_topk_collapse_semantics(spark):
+    """Field collapse: groups ranked by best doc, per-group numFound
+    counts ALL matching docs (not just the shown ones), ranks start at 1
+    within each group."""
+    from marc_solr_profiling_spark.operators.bm25 import bm25_grouped_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_grouped_topk(
+        docs, "spark merge window stream", group_col="lang",
+        k_groups=2, k_per_group=2).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    assert len(by_group) == 2
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        # numFound >= shown rows and is identical on every group row
+        assert len({r["group_found"] for r in rows}) == 1
+        assert rows[0]["group_found"] >= len(rows)
+        # within-group ordering by score desc
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
