@@ -79,6 +79,8 @@ HEADLINE = [
     "bpe_train_step",
     "bm25_fq_topk",
     "bm25_grouped_topk",
+    "mlt_topk",
+    "stats_component",
 ]
 
 

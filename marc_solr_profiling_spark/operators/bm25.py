@@ -767,3 +767,77 @@ def bm25_grouped_topk(
         .join(groups, group_col)
         .select(group_col, "group_found", "rank", key_col, "score")
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    doc_key,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chain: str = "simple",
+    max_query_terms: int = 10,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Solr MoreLikeThis (the /mlt handler, Lucene MoreLikeThis):
+    find documents similar to ``doc_key`` by (1) selecting the source
+    document's ``max_query_terms`` most "interesting" terms — highest
+    ``tf * ln(N/df)``, Lucene's interestingTerms scoring, subject to the
+    ``min_term_freq``/``min_doc_freq`` floors — then (2) running a
+    standard BM25 OR-query with those terms, the source doc excluded.
+    Tie-breaks: term ascending for interesting-term selection, key
+    ascending for result ranks. Returns ``(key, score)``, k rows.
+
+    Scale shape: entirely one DataFrame plan — the source doc's term
+    profile is a keyed filter (parquet-prunable), interesting-term
+    selection is a TakeOrderedAndProject over that handful of rows, and
+    the similarity query is the standard broadcast-semi-scan BM25 plan
+    (only postings of the <= max_query_terms terms survive the scan).
+    No driver collect anywhere.
+    """
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    toks = with_tokens(docs, chain=chain, text_col=text_col)
+    tf = term_freqs(toks, key_col=key_col)
+    ds = _doc_stats(toks, key_col=key_col)
+    cs = collection_stats(ds)
+
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    src = (
+        tf.filter(F.col(key_col) == doc_key)
+        .filter(F.col("tf") >= min_term_freq)
+        .join(dfreq, "term")
+        .filter(F.col("df") >= min_doc_freq)
+        .crossJoin(F.broadcast(cs.select("n_docs")))
+        .withColumn("interest",
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .orderBy(F.desc("interest"), F.asc("term"))
+        .limit(max_query_terms)
+        .select("term", "df")
+    )
+    matched = (
+        tf.join(F.broadcast(src), "term")
+        .filter(F.col(key_col) != doc_key)
+        .join(ds, key_col)
+        .crossJoin(F.broadcast(cs))
+    )
+    score_expr = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("doc_len") / F.col("avgdl")))
+    )
+    return (
+        matched.withColumn("term_score", score_expr)
+        .groupBy(key_col)
+        .agg(F.round(F.sum("term_score"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+    )

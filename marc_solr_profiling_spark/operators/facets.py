@@ -147,3 +147,32 @@ def term_vectors(docs_with_tokens: DataFrame, key_col: str = "url",
         F.count("*").cast("int").alias("tf"),
         (F.min("pos0") + 1).cast("int").alias("first_pos"),
     )
+
+
+def stats_component(df: DataFrame, field: str,
+                    facet_field: str | None = None,
+                    round_to: int = 4) -> DataFrame:
+    """Solr StatsComponent (``stats=true&stats.field=X[&stats.facet=Y]``,
+    solrconfig.xml standard components): min / max / count / missing /
+    sum / mean / stddev of a numeric field, optionally one row per value
+    of a facet field (Solr's stats.facet pivot). ``stddev`` is the
+    sample standard deviation (Solr/Lucene's formula); single-row groups
+    yield NULL, matching both engines' stddev_samp.
+
+    Scale shape: one partial-aggregatable groupBy (or a global
+    single-row aggregate when unfaceted) — every statistic here has a
+    map-side combiner, so the shuffle carries one row per facet value.
+    """
+    aggs = [
+        F.round(F.min(field).cast("double"), round_to).alias("min"),
+        F.round(F.max(field).cast("double"), round_to).alias("max"),
+        F.count(field).cast("long").alias("count"),
+        F.sum(F.col(field).isNull().cast("long")).cast("long")
+        .alias("missing"),
+        F.round(F.sum(field).cast("double"), round_to).alias("sum"),
+        F.round(F.avg(field), round_to).alias("mean"),
+        F.round(F.stddev_samp(field), round_to).alias("stddev"),
+    ]
+    if facet_field is None:
+        return df.agg(*aggs)
+    return df.groupBy(facet_field).agg(*aggs)

@@ -1651,6 +1651,32 @@ def q_bm25_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr StatsComponent (stats.field=o_totalprice&stats.facet=
+    o_orderpriority): min/max/count/missing/sum/mean/stddev per facet
+    value in one partial-aggregatable groupBy
+    (operators/facets.py:stats_component)."""
+    from .operators.facets import stats_component
+
+    orders = _load(spark, sf_dir, "orders")
+    return stats_component(orders, "o_totalprice",
+                           facet_field="o_orderpriority")
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MoreLikeThis (/mlt handler): docs similar to doc 42 via its
+    top-10 tf*idf interesting terms, scored BM25, source excluded
+    (bm25.py:more_like_this — no driver collect; the term profile and
+    the similarity query are one DataFrame plan)."""
+    from .operators.bm25 import more_like_this
+
+    docs = _load(spark, sf_dir, "documents")
+    return more_like_this(
+        docs, 42, key_col="doc_id", chain="simple",
+        max_query_terms=10, min_term_freq=1, min_doc_freq=2, k=10,
+    )
+
+
 def q_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed aggregation at the heart of BPE TRAINING
     (Sennrich et al. 2016 alg. 1; functions/bpe.py:word_freq_table +
@@ -3257,6 +3283,43 @@ FROM ranked r JOIN groups g USING (lang)
 WHERE r.rank <= 2
 """
 
+ORACLE_SQL["stats_component"] = """
+SELECT o_orderpriority,
+       round(min(o_totalprice)::DOUBLE, 4) AS min,
+       round(max(o_totalprice)::DOUBLE, 4) AS max,
+       count(o_totalprice)::BIGINT AS count,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS missing,
+       round(sum(o_totalprice)::DOUBLE, 4) AS sum,
+       round(avg(o_totalprice), 4) AS mean,
+       round(stddev_samp(o_totalprice), 4) AS stddev
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["mlt_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+src AS (
+  SELECT t.term, d.df
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN cs
+  WHERE t.doc_id = 42 AND t.tf >= 1 AND d.df >= 2
+  ORDER BY t.tf * ln(cs.n_docs / d.df) DESC, t.term ASC
+  LIMIT 10)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+         AS score
+FROM tf JOIN src USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+WHERE doc_id <> 42
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
 ORACLE_SQL["bpe_train_step"] = r"""
 WITH pieces AS (
   SELECT unnest(regexp_extract_all(text,
@@ -3402,6 +3465,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_step": q_bpe_train_step,
     "bm25_fq_topk": q_bm25_fq_topk,
     "bm25_grouped_topk": q_bm25_grouped_topk,
+    "mlt_topk": q_mlt_topk,
+    "stats_component": q_stats_component,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

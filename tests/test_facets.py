@@ -72,3 +72,39 @@ def test_facet_multi_limit_caps_per_field(spark):
         by_field.setdefault(r["facet_field"], []).append(r)
     assert len(by_field["hi"]) == 5   # capped
     assert len(by_field["lo"]) == 2   # fewer values than the limit
+
+
+def test_stats_component_faceted_and_global(spark):
+    from marc_solr_profiling_spark.operators.facets import stats_component
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("B", 10.0), ("B", None)],
+        "grp string, v double")
+    got = {r["grp"]: r.asDict() for r in
+           stats_component(df, "v", facet_field="grp").collect()}
+    a = got["A"]
+    assert (a["min"], a["max"], a["count"], a["missing"], a["sum"],
+            a["mean"]) == (1.0, 3.0, 2, 0, 4.0, 2.0)
+    assert a["stddev"] == pytest.approx(2 ** 0.5, abs=1e-4)
+    b = got["B"]
+    assert b["count"] == 1 and b["missing"] == 1
+    assert b["stddev"] is None  # single sample: stddev_samp undefined
+    g = stats_component(df, "v").collect()[0]
+    assert g["count"] == 3 and g["missing"] == 1 and g["sum"] == 14.0
+
+
+def test_more_like_this_finds_the_near_copy(spark):
+    from marc_solr_profiling_spark.operators.bm25 import more_like_this
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana cherry durian elderberry fig"),
+         (1, "apple banana cherry durian elderberry plum"),
+         (2, "apple banana grape kiwi lemon mango"),
+         (3, "completely unrelated words about spark shuffles")],
+        "doc_id long, text string")
+    out = more_like_this(docs, 0, min_doc_freq=2, max_query_terms=5,
+                         k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 not in ids            # source excluded
+    assert ids[0] == 1             # near-copy ranks first
+    assert 3 not in ids            # no shared interesting terms
