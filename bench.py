@@ -81,6 +81,8 @@ HEADLINE = [
     "bm25_grouped_topk",
     "mlt_topk",
     "stats_component",
+    "range_facet",
+    "pivot_facet",
 ]
 
 

@@ -176,3 +176,51 @@ def stats_component(df: DataFrame, field: str,
     if facet_field is None:
         return df.agg(*aggs)
     return df.groupBy(facet_field).agg(*aggs)
+
+
+def range_facet(df: DataFrame, field: str, start: float, end: float,
+                gap: float) -> DataFrame:
+    """Solr range faceting (``facet.range=X&facet.range.start/end/gap``):
+    count per ``[start + i*gap, start + (i+1)*gap)`` bucket, one row per
+    NON-EMPTY bucket keyed by its lower bound (Solr returns empty
+    buckets only with mincount=0; this is mincount=1). Values outside
+    ``[start, end)`` fall out, Solr's default (no before/after/between
+    rows). Pure arithmetic bucketing + one groupBy on the bucket key —
+    no window, no sort of the corpus.
+    """
+    v = F.col(field).cast("double")
+    bucket = (F.floor((v - F.lit(float(start))) / F.lit(float(gap)))
+              .cast("long"))
+    lo = F.lit(float(start)) + bucket.cast("double") * F.lit(float(gap))
+    return (
+        df.filter(v.isNotNull() & (v >= float(start)) & (v < float(end)))
+        .select(lo.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def pivot_facet(df: DataFrame, outer: str, inner: str,
+                limit: int = 50) -> DataFrame:
+    """Solr pivot faceting (``facet.pivot=A,B``): hierarchical counts —
+    one row per (outer value, inner value) pair plus the outer total the
+    response nests under. Top ``limit`` pairs by (outer_count desc,
+    outer asc, count desc, inner asc) — a total order, so the cut is
+    deterministic. ONE groupBy on the pair; the outer totals roll up
+    from the pair counts (no second corpus pass).
+    """
+    pairs = (
+        df.filter(F.col(outer).isNotNull() & F.col(inner).isNotNull())
+        .groupBy(outer, inner).agg(F.count("*").cast("long").alias("count"))
+    )
+    from pyspark.sql import Window
+
+    outer_tot = Window.partitionBy(outer)
+    return (
+        pairs.withColumn(
+            "outer_count", F.sum("count").over(outer_tot).cast("long"))
+        .orderBy(F.desc("outer_count"), F.asc(outer),
+                 F.desc("count"), F.asc(inner))
+        .limit(limit)
+        .select(outer, "outer_count", inner, "count")
+    )

@@ -1651,6 +1651,26 @@ def q_bm25_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr range faceting (facet.range=o_totalprice&start=0&end=300000&
+    gap=50000): counts per non-empty bucket
+    (operators/facets.py:range_facet)."""
+    from .operators.facets import range_facet
+
+    orders = _load(spark, sf_dir, "orders")
+    return range_facet(orders, "o_totalprice", 0.0, 300000.0, 50000.0)
+
+
+def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr pivot faceting (facet.pivot=o_orderpriority,o_orderstatus):
+    hierarchical pair counts with the nesting outer totals
+    (operators/facets.py:pivot_facet)."""
+    from .operators.facets import pivot_facet
+
+    orders = _load(spark, sf_dir, "orders")
+    return pivot_facet(orders, "o_orderpriority", "o_orderstatus", limit=50)
+
+
 def q_stats_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr StatsComponent (stats.field=o_totalprice&stats.facet=
     o_orderpriority): min/max/count/missing/sum/mean/stddev per facet
@@ -3283,6 +3303,34 @@ FROM ranked r JOIN groups g USING (lang)
 WHERE r.rank <= 2
 """
 
+ORACLE_SQL["range_facet"] = """
+SELECT 0.0 + floor((o_totalprice::DOUBLE - 0.0) / 50000.0) * 50000.0
+         AS bucket_start,
+       count(*)::BIGINT AS count
+FROM orders
+WHERE o_totalprice IS NOT NULL
+  AND o_totalprice::DOUBLE >= 0.0 AND o_totalprice::DOUBLE < 300000.0
+GROUP BY 1
+"""
+
+ORACLE_SQL["pivot_facet"] = """
+WITH pairs AS (
+  SELECT o_orderpriority AS outer_v, o_orderstatus AS inner_v,
+         count(*)::BIGINT AS count
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT *, sum(count) OVER (PARTITION BY outer_v)::BIGINT AS outer_count
+  FROM pairs)
+SELECT outer_v AS o_orderpriority, outer_count,
+       inner_v AS o_orderstatus, count
+FROM tot
+ORDER BY outer_count DESC, o_orderpriority ASC, count DESC,
+         o_orderstatus ASC
+LIMIT 50
+"""
+
 ORACLE_SQL["stats_component"] = """
 SELECT o_orderpriority,
        round(min(o_totalprice)::DOUBLE, 4) AS min,
@@ -3467,6 +3515,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_grouped_topk": q_bm25_grouped_topk,
     "mlt_topk": q_mlt_topk,
     "stats_component": q_stats_component,
+    "range_facet": q_range_facet,
+    "pivot_facet": q_pivot_facet,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -108,3 +108,27 @@ def test_more_like_this_finds_the_near_copy(spark):
     assert 0 not in ids            # source excluded
     assert ids[0] == 1             # near-copy ranks first
     assert 3 not in ids            # no shared interesting terms
+
+
+def test_range_facet_buckets(spark):
+    from marc_solr_profiling_spark.operators.facets import range_facet
+
+    df = spark.createDataFrame(
+        [(0.0,), (49.9,), (50.0,), (149.9,), (200.0,), (-1.0,), (None,)],
+        "v double")
+    got = {r["bucket_start"]: r["count"]
+           for r in range_facet(df, "v", 0.0, 200.0, 50.0).collect()}
+    # -1 (below start), 200 (>= end) and NULL fall out; [100,150) holds 149.9
+    assert got == {0.0: 2, 50.0: 1, 100.0: 1}
+
+
+def test_pivot_facet_nesting_totals(spark):
+    from marc_solr_profiling_spark.operators.facets import pivot_facet
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"), ("B", None)],
+        "o string, i string")
+    rows = pivot_facet(df, "o", "i", limit=10).collect()
+    # outer A (3 pairs) sorts before B (1 pair: the NULL inner is dropped)
+    assert [tuple(r) for r in rows] == [
+        ("A", 3, "x", 2), ("A", 3, "y", 1), ("B", 1, "x", 1)]
