@@ -83,6 +83,7 @@ HEADLINE = [
     "stats_component",
     "range_facet",
     "pivot_facet",
+    "highlight_topk",
 ]
 
 

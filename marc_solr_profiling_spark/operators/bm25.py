@@ -841,3 +841,59 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
     )
+
+
+def highlight_topk(
+    docs: DataFrame,
+    query: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    frag_chars: int = 60,
+    chain: str = "simple",
+    round_to: int = 4,
+) -> DataFrame:
+    """Solr highlighting (hl=true&hl.fl=text&hl.snippets=1), simplified
+    to deterministic first-fragment semantics: for each BM25 top-k doc,
+    the earliest raw-text occurrence of any analyzed query term picks
+    the matched term (ties: lexicographically smallest term at that
+    position) and a ``frag_chars`` window starting at most 30 chars
+    before it is the snippet. Returns ``(key, score, matched_term,
+    match_pos, snippet)``; docs whose raw text contains no analyzed
+    term verbatim (e.g. stemming changed the surface form) get NULL
+    highlight columns, like Solr's empty-highlight response entry.
+
+    Scale shape: the top-k is the standard BM25 plan; highlighting is a
+    k-row broadcast-side join back to the doc text plus pure string
+    expressions (locate/substring in whole-stage codegen) — the corpus
+    is never rescanned for fragments.
+    """
+    qterms: List[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in qterms:
+            qterms.append(t)
+    top = bm25_topk_sql_plan(
+        docs, query, key_col=key_col, k=k, chain=chain, round_to=round_to)
+    joined = top.join(docs.select(key_col, text_col), key_col)
+
+    NOPOS = 1 << 30
+    lower = F.lower(F.col(text_col))
+    cands = F.array(*[
+        F.struct(
+            F.when(F.locate(t, lower) > 0, F.locate(t, lower))
+            .otherwise(F.lit(NOPOS)).cast("int").alias("pos"),
+            F.lit(t).alias("term"),
+        )
+        for t in sorted(qterms)
+    ])
+    best = F.array_min(cands)
+    found = best["pos"] < NOPOS
+    start = F.greatest(best["pos"] - 30, F.lit(1))
+    return joined.select(
+        key_col, "score",
+        F.when(found, best["term"]).alias("matched_term"),
+        F.when(found, best["pos"]).cast("int").alias("match_pos"),
+        F.when(found,
+               F.substring(F.col(text_col), start, frag_chars))
+        .alias("snippet"),
+    )

@@ -1651,6 +1651,20 @@ def q_bm25_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr highlighting over the flagship BM25 top-10 (deterministic
+    first-fragment semantics — bm25.py:highlight_topk): earliest
+    raw-text occurrence of any analyzed query term, 60-char window
+    starting <= 30 chars before the match."""
+    from .operators.bm25 import highlight_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return highlight_topk(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, frag_chars=60,
+        chain="simple", round_to=4,
+    )
+
+
 def q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr range faceting (facet.range=o_totalprice&start=0&end=300000&
     gap=50000): counts per non-empty bucket
@@ -3303,6 +3317,34 @@ FROM ranked r JOIN groups g USING (lang)
 WHERE r.rank <= 2
 """
 
+ORACLE_SQL["highlight_topk"] = (
+    "WITH topk AS (" + _BM25_SQL + """),
+hl AS (
+  SELECT t.doc_id, t.score, d.text,
+""" + ",\n".join(
+        f"         CASE WHEN strpos(lower(d.text), '{t}') > 0"
+        f" THEN strpos(lower(d.text), '{t}')"
+        f" ELSE 1073741824 END AS pos_{t}"
+        for t in ["merge", "spark", "stream", "window"]) + """
+  FROM topk t JOIN documents d USING (doc_id)),
+best AS (
+  SELECT doc_id, score, text,
+         least(pos_merge, pos_spark, pos_stream, pos_window) AS bp,
+         CASE least(pos_merge, pos_spark, pos_stream, pos_window)
+           WHEN pos_merge THEN 'merge'
+           WHEN pos_spark THEN 'spark'
+           WHEN pos_stream THEN 'stream'
+           WHEN pos_window THEN 'window' END AS bterm
+  FROM hl)
+SELECT doc_id, score,
+       CASE WHEN bp < 1073741824 THEN bterm END AS matched_term,
+       CASE WHEN bp < 1073741824 THEN bp END::INT AS match_pos,
+       CASE WHEN bp < 1073741824
+            THEN substr(text, greatest(bp - 30, 1), 60) END AS snippet
+FROM best
+"""
+)
+
 ORACLE_SQL["range_facet"] = """
 SELECT 0.0 + floor((o_totalprice::DOUBLE - 0.0) / 50000.0) * 50000.0
          AS bucket_start,
@@ -3517,6 +3559,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_component": q_stats_component,
     "range_facet": q_range_facet,
     "pivot_facet": q_pivot_facet,
+    "highlight_topk": q_highlight_topk,
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,

@@ -163,3 +163,26 @@ def test_grouped_topk_collapse_semantics(spark):
         # within-group ordering by score desc
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_highlight_topk_fragment_semantics(spark):
+    from marc_solr_profiling_spark.operators.bm25 import highlight_topk
+
+    docs = spark.createDataFrame(
+        [(0, ("x " * 40) + "the Window frame appears here once"),
+         (1, "stream at the very start of this document text"),
+         (2, "no matching terms at all in this one, padding padding")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in highlight_topk(
+        docs, "window stream", key_col="doc_id", k=10).collect()}
+    # doc 1: match at pos 1 -> window starts at 1
+    assert got[1]["matched_term"] == "stream" and got[1]["match_pos"] == 1
+    assert got[1]["snippet"].startswith("stream at the very")
+    # doc 0: case-insensitive locate; snippet window reaches 30 chars back
+    assert got[0]["matched_term"] == "window"
+    p = got[0]["match_pos"]
+    assert got[0]["snippet"] == (("x " * 40)
+                                 + "the Window frame appears here once")[
+                                     p - 31:p - 31 + 60]
+    # doc 2 scored (OR query, zero matched terms -> absent from top-k)
+    assert 2 not in got
