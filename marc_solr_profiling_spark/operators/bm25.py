@@ -897,3 +897,61 @@ def highlight_topk(
                F.substring(F.col(text_col), start, frag_chars))
         .alias("snippet"),
     )
+
+
+def elevate_topk(
+    docs: DataFrame,
+    query: str,
+    elevate_ids: Sequence[int],
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    round_to: int = 4,
+    force: bool = True,
+) -> DataFrame:
+    """Solr QueryElevationComponent (``/elevate`` handler,
+    ``test/solr/conf/solrconfig-vanilla.xml:1522-1537`` + ``elevate.xml``):
+    the docs listed for a query are pinned to the top of the result in
+    their configured order; everything else follows in normal BM25 order.
+
+    ``force=True`` is Solr's ``forceElevation``: an elevated doc appears
+    even when it does not match the query at all (its ``score`` is NULL
+    then, since it was never scored — Solr reports such docs with the
+    sentinel elevation sort value). ``force=False`` only re-sorts docs
+    already in the result set (left join instead of full).
+
+    Scale shape: the elevation list is configuration-sized (an
+    ``elevate.xml`` of at most a few hundred ids), so the join against
+    the scored frame is a broadcast by construction; the BM25 scoring
+    plan itself is untouched — elevation is a pure post-scoring sort-key
+    rewrite, exactly how the Lucene component injects its sort comparator
+    in front of the score sort.
+
+    Returns ``(key, score, elevated)`` — top ``k`` rows.
+    """
+    scored = bm25_topk_sql_plan(
+        docs, query, key_col=key_col, chain=chain, round_to=round_to,
+        return_all_scored=True,
+    )
+    spark = docs.sparkSession
+    edf = spark.createDataFrame(
+        [(int(i), p) for p, i in enumerate(elevate_ids, 1)],
+        schema=f"{key_col} long, elev_pos int",
+    )
+    # full outer keeps unmatched elevated docs (forceElevation); the
+    # elevation side is tiny so AQE plans the cheap side appropriately
+    joined = scored.join(edf, key_col, "full" if force else "left")
+    return (
+        joined.orderBy(
+            F.when(F.col("elev_pos").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1)),
+            F.asc_nulls_last("elev_pos"),
+            F.desc_nulls_last("score"),
+            F.asc(key_col),
+        )
+        .limit(k)
+        .select(
+            key_col, "score",
+            F.col("elev_pos").isNotNull().alias("elevated"),
+        )
+    )

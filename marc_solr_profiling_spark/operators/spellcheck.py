@@ -1,0 +1,100 @@
+"""Solr SpellCheckComponent analog (DirectSolrSpellChecker).
+
+The reference's Solr server exposes a ``/spell`` handler backed by
+``solr.DirectSolrSpellChecker`` over the main-index term dictionary
+(``test/solr/conf/solrconfig-vanilla.xml:1244-1362``), configured with
+``maxEdits=2``, ``minPrefix=1``, ``minQueryLength=4``, ``accuracy=0.5``
+and ``spellcheck.count=5`` (``:969-977,1256-1268``). This module
+re-expresses that surface Spark-first: the dictionary is the distinct
+analyzed term set with document frequencies (one groupBy over the
+term-frequency frame — the same frame every other query operator
+shares), and candidate generation is pure Catalyst expressions.
+
+Scale shape: the dictionary is term-level, orders of magnitude smaller
+than the corpus (Heaps' law — ~millions of terms for 10^12 docs, not
+10^12 rows), so a filtered scan of it is cheap. The ``minPrefix`` +
+length-band predicates prune before the levenshtein evaluation exactly
+like DirectSpellChecker's FST prefix/length gates prune term-dictionary
+enumeration; both are plain comparisons that whole-stage codegen
+evaluates before the (more expensive) edit-distance call. No shuffle is
+introduced beyond the dictionary aggregation itself, and the result is
+``count`` rows.
+
+Similarity normalization: Lucene's LuceneLevenshteinDistance is a
+transposition-aware variant; we document and pin the classic
+normalized form ``1 - dist / max(len(query), len(candidate))`` (both
+Spark and DuckDB ship classic levenshtein), thresholded at ``accuracy``
+— same gate semantics, provable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import ANALYZERS
+
+
+def spellcheck_suggest(
+    docs: DataFrame,
+    query_word: str,
+    key_col: str = "doc_id",
+    chain: str = "simple",
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    min_query_length: int = 4,
+    accuracy: float = 0.5,
+    count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``count`` spelling suggestions for one query term.
+
+    Semantics (DirectSolrSpellChecker, reference config values as
+    defaults): candidates come from the analyzed term dictionary, must
+    share the first ``min_prefix`` characters with the query term, sit
+    within ``max_edits`` levenshtein distance, and clear the
+    ``accuracy`` threshold on normalized similarity. Ranking is
+    similarity desc, then document frequency desc (Lucene's
+    ``SuggestWord`` comparator), then term asc for determinism. A query
+    term shorter than ``min_query_length`` gets no suggestions (the
+    component declines to check it).
+
+    Returns ``(term, distance, df, similarity)``.
+    """
+    from .postings import term_freqs, with_tokens
+
+    analyzed = ANALYZERS[chain](query_word)
+    q = analyzed[0] if analyzed else ""
+    empty = (
+        docs.sparkSession.createDataFrame(
+            [], "term string, distance int, df long, similarity double")
+    )
+    if len(q) < min_query_length:
+        return empty
+
+    tf = term_freqs(with_tokens(docs, chain=chain), key_col=key_col)
+    dictionary = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    qlen = len(q)
+    sim = (
+        F.lit(1.0)
+        - F.col("distance") / F.greatest(F.length("term"), F.lit(qlen))
+    )
+    cand = (
+        dictionary
+        .filter(F.col("term") != q)
+        .filter(F.length("term").between(qlen - max_edits, qlen + max_edits))
+        .filter(F.substring("term", 1, min_prefix) == q[:min_prefix])
+        .withColumn(
+            "distance", F.levenshtein(F.col("term"), F.lit(q)).cast("int"))
+        .filter(F.col("distance") <= max_edits)
+        .withColumn("similarity", F.round(sim, round_to))
+        .filter(sim >= accuracy)
+    )
+    return (
+        cand.orderBy(
+            F.desc("similarity"), F.desc("df"), F.asc("term"))
+        .limit(count)
+        .select("term", "distance", F.col("df").cast("long").alias("df"),
+                "similarity")
+    )

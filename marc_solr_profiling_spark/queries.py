@@ -1665,6 +1665,36 @@ def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr SpellCheckComponent / DirectSolrSpellChecker (the reference
+    server's ``/spell`` handler, solrconfig-vanilla.xml:1244-1362) with
+    the reference's configured maxEdits=2, minPrefix=1, minQueryLength=4,
+    accuracy=0.5, count=5 — suggestions for the misspelled term 'sprk'
+    out of the analyzed term dictionary."""
+    from .operators.spellcheck import spellcheck_suggest
+
+    docs = _load(spark, sf_dir, "documents")
+    return spellcheck_suggest(docs, "sprk", key_col="doc_id", chain="simple")
+
+
+ELEVATE_IDS = [7, 3, 42]
+
+
+def q_bm25_elevate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent (the ``/elevate`` handler +
+    elevate.xml, solrconfig-vanilla.xml:1522-1537): doc ids 7, 3, 42
+    pinned to the top of the flagship BM25 result in that order
+    (forceElevation semantics — unscored elevated docs appear with NULL
+    score), remainder in score order."""
+    from .operators.bm25 import elevate_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return elevate_topk(
+        docs, FLAGSHIP_QUERY, ELEVATE_IDS, key_col="doc_id", k=10,
+        chain="simple", round_to=4, force=True,
+    )
+
+
 def q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr range faceting (facet.range=o_totalprice&start=0&end=300000&
     gap=50000): counts per non-empty bucket
@@ -3345,6 +3375,50 @@ FROM best
 """
 )
 
+ORACLE_SQL["spellcheck"] = """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+             '[a-z0-9]+')) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT term, levenshtein(term, 'sprk')::INT AS distance, df::BIGINT AS df,
+       round(1.0 - levenshtein(term, 'sprk')
+                   / greatest(length(term), 4)::DOUBLE, 6) AS similarity
+FROM dict
+WHERE term <> 'sprk'
+  AND length(term) BETWEEN 2 AND 6
+  AND substr(term, 1, 1) = 's'
+  AND levenshtein(term, 'sprk') <= 2
+  AND 1.0 - levenshtein(term, 'sprk')
+            / greatest(length(term), 4)::DOUBLE >= 0.5
+ORDER BY similarity DESC, df DESC, term ASC
+LIMIT 5
+"""
+
+ORACLE_SQL["bm25_elevate_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+           AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs
+  GROUP BY doc_id),
+elev AS (SELECT * FROM (VALUES (7, 1), (3, 2), (42, 3))
+         AS t(doc_id, elev_pos))
+SELECT doc_id, score, elev_pos IS NOT NULL AS elevated
+FROM scored FULL JOIN elev USING (doc_id)
+ORDER BY (CASE WHEN elev_pos IS NOT NULL THEN 0 ELSE 1 END),
+         elev_pos ASC NULLS LAST, score DESC NULLS LAST, doc_id ASC
+LIMIT 10
+"""
+
 ORACLE_SQL["range_facet"] = """
 SELECT 0.0 + floor((o_totalprice::DOUBLE - 0.0) / 50000.0) * 50000.0
          AS bucket_start,
@@ -3546,6 +3620,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST 50 dict entries.  Entries that have never had (or lost) a
     # driver-green row are placed FIRST; round-3-green entries follow.  Every
     # entry keeps passing tools/check_oracle.py regardless of position.
+    "spellcheck": q_spellcheck,
+    "bm25_elevate_topk": q_bm25_elevate_topk,
     "quality_classifier": q_quality_classifier,
     "semdedup_prune": q_semdedup_prune,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
