@@ -955,3 +955,135 @@ def elevate_topk(
             F.col("elev_pos").isNotNull().alias("elevated"),
         )
     )
+
+
+def explain_topk(
+    docs: DataFrame,
+    query: str,
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Solr DebugComponent score explanation (``debug=true`` /
+    ``debugQuery``, solrconfig-vanilla.xml:1206 — ``solr.DebugComponent``
+    in the default component chain): for every BM25 top-``k`` doc, one
+    row PER MATCHED QUERY TERM with the quantities Lucene's explain tree
+    reports — tf, df, doc length and the term's score contribution —
+    plus the doc's total score. The per-term rows sum to the doc score
+    (Lucene's "sum of:" root node).
+
+    Scale shape: identical plan to the top-k itself (same tf/stats
+    frames, broadcast query dict) plus one key semi-join of the matched
+    postings against the k winning keys — explain output is k×|q| rows,
+    never a corpus-sized frame.
+    """
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    spark = docs.sparkSession
+    qterms: List[str] = []
+    for t in ANALYZERS[chain](query):
+        if t not in qterms:
+            qterms.append(t)
+
+    toks = with_tokens(docs, chain=chain)
+    tf = term_freqs(toks, key_col=key_col)
+    ds = _doc_stats(toks, key_col=key_col)
+    cs = collection_stats(ds)
+
+    qdf = spark.createDataFrame([(t,) for t in qterms], schema="term string")
+    dfreq = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(ds, key_col)
+        .crossJoin(F.broadcast(cs))
+    )
+    term_score = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+              + 1.0)
+        * F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1)
+           * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")))
+    )
+    per_term = matched.withColumn("term_score", term_score)
+    totals = (
+        per_term.groupBy(key_col)
+        .agg(F.round(F.sum("term_score"), round_to).alias("score"))
+    )
+    topk = totals.orderBy(F.desc("score"), F.asc(key_col)).limit(k)
+    return (
+        per_term.join(F.broadcast(topk), key_col)
+        .select(
+            key_col, "score", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.round("term_score", round_to).alias("term_score"),
+        )
+    )
+
+
+def cluster_topk(
+    docs: DataFrame,
+    query: str,
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    round_to: int = 4,
+) -> DataFrame:
+    """Search-result clustering (the reference config's Carrot2
+    ``clustering`` searchComponent + ``/clustering`` handler,
+    solrconfig-vanilla.xml:1395-1498), as a deterministic single-label
+    stand-in for the Lingo algorithm: each BM25 top-``k`` doc is labeled
+    by its most salient non-query term — max ``tf * ln(n_docs/df)`` with
+    collection-wide df (Carrot2 reads index stats the same way), ties by
+    term asc — and a cluster is the group of docs sharing a label.
+    Query words are excluded from labels (Carrot2's query-word filter).
+
+    Returns one row per top-k doc: ``(key, label, salience)``.
+
+    Scale shape: the result set is k rows, so the per-doc term frame is
+    a key semi-join against k keys (broadcast by construction); the only
+    corpus-sized work is the df aggregation the other query operators
+    already share. Lingo's SVD step is deliberately NOT reproduced —
+    label election is a window row_number over k*|doc terms| rows.
+    """
+    from pyspark.sql import Window
+
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    qterms = set(ANALYZERS[chain](query))
+    top = bm25_topk_sql_plan(
+        docs, query, key_col=key_col, k=k, chain=chain, round_to=round_to)
+
+    toks = with_tokens(docs, chain=chain)
+    tf = term_freqs(toks, key_col=key_col)
+    cs = collection_stats(_doc_stats(toks, key_col=key_col))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    cand = (
+        tf.join(F.broadcast(top.select(key_col)), key_col)
+        .filter(~F.col("term").isin(*sorted(qterms)))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(cs))
+        .withColumn(
+            "salience",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+                    round_to),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("salience"), F.asc("term"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, F.col("term").alias("label"), "salience")
+    )

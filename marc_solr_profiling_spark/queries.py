@@ -1695,6 +1695,34 @@ def q_bm25_elevate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr DebugComponent (debug=true score explanation,
+    solrconfig-vanilla.xml:1206): one row per (top-k doc, matched query
+    term) with tf, df, doc_len and the term's BM25 contribution — the
+    rows of Lucene's 'sum of:' explain tree."""
+    from .operators.bm25 import explain_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return explain_topk(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4,
+    )
+
+
+def q_result_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carrot2 clustering searchComponent stand-in
+    (solrconfig-vanilla.xml:1395-1498): each flagship BM25 top-10 doc
+    labeled by its most salient non-query term (tf * ln(n_docs/df),
+    collection-wide df, ties by term asc)."""
+    from .operators.bm25 import cluster_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return cluster_topk(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4,
+    )
+
+
 def q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr range faceting (facet.range=o_totalprice&start=0&end=300000&
     gap=50000): counts per non-empty bucket
@@ -3375,6 +3403,61 @@ FROM best
 """
 )
 
+ORACLE_SQL["bm25_explain_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+pt AS (
+  SELECT doc_id, term, tf, df, doc_len,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl)) AS term_score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs),
+topk AS (
+  SELECT doc_id, round(sum(term_score), 4) AS score
+  FROM pt GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, score, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       doc_len::BIGINT AS doc_len, round(term_score, 4) AS term_score
+FROM pt JOIN topk USING (doc_id)
+"""
+
+ORACLE_SQL["result_clusters"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+topk AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+           AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10),
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(cs.n_docs / a.df::DOUBLE), 4) AS salience
+  FROM tf t JOIN topk USING (doc_id) JOIN alldf a ON t.term = a.term
+       CROSS JOIN cs
+  WHERE t.term NOT IN (SELECT term FROM q)),
+ranked AS (
+  SELECT doc_id, term, salience,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY salience DESC, term ASC) AS rn
+  FROM cand)
+SELECT doc_id, term AS label, salience FROM ranked WHERE rn = 1
+"""
+
 ORACLE_SQL["spellcheck"] = """
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
              '[a-z0-9]+')) AS term FROM documents),
@@ -3622,6 +3705,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entry keeps passing tools/check_oracle.py regardless of position.
     "spellcheck": q_spellcheck,
     "bm25_elevate_topk": q_bm25_elevate_topk,
+    "bm25_explain_topk": q_bm25_explain_topk,
+    "result_clusters": q_result_clusters,
     "quality_classifier": q_quality_classifier,
     "semdedup_prune": q_semdedup_prune,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,

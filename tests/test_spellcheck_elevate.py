@@ -105,3 +105,63 @@ def test_elevated_flag_column(docs):
         "doc_id", "score", "elevated"]
     n_elev = out.filter(F.col("elevated")).count()
     assert n_elev == 1
+
+
+# --- debug explain ------------------------------------------------------
+
+def test_explain_rows_sum_to_score(docs):
+    from marc_solr_profiling_spark.operators.bm25 import explain_topk
+
+    out = explain_topk(docs, "spark stream", k=3, round_to=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, rows in by_doc.items():
+        total = rows[0]["score"]
+        assert abs(sum(r["term_score"] for r in rows) - total) < 1e-4
+        # matches the plain top-k score for the same doc
+    plain = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "spark stream", k=3, round_to=6).collect()}
+    assert {d: rows[0]["score"] for d, rows in by_doc.items()} == plain
+
+
+def test_explain_only_matched_terms(docs):
+    from marc_solr_profiling_spark.operators.bm25 import explain_topk
+
+    out = explain_topk(docs, "spark stream", k=3).collect()
+    # doc 2 has no 'window'; every row's term must be a query term the
+    # doc actually contains
+    for r in out:
+        assert r["term"] in ("spark", "stream")
+        assert r["tf"] >= 1
+
+
+# --- result clustering --------------------------------------------------
+
+def test_cluster_labels_exclude_query_terms(docs):
+    from marc_solr_profiling_spark.operators.bm25 import cluster_topk
+
+    out = cluster_topk(docs, "spark stream", k=3).collect()
+    # only docs 1 and 2 match the query -> one labeled row each
+    assert len(out) == 2
+    for r in out:
+        assert r["label"] not in ("spark", "stream")
+        assert r["salience"] is not None
+
+
+def test_cluster_label_is_max_salience(spark):
+    from marc_solr_profiling_spark.operators.bm25 import cluster_topk
+
+    # 'zebra' appears once in one doc only (df=1, max idf); 'common' is
+    # everywhere (idf ~ 0) -> doc 1's label must be zebra
+    rows = [
+        (1, "query common zebra common"),
+        (2, "query common common common"),
+        (3, "query common common apple"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["label"]
+           for r in cluster_topk(d, "query", k=3).collect()}
+    assert out[1] == "zebra"
+    assert out[3] == "apple"
