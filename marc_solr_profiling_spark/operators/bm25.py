@@ -496,6 +496,8 @@ def bm25_topk_sql_plan(
     phrase: str | None = None,
     phrase_slop: int = 0,
     filter_query=None,
+    exclude_query: str | None = None,
+    wildcard: str | None = None,
     return_all_scored: bool = False,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
@@ -525,6 +527,25 @@ def bm25_topk_sql_plan(
     collection-wide, exactly Solr's cached-filter intersection
     semantics. Applied as a key semi-join of the passing docs against
     the scored frame (AQE broadcasts when the filter is selective).
+
+    ``exclude_query``: prohibited clauses — the Lucene query parser's
+    ``-term`` / ``NOT term`` syntax (``BooleanClause.Occur.MUST_NOT``;
+    edismax passes ``-``-prefixed words through as prohibited clauses).
+    Docs containing ANY excluded term are removed; the surviving docs'
+    scores are untouched (MUST_NOT clauses never score). Applied as a
+    key anti-join against the doc set of the excluded postings — the
+    exclusion never rescans the corpus text.
+
+    ``wildcard``: a trailing-``*`` prefix clause (``SolrQueryParser``
+    wildcard term). Lucene rewrites multi-term queries with
+    ``MultiTermQuery.CONSTANT_SCORE_REWRITE`` by default: every doc
+    containing at least one term matching the prefix gets a CONSTANT
+    1.0 contribution (not per-expanded-term BM25), OR-combined with the
+    scored term clauses — a doc may match only the wildcard. The
+    expansion is a predicate on the postings' term column (prefix range
+    scan on the sorted term dictionary in the physical index), never an
+    enumeration collected to the driver. ``min_match`` gates the scored
+    term clauses only.
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -534,7 +555,7 @@ def bm25_topk_sql_plan(
     for t in ANALYZERS[chain](query):
         if t not in qterms:
             qterms.append(t)
-    if not qterms:
+    if not qterms and wildcard is None:
         return docs.select(key_col).limit(0).withColumn("score", F.lit(0.0))
 
     toks = with_tokens(docs, chain=chain)
@@ -571,10 +592,43 @@ def bm25_topk_sql_plan(
             F.countDistinct("term").alias("_n_matched"),
         )
     )
-    if min_match is not None:
+    if min_match is not None and qterms:
         scored = scored.filter(
             F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
         )
+    if wildcard is not None:
+        # CONSTANT_SCORE_REWRITE: +1.0 per doc matching the prefix,
+        # OR-combined (full outer) with the scored term clauses
+        wc_docs = (
+            tf.filter(F.col("term").startswith(wildcard))
+            .select(key_col).distinct()
+            .withColumn("_wc", F.lit(1.0))
+        )
+        scored = (
+            scored.select(key_col, "score")
+            .join(wc_docs, key_col, "full_outer")
+            .withColumn(
+                "score",
+                F.round(
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("_wc"), F.lit(0.0)),
+                    round_to,
+                ),
+            )
+            .drop("_wc")
+        )
+    if exclude_query is not None:
+        ex_terms: List[str] = []
+        for t in ANALYZERS[chain](exclude_query):
+            if t not in ex_terms:
+                ex_terms.append(t)
+        if ex_terms:
+            exdf = spark.createDataFrame(
+                [(t,) for t in ex_terms], schema="term string")
+            ex_docs = (
+                tf.join(F.broadcast(exdf), "term").select(key_col).distinct()
+            )
+            scored = scored.join(ex_docs, key_col, "left_anti")
     if phrase is not None:
         phrase_terms = ANALYZERS[chain](phrase)
         # semi-join against the phrase-matching doc set: the predicate is
@@ -676,6 +730,87 @@ def bm25_synonym_topk_plan(
         matched.withColumn("group_score", score_expr)
         .groupBy(key_col)
         .agg(F.round(F.sum("group_score"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "score")
+    )
+
+
+def bm25_fuzzy_topk_plan(
+    docs: DataFrame,
+    fuzzy_word: str,
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    max_edits: int = 2,
+    prefix_len: int = 1,
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 top-k for a single fuzzy term (``word~2`` — Lucene
+    ``FuzzyQuery``, reachable through the reference's query parsers and
+    the same term-dictionary machinery its DirectSolrSpellChecker uses,
+    solrconfig-vanilla.xml:1256-1268).
+
+    Expansion: the analyzed term dictionary is scanned for terms within
+    ``max_edits`` levenshtein distance that share the first
+    ``prefix_len`` characters (FuzzyQuery's prefixLength gate); the
+    exact term itself (distance 0) is always a member. The expanded set
+    then scores as ONE SynonymQuery-shaped group — group tf = sum of
+    member tfs, group df = docs containing ANY member — the same
+    blended-statistics intent as Lucene's
+    ``TopTermsBlendedFreqScoringRewrite`` (documented deviation: Lucene
+    additionally down-boosts by similarity and caps the expansion at
+    maxExpansions=50; we score all members at full weight, which is
+    SQL-provable).
+
+    Scale shape: the dictionary scan is term-level (Heaps' law — far
+    smaller than the corpus) with length-band + prefix predicates ahead
+    of the levenshtein call, exactly like spellcheck.py; the expansion
+    set is broadcast back against the postings, so the corpus-side plan
+    is identical to any other multi-term OR query.
+    """
+    from .postings import (collection_stats, doc_stats as _doc_stats,
+                           term_freqs, with_tokens)
+
+    analyzed = ANALYZERS[chain](fuzzy_word)
+    q = analyzed[0] if analyzed else ""
+    if not q:
+        return docs.select(key_col).limit(0).withColumn("score", F.lit(0.0))
+
+    toks = with_tokens(docs, chain=chain)
+    tf = term_freqs(toks, key_col=key_col)
+    ds = _doc_stats(toks, key_col=key_col)
+    cs = collection_stats(ds)
+
+    qlen = len(q)
+    expanded = (
+        tf.select("term").distinct()
+        .filter(F.length("term").between(qlen - max_edits, qlen + max_edits))
+        .filter(F.substring("term", 1, prefix_len) == q[:prefix_len])
+        .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    )
+    gtf = (
+        tf.join(F.broadcast(expanded), "term")
+        .groupBy(key_col)
+        .agg(F.sum("tf").alias("tf"))
+    )
+    gdf = gtf.agg(F.count("*").alias("df"))
+    matched = gtf.join(ds, key_col).crossJoin(F.broadcast(gdf)) \
+                 .crossJoin(F.broadcast(cs))
+    score_expr = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+              + 1.0)
+        * F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+        )
+    )
+    return (
+        matched.withColumn("score", F.round(score_expr, round_to))
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
         .select(key_col, "score")

@@ -224,3 +224,29 @@ def pivot_facet(df: DataFrame, outer: str, inner: str,
         .limit(limit)
         .select(outer, "outer_count", inner, "count")
     )
+
+
+def facet_queries(df: DataFrame, preds: "dict[str, object]") -> DataFrame:
+    """Solr ``facet.query`` (FacetComponent arbitrary-query facets): one
+    count per named predicate, evaluated against the SAME result set in
+    ONE pass. Solr answers each facet.query from the cached filter
+    bitsets of a single request; the Spark analog is a single aggregate
+    with one conditional-count column per predicate (no unions, no
+    repeated scans), unpivoted to ``(facet, count)`` rows.
+
+    ``preds`` maps facet labels to Column predicates or SQL strings.
+    Zero-match predicates still emit a row (count 0), like Solr.
+    """
+    if not preds:
+        raise ValueError("facet_queries: at least one predicate required")
+    aggs = []
+    for name, p in preds.items():
+        c = F.expr(p) if isinstance(p, str) else p
+        aggs.append(
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(name))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', `{n}`" for n in preds)  # labels are code-supplied
+    return one.select(
+        F.expr(f"stack({len(preds)}, {stack_args}) AS (facet, count)"))

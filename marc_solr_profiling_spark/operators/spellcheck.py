@@ -98,3 +98,36 @@ def spellcheck_suggest(
         .select("term", "distance", F.col("df").cast("long").alias("df"),
                 "similarity")
     )
+
+
+def suggest_prefix(
+    docs: DataFrame,
+    prefix: str,
+    key_col: str = "doc_id",
+    chain: str = "simple",
+    count: int = 5,
+) -> DataFrame:
+    """Solr Suggester analog (the SuggestComponent /suggest handler that
+    ships in the same solrconfig family as /spell — suggest-as-you-type
+    over the index term dictionary, FreeTextLookupFactory-style
+    frequency weighting): top-``count`` dictionary terms starting with
+    ``prefix``, ranked by weight desc then term asc.
+
+    Weight = total term frequency across the collection (the "freq"
+    weight a dictionary-based suggester derives from the index). The
+    prefix predicate is a range scan on the sorted term dictionary in
+    the physical index; here it is one filtered groupBy over the shared
+    tf frame — term-level, never corpus-row-level, no new shuffle shape.
+
+    Returns ``(term, weight)``.
+    """
+    from .postings import term_freqs, with_tokens
+
+    tf = term_freqs(with_tokens(docs, chain=chain), key_col=key_col)
+    return (
+        tf.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(count)
+    )

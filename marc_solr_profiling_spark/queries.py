@@ -1831,20 +1831,100 @@ def _duck_phrase_pred(phrase: list, slop: int) -> str:
     )
 
 
+def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prohibited clause (Lucene '-term' / BooleanClause.Occur.MUST_NOT
+    through the edismax parser): flagship query with docs containing
+    'window' excluded; surviving scores untouched
+    (bm25.py:bm25_topk_sql_plan exclude_query)."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4, exclude_query="window",
+    )
+
+
+def q_bm25_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard clause (SolrQueryParser 'str*', Lucene
+    MultiTermQuery.CONSTANT_SCORE_REWRITE): 'merge window' scored BM25,
+    OR-combined with a constant 1.0 for docs holding any term with
+    prefix 'str' (bm25.py:bm25_topk_sql_plan wildcard)."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, "merge window", key_col="doc_id", k=10, chain="simple",
+        round_to=4, wildcard="str",
+    )
+
+
+def q_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term ('sparc~2', Lucene FuzzyQuery): term-dictionary
+    expansion within 2 edits sharing the first character, scored as one
+    SynonymQuery-shaped group (bm25.py:bm25_fuzzy_topk_plan)."""
+    from .operators.bm25 import bm25_fuzzy_topk_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_fuzzy_topk_plan(
+        docs, "sparc", key_col="doc_id", k=10, chain="simple",
+        max_edits=2, prefix_len=1, round_to=4,
+    )
+
+
+def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cursorMark deep paging (Solr CursorMarkParams): the page of 10
+    docs strictly after cursor ('en', 300, 0) in the total order
+    'lang asc, n_chars desc, doc_id asc' — keyset predicate before the
+    top-k, not an offset (sort_spec.py:cursor_page)."""
+    from .functions.sort_spec import cursor_page
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    return cursor_page(
+        docs, "lang asc, n_chars desc, doc_id asc", ("en", 300, 0), 10)
+
+
+def q_facet_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.query: one count per named arbitrary predicate from a
+    SINGLE aggregate pass (facets.py:facet_queries); zero-match
+    predicates still emit a row."""
+    from .operators.facets import facet_queries
+
+    docs = _load(spark, sf_dir, "documents")
+    return facet_queries(docs, {
+        "en": F.col("lang") == "en",
+        "long_docs": F.col("n_chars") > 400,
+        "zh_short": (F.col("lang") == "zh") & (F.col("n_chars") < 200),
+        "none": F.col("lang") == "xx",
+    })
+
+
+def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr SuggestComponent (/suggest): top-5 dictionary terms with
+    prefix 's' weighted by collection-wide term frequency
+    (spellcheck.py:suggest_prefix)."""
+    from .operators.spellcheck import suggest_prefix
+
+    docs = _load(spark, sf_dir, "documents")
+    return suggest_prefix(docs, "s", key_col="doc_id", count=5)
+
+
 def _bm25_sql(
     having: str = "", terms: list | None = None,
     phrase: list | None = None, phrase_slop: int = 0,
-    fq_pred: str | None = None,
+    fq_pred: str | None = None, exclude: list | None = None,
 ) -> str:
     qterms = _QTERMS if terms is None else terms
     phrase_cte = phrase_join = ""
+    if exclude:
+        phrase_cte += f""",
+exd AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (
+        SELECT unnest({exclude!r})))"""
+        phrase_join += " ANTI JOIN exd USING (doc_id)"
     if phrase:
-        phrase_cte = f""",
+        phrase_cte += f""",
 tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
         FROM documents),
 pm AS (SELECT doc_id FROM tks
        WHERE {_duck_phrase_pred(phrase, phrase_slop)})"""
-        phrase_join = " JOIN pm USING (doc_id)"
+        phrase_join += " JOIN pm USING (doc_id)"
     if fq_pred:
         phrase_cte += f""",
 fqd AS (SELECT doc_id FROM documents WHERE {fq_pred})"""
@@ -3345,6 +3425,87 @@ FROM scored GROUP BY doc_id
 
 ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
+ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
+
+ORACLE_SQL["bm25_wildcard_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest(['merge', 'window']) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+bm AS (SELECT doc_id,
+              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+              AS s
+       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN cs
+       GROUP BY doc_id),
+wc AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'str%')
+SELECT coalesce(bm.doc_id, wc.doc_id) AS doc_id,
+       round(coalesce(bm.s, 0.0)
+             + CASE WHEN wc.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4)
+       AS score
+FROM bm FULL OUTER JOIN wc ON bm.doc_id = wc.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["bm25_fuzzy_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+exp AS (SELECT DISTINCT term FROM tf
+        WHERE length(term) BETWEEN 3 AND 7
+          AND substring(term, 1, 1) = 's'
+          AND levenshtein(term, 'sparc') <= 2),
+gtf AS (SELECT doc_id, sum(tf) AS tf
+        FROM tf JOIN exp USING (term) GROUP BY 1),
+gdf AS (SELECT count(*) AS df FROM gtf)
+SELECT doc_id,
+       round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl)), 4) AS score
+FROM gtf JOIN dl USING (doc_id) CROSS JOIN gdf CROSS JOIN cs
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["cursor_page"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (lang > 'en')
+   OR (lang = 'en' AND n_chars < 300)
+   OR (lang = 'en' AND n_chars = 300 AND doc_id > 0)
+ORDER BY lang ASC, n_chars DESC, doc_id ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["facet_query_counts"] = """
+SELECT 'en' AS facet, count(*) FILTER (lang = 'en')::BIGINT AS count
+FROM documents
+UNION ALL
+SELECT 'long_docs', count(*) FILTER (n_chars > 400)::BIGINT FROM documents
+UNION ALL
+SELECT 'zh_short',
+       count(*) FILTER (lang = 'zh' AND n_chars < 200)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'none', count(*) FILTER (lang = 'xx')::BIGINT FROM documents
+"""
+
+ORACLE_SQL["suggest_prefix"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, sum(tf)::BIGINT AS weight
+FROM tf WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY weight DESC, term ASC
+LIMIT 5
+"""
+
 ORACLE_SQL["bm25_grouped_topk"] = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -3703,6 +3864,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST 50 dict entries.  Entries that have never had (or lost) a
     # driver-green row are placed FIRST; round-3-green entries follow.  Every
     # entry keeps passing tools/check_oracle.py regardless of position.
+    "bm25_not_topk": q_bm25_not_topk,
+    "bm25_wildcard_topk": q_bm25_wildcard_topk,
+    "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+    "cursor_page": q_cursor_page,
+    "facet_query_counts": q_facet_query_counts,
+    "suggest_prefix": q_suggest_prefix,
     "spellcheck": q_spellcheck,
     "bm25_elevate_topk": q_bm25_elevate_topk,
     "bm25_explain_topk": q_bm25_explain_topk,
