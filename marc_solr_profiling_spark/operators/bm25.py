@@ -497,7 +497,9 @@ def bm25_topk_sql_plan(
     phrase_slop: int = 0,
     filter_query=None,
     exclude_query: str | None = None,
+    require_query: str | None = None,
     wildcard: str | None = None,
+    term_range: "tuple[str, str] | None" = None,
     return_all_scored: bool = False,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
@@ -536,6 +538,13 @@ def bm25_topk_sql_plan(
     key anti-join against the doc set of the excluded postings — the
     exclusion never rescans the corpus text.
 
+    ``require_query``: required clauses — the parser's ``+term`` syntax
+    (``BooleanClause.Occur.MUST``). Required terms SCORE like any other
+    clause (they join the query term set), but a doc must match ALL of
+    them to appear; terms of the main ``query`` stay optional SHOULD
+    clauses. The gate is a conditional count on the same per-doc
+    aggregation as ``min_match`` — no extra shuffle.
+
     ``wildcard``: a trailing-``*`` prefix clause (``SolrQueryParser``
     wildcard term). Lucene rewrites multi-term queries with
     ``MultiTermQuery.CONSTANT_SCORE_REWRITE`` by default: every doc
@@ -546,6 +555,11 @@ def bm25_topk_sql_plan(
     scan on the sorted term dictionary in the physical index), never an
     enumeration collected to the driver. ``min_match`` gates the scored
     term clauses only.
+
+    ``term_range``: a ``[lo TO hi]`` TermRangeQuery (inclusive), the
+    other MultiTermQuery family member — same CONSTANT_SCORE_REWRITE
+    semantics as ``wildcard``: +1.0 per doc holding any term in the
+    range, OR-combined.
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -555,7 +569,15 @@ def bm25_topk_sql_plan(
     for t in ANALYZERS[chain](query):
         if t not in qterms:
             qterms.append(t)
-    if not qterms and wildcard is None:
+    req_terms: List[str] = []
+    if require_query is not None:
+        for t in ANALYZERS[chain](require_query):
+            if t not in req_terms:
+                req_terms.append(t)
+        for t in req_terms:
+            if t not in qterms:
+                qterms.append(t)
+    if not qterms and wildcard is None and term_range is None:
         return docs.select(key_col).limit(0).withColumn("score", F.lit(0.0))
 
     toks = with_tokens(docs, chain=chain)
@@ -596,27 +618,49 @@ def bm25_topk_sql_plan(
         scored = scored.filter(
             F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
         )
+    mt_preds = []
     if wildcard is not None:
-        # CONSTANT_SCORE_REWRITE: +1.0 per doc matching the prefix,
-        # OR-combined (full outer) with the scored term clauses
-        wc_docs = (
-            tf.filter(F.col("term").startswith(wildcard))
+        mt_preds.append(F.col("term").startswith(wildcard))
+    if term_range is not None:
+        mt_preds.append(F.col("term").between(term_range[0], term_range[1]))
+    for pred in mt_preds:
+        # CONSTANT_SCORE_REWRITE: +1.0 per doc matching the multi-term
+        # clause, OR-combined (full outer) with the scored clauses
+        mt_docs = (
+            tf.filter(pred)
             .select(key_col).distinct()
-            .withColumn("_wc", F.lit(1.0))
+            .withColumn("_mt", F.lit(1.0))
         )
         scored = (
             scored.select(key_col, "score")
-            .join(wc_docs, key_col, "full_outer")
+            .join(mt_docs, key_col, "full_outer")
             .withColumn(
                 "score",
                 F.round(
                     F.coalesce(F.col("score"), F.lit(0.0))
-                    + F.coalesce(F.col("_wc"), F.lit(0.0)),
+                    + F.coalesce(F.col("_mt"), F.lit(0.0)),
                     round_to,
                 ),
             )
-            .drop("_wc")
+            .drop("_mt")
         )
+    if req_terms:
+        # MUST gate: a doc (even one matching only a constant-score
+        # clause) must hold ALL required terms. Aggregation over the
+        # required postings only — broadcast term set, tiny frame.
+        # When combined with min_match, mm counts ALL scored clauses
+        # (required terms score too; documented simplification vs
+        # edismax's optional-only mm accounting).
+        rqdf = spark.createDataFrame(
+            [(t,) for t in req_terms], schema="term string")
+        req_docs = (
+            tf.join(F.broadcast(rqdf), "term")
+            .groupBy(key_col)
+            .agg(F.countDistinct("term").alias("_nr"))
+            .filter(F.col("_nr") == len(req_terms))
+            .select(key_col)
+        )
+        scored = scored.join(req_docs, key_col, "left_semi")
     if exclude_query is not None:
         ex_terms: List[str] = []
         for t in ANALYZERS[chain](exclude_query):

@@ -1868,6 +1868,30 @@ def q_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_must_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required clause ('+spark merge window stream',
+    BooleanClause.Occur.MUST): 'spark' both scores and gates — docs
+    missing it never appear; the other terms stay optional SHOULD
+    clauses (bm25.py:bm25_topk_sql_plan require_query)."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, "merge window stream", key_col="doc_id", k=10,
+        chain="simple", round_to=4, require_query="spark",
+    )
+
+
+def q_bm25_term_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery ('[sa TO sz]' inclusive,
+    CONSTANT_SCORE_REWRITE): +1.0 for docs holding any term in the
+    range, OR-combined with BM25('merge')
+    (bm25.py:bm25_topk_sql_plan term_range)."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id", k=10, chain="simple",
+        round_to=4, term_range=("sa", "sz"),
+    )
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -3427,12 +3451,16 @@ ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
 
-ORACLE_SQL["bm25_wildcard_topk"] = f"""
+def _constant_score_sql(terms: list, mt_pred: str) -> str:
+    """BM25 over ``terms`` OR-combined (full outer) with a +1.0
+    constant-score multi-term clause whose expansion is ``mt_pred``
+    over the term dictionary — the CONSTANT_SCORE_REWRITE twin."""
+    return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 {_DL_CTE},
 cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-q AS (SELECT unnest(['merge', 'window']) AS term),
+q AS (SELECT unnest({terms!r}) AS term),
 dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
 bm AS (SELECT doc_id,
               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -3442,15 +3470,28 @@ bm AS (SELECT doc_id,
        FROM tf JOIN q USING (term) JOIN dfq USING (term)
             JOIN dl USING (doc_id) CROSS JOIN cs
        GROUP BY doc_id),
-wc AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'str%')
-SELECT coalesce(bm.doc_id, wc.doc_id) AS doc_id,
+mt AS (SELECT DISTINCT doc_id FROM tf WHERE {mt_pred})
+SELECT coalesce(bm.doc_id, mt.doc_id) AS doc_id,
        round(coalesce(bm.s, 0.0)
-             + CASE WHEN wc.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4)
+             + CASE WHEN mt.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4)
        AS score
-FROM bm FULL OUTER JOIN wc ON bm.doc_id = wc.doc_id
+FROM bm FULL OUTER JOIN mt ON bm.doc_id = mt.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+ORACLE_SQL["bm25_wildcard_topk"] = _constant_score_sql(
+    ["merge", "window"], "term LIKE 'str%'")
+
+ORACLE_SQL["bm25_term_range_topk"] = _constant_score_sql(
+    ["merge"], "term BETWEEN 'sa' AND 'sz'")
+
+ORACLE_SQL["bm25_must_topk"] = _bm25_sql(
+    having="HAVING count(DISTINCT CASE WHEN term IN ('spark') "
+           "THEN term END) = 1",
+    terms=["merge", "window", "stream", "spark"],
+)
 
 ORACLE_SQL["bm25_fuzzy_topk"] = f"""
 WITH {_TOK_CTE},
@@ -3865,6 +3906,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-green row are placed FIRST; round-3-green entries follow.  Every
     # entry keeps passing tools/check_oracle.py regardless of position.
     "bm25_not_topk": q_bm25_not_topk,
+    "bm25_must_topk": q_bm25_must_topk,
+    "bm25_term_range_topk": q_bm25_term_range_topk,
     "bm25_wildcard_topk": q_bm25_wildcard_topk,
     "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
     "cursor_page": q_cursor_page,
@@ -3893,7 +3936,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_lang_remap": q_facet_lang_remap,
     "booklist_enrich": q_booklist_enrich,
     "reindex_fields": q_reindex_fields,
-    "lang_id": q_lang_id,
+    "webtext_pass": q_webtext_pass,
     "callnum_lop": q_callnum_lop,
     "profile_battery": q_profile_battery,
     "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
@@ -3912,7 +3955,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_shards": q_pack_shards,
     "lm_perplexity": q_lm_perplexity,
     "bpe_tokens": q_bpe_tokens,
-    "webtext_pass": q_webtext_pass,
+    "lang_id": q_lang_id,
     # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,

@@ -59,6 +59,30 @@ def test_exclude_unknown_term_is_noop(docs):
            [(r["doc_id"], r["score"]) for r in out]
 
 
+# --- required clauses (MUST) ----------------------------------------------
+
+def test_require_gates_and_scores(docs):
+    # '+spark merge': doc 3 matches 'merge' but lacks required 'spark'
+    out = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id", require_query="spark").collect()}
+    assert 3 not in out and set(out) == {1, 2}
+    # required term SCORES: doc 2 (no 'merge', spark tf=2) appears with a
+    # pure-spark score; equal to scoring query 'merge spark' directly
+    both = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge spark", key_col="doc_id").collect()}
+    for key, score in out.items():
+        assert score == both[key]
+
+
+def test_require_gates_constant_score_clauses(docs):
+    # a MUST clause applies to the WHOLE BooleanQuery: doc 4 matches the
+    # wildcard 'str*' but lacks required 'spark' -> excluded
+    out = {r["doc_id"] for r in bm25_topk_sql_plan(
+        docs, "", key_col="doc_id", wildcard="str",
+        require_query="spark").collect()}
+    assert out == {1, 2}
+
+
 # --- wildcard constant-score clause --------------------------------------
 
 def test_wildcard_constant_score_or_combination(docs):
@@ -82,6 +106,23 @@ def test_wildcard_only_query(docs):
         docs, "", key_col="doc_id", wildcard="str").collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
     assert all(r["score"] == 1.0 for r in out)
+
+
+def test_term_range_constant_score(docs):
+    # [sp TO st] inclusive covers 'spark' only ('sort' < 'sp',
+    # 'stream' > 'st'): docs 1 and 2, each at the constant 1.0
+    out = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "", key_col="doc_id", term_range=("sp", "st")).collect()}
+    assert out == {1: 1.0, 2: 1.0}
+
+
+def test_wildcard_and_range_stack(docs):
+    # both multi-term clauses present: contributions add per clause
+    out = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "", key_col="doc_id", wildcard="str",
+        term_range=("sp", "st")).collect()}
+    assert out[1] == 2.0   # spark (range) + stream/str* (wildcard)
+    assert out[4] == 1.0   # strange/strategy/strings: wildcard only
 
 
 # --- fuzzy term -----------------------------------------------------------
