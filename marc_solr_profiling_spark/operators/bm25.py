@@ -500,6 +500,10 @@ def bm25_topk_sql_plan(
     require_query: str | None = None,
     wildcard: str | None = None,
     term_range: "tuple[str, str] | None" = None,
+    boost_query: str | None = None,
+    boost_weight: float = 1.0,
+    boost_function=None,
+    boost=None,
     return_all_scored: bool = False,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
@@ -560,6 +564,19 @@ def bm25_topk_sql_plan(
     other MultiTermQuery family member — same CONSTANT_SCORE_REWRITE
     semantics as ``wildcard``: +1.0 per doc holding any term in the
     range, OR-combined.
+
+    ``boost_query`` (+ ``boost_weight``): the edismax ``bq`` parameter —
+    an additional query BM25-scored over the same collection stats
+    whose weighted score ADDS to docs matching the main query. Docs
+    matching only ``bq`` do not appear (in edismax the main query is
+    the mandatory clause, bq an optional one): a key left join, never
+    a corpus-widening union.
+
+    ``boost_function``: the edismax ``bf`` parameter — a Column over
+    the ORIGINAL docs columns (e.g. a recency ``recip`` analog) added
+    to the score of every result. ``boost``: edismax's multiplicative
+    ``boost`` parameter — a Column the final score is multiplied by.
+    Application order matches edismax: (main + bq + bf) * boost.
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -673,6 +690,58 @@ def bm25_topk_sql_plan(
                 tf.join(F.broadcast(exdf), "term").select(key_col).distinct()
             )
             scored = scored.join(ex_docs, key_col, "left_anti")
+    if boost_query is not None:
+        bq_terms: List[str] = []
+        for t in ANALYZERS[chain](boost_query):
+            if t not in bq_terms:
+                bq_terms.append(t)
+        if bq_terms:
+            bqdf = spark.createDataFrame(
+                [(t,) for t in bq_terms], schema="term string")
+            bq_dfreq = (
+                tf.join(F.broadcast(bqdf), "term")
+                .groupBy("term").agg(F.count("*").alias("df"))
+            )
+            bq_scored = (
+                tf.join(F.broadcast(bqdf), "term")
+                .join(F.broadcast(bq_dfreq), "term")
+                .join(ds, key_col)
+                .crossJoin(F.broadcast(cs))
+                .withColumn("term_score", score_expr)
+                .groupBy(key_col)
+                .agg(F.sum("term_score").alias("_bq"))
+            )
+            scored = (
+                scored.join(bq_scored, key_col, "left")
+                .withColumn(
+                    "score",
+                    F.round(
+                        F.col("score")
+                        + F.lit(boost_weight)
+                        * F.coalesce(F.col("_bq"), F.lit(0.0)),
+                        round_to,
+                    ),
+                )
+                .drop("_bq")
+            )
+    if boost_function is not None or boost is not None:
+        bf_col = (boost_function if boost_function is not None
+                  else F.lit(0.0))
+        bmul_col = boost if boost is not None else F.lit(1.0)
+        side = docs.select(
+            key_col, bf_col.alias("_bf"), bmul_col.alias("_bmul"))
+        scored = (
+            scored.join(side, key_col, "left")
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("score") + F.coalesce(F.col("_bf"), F.lit(0.0)))
+                    * F.coalesce(F.col("_bmul"), F.lit(1.0)),
+                    round_to,
+                ),
+            )
+            .drop("_bf", "_bmul")
+        )
     if phrase is not None:
         phrase_terms = ANALYZERS[chain](phrase)
         # semi-join against the phrase-matching doc set: the predicate is

@@ -1892,6 +1892,22 @@ def q_bm25_term_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edismax additive/multiplicative boosts in one request: bq
+    ('spark'^0.5 — an additional BM25-scored query added to matching
+    docs), bf (ln(1+n_chars)/10, the recency-recip analog) and the
+    multiplicative boost param (1 + (doc_id%3)*0.05); application order
+    (main + bq + bf) * boost (bm25.py:bm25_topk_sql_plan)."""
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk_sql_plan(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", k=10, chain="simple",
+        round_to=4,
+        boost_query="spark", boost_weight=0.5,
+        boost_function=F.log(F.lit(1.0) + F.col("n_chars")) / 10.0,
+        boost=F.lit(1.0) + (F.col("doc_id") % 3) * 0.05,
+    )
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -3487,6 +3503,40 @@ ORACLE_SQL["bm25_wildcard_topk"] = _constant_score_sql(
 ORACLE_SQL["bm25_term_range_topk"] = _constant_score_sql(
     ["merge"], "term BETWEEN 'sa' AND 'sz'")
 
+ORACLE_SQL["bm25_boost_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+bm AS (SELECT doc_id,
+              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+              AS s
+       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN cs
+       GROUP BY doc_id),
+bq AS (SELECT unnest(['spark']) AS term),
+dfb AS (SELECT term, count(*) AS df FROM tf JOIN bq USING (term) GROUP BY 1),
+bqs AS (SELECT doc_id,
+               sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))) AS sb
+        FROM tf JOIN bq USING (term) JOIN dfb USING (term)
+             JOIN dl USING (doc_id) CROSS JOIN cs
+        GROUP BY doc_id),
+s2 AS (SELECT doc_id, round(s + 0.5 * coalesce(sb, 0.0), 4) AS s
+       FROM bm LEFT JOIN bqs USING (doc_id))
+SELECT doc_id,
+       round((s + ln(1.0 + n_chars) / 10.0)
+             * (1.0 + (doc_id % 3) * 0.05), 4) AS score
+FROM s2 JOIN documents USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
 ORACLE_SQL["bm25_must_topk"] = _bm25_sql(
     having="HAVING count(DISTINCT CASE WHEN term IN ('spark') "
            "THEN term END) = 1",
@@ -3905,7 +3955,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST 50 dict entries.  Entries that have never had (or lost) a
     # driver-green row are placed FIRST; round-3-green entries follow.  Every
     # entry keeps passing tools/check_oracle.py regardless of position.
+    # Round-4b: all 47 never-driver-checked entries sit inside the window,
+    # plus three of the five entries that fell out of r02's window
+    # (pub_dates, facet_lang_remap, booklist_enrich); reindex_fields and
+    # lang_id — both r02-driver-green and replica-gate-green at three SFs —
+    # yielded their slots to the new operators and rotate back in round 5.
     "bm25_not_topk": q_bm25_not_topk,
+    "bm25_boost_topk": q_bm25_boost_topk,
     "bm25_must_topk": q_bm25_must_topk,
     "bm25_term_range_topk": q_bm25_term_range_topk,
     "bm25_wildcard_topk": q_bm25_wildcard_topk,
@@ -3935,7 +3991,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
     "booklist_enrich": q_booklist_enrich,
-    "reindex_fields": q_reindex_fields,
+    "bpe_tokens": q_bpe_tokens,
     "webtext_pass": q_webtext_pass,
     "callnum_lop": q_callnum_lop,
     "profile_battery": q_profile_battery,
@@ -3954,8 +4010,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_plan": q_temperature_plan,
     "pack_shards": q_pack_shards,
     "lm_perplexity": q_lm_perplexity,
-    "bpe_tokens": q_bpe_tokens,
     "lang_id": q_lang_id,
+    "reindex_fields": q_reindex_fields,
     # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,

@@ -125,6 +125,37 @@ def test_wildcard_and_range_stack(docs):
     assert out[4] == 1.0   # strange/strategy/strings: wildcard only
 
 
+# --- edismax boosts (bq / bf / boost) --------------------------------------
+
+def test_bq_adds_only_to_main_matches(docs):
+    base = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id").collect()}
+    spark_only = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "spark", key_col="doc_id").collect()}
+    out = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id",
+        boost_query="spark", boost_weight=0.5).collect()}
+    # result set unchanged: doc 2 matches only bq -> still absent
+    assert set(out) == set(base) and 2 not in out
+    # doc 1 matches both: main + 0.5 * bq
+    assert out[1] == pytest.approx(base[1] + 0.5 * spark_only[1], abs=1e-4)
+    # doc 3 matches only main: unchanged
+    assert out[3] == base[3]
+
+
+def test_bf_and_boost_application_order(docs):
+    base = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id").collect()}
+    out = {r["doc_id"]: r["score"] for r in bm25_topk_sql_plan(
+        docs, "merge", key_col="doc_id",
+        boost_function=F.lit(2.0),
+        boost=F.lit(1.0) + (F.col("doc_id") % 2) * 1.0).collect()}
+    # (main + bf) * boost, boost = 2 for odd doc_ids, 1 for even
+    for key in base:
+        mult = 2.0 if key % 2 else 1.0
+        assert out[key] == pytest.approx((base[key] + 2.0) * mult, abs=1e-4)
+
+
 # --- fuzzy term -----------------------------------------------------------
 
 def test_fuzzy_expansion_and_group_stats(docs):
