@@ -176,6 +176,7 @@ def _score_blocks_bmw(
     avgdl_by_term: dict[str, float] | None = None,
     round_to: int | None = None,
     decode_cache: dict | None = None,
+    exclude_ids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Score ONE SALT's matched blocks with block-max pruning.
 
@@ -207,6 +208,13 @@ def _score_blocks_bmw(
     every survivor's blocks keep UB >= theta - eps and stay decoded.
     ``theta`` is tracked on RAW scores throughout (never overstated by
     round-up).
+
+    ``exclude_ids``: SORTED doc ids to exclude (MUST_NOT clauses, decoded
+    from the excluded terms' postings of this same salt — complete by
+    the salt-placement invariant). Excluded docs are dropped inside
+    ``accumulate`` so they never qualify, never raise theta (theta from
+    survivors only UNDERSTATES the true k-th — pruning stays exact) and
+    never reach the heap; the UB machinery is untouched.
 
     Returns (doc_ids, scores) of the salt's top-k among docs matching at
     least ``min_match`` distinct query terms, the number of blocks skipped
@@ -307,6 +315,14 @@ def _score_blocks_bmw(
         w_parts.append(w)
         t_parts.append(int(ti))
 
+    def _drop_excluded(uniq, totals, counts):
+        if exclude_ids is None or exclude_ids.size == 0 or uniq.size == 0:
+            return uniq, totals, counts
+        pos = np.clip(
+            np.searchsorted(exclude_ids, uniq), 0, exclude_ids.size - 1)
+        keep = exclude_ids[pos] != uniq
+        return uniq[keep], totals[keep], counts[keep]
+
     def accumulate():
         if not ids_parts:
             e = np.empty(0)
@@ -318,7 +334,7 @@ def _score_blocks_bmw(
             totals = np.zeros(uniq.size)
             np.add.at(totals, inv, all_w)
             counts = np.bincount(inv, minlength=uniq.size)
-            return uniq, totals, counts
+            return _drop_excluded(uniq, totals, counts)
         # dismax: two-level accumulate — per (doc, base term) max+sum
         # over field-scoped keys, combine, then sum per doc
         all_g = np.concatenate(
@@ -338,7 +354,7 @@ def _score_blocks_bmw(
         # distinct base terms per doc (a term matched in several fields
         # counts once — edismax mm semantics)
         counts = np.bincount(docpos, minlength=uniq.size)
-        return uniq, totals, counts
+        return _drop_excluded(uniq, totals, counts)
 
     # phase 1: decode in UB order until k qualifying docs, derive theta
     theta = theta0
@@ -434,6 +450,7 @@ def wand_topk(
     with_url: bool = True,
     min_match: int | str = 1,
     skip_acc=None,
+    exclude_query: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
@@ -445,9 +462,19 @@ def wand_topk(
     ``skip_acc``: optional Spark accumulator collecting the number of
     posting blocks PRUNED WITHOUT DECODING (block-max effectiveness
     metric, reported by bench.py).
+    ``exclude_query``: prohibited clauses (``-term`` /
+    BooleanClause.Occur.MUST_NOT) answered FROM THE INDEX: the excluded
+    terms' postings travel through the same salted scan as the scoring
+    postings (a doc's postings for every term live in one salt, so
+    per-salt exclusion is complete), are decoded to sorted doc-id
+    arrays, and are masked out inside the kernel's accumulator — before
+    theta derivation and heap entry, so block-max pruning stays exact.
     """
     spark = index.spark
     qterms = _analyze_query(query, index.chain)
+    ex_terms = (_analyze_query(exclude_query, index.chain)
+                if exclude_query else [])
+    ex_set = set(ex_terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qterms:
         return empty
@@ -459,7 +486,11 @@ def wand_topk(
         return empty
     idf_by_term = {
         r["term"]: bm25_idf(index.n_docs, int(r["df"])) for r in drows
+        if r["term"] not in ex_set  # a term both scored and prohibited
+        # matches no doc that survives; drop it from the scoring set
     }
+    if not idf_by_term:
+        return empty
     avgdl = index.avgdl
     kk = int(k)
     mm = parse_mm_spec(min_match, len(qterms))
@@ -479,14 +510,28 @@ def wand_topk(
         id_parts, score_parts = [], []
         n_skipped = 0
         for _, sub in pdf.groupby("salt", sort=False):
+            excl = None
+            if ex_set:
+                ex_rows = sub[sub["term"].isin(ex_set)]
+                sub = sub[~sub["term"].isin(ex_set)]
+                if len(ex_rows):
+                    excl = np.unique(np.concatenate(
+                        [delta_decode(g).astype(np.int64)
+                         for g in ex_rows["doc_gaps"]]
+                    ))
+                if not len(sub):
+                    continue
             ids, scores, nsk, theta = _score_blocks_bmw(
-                sub, idf_by_term, kk, avgdl, min_match=mm, theta0=theta
+                sub, idf_by_term, kk, avgdl, min_match=mm, theta0=theta,
+                exclude_ids=excl,
             )
             id_parts.append(ids)
             score_parts.append(scores)
             n_skipped += nsk
         if skip_acc is not None:
             skip_acc.add(int(n_skipped))
+        if not id_parts:
+            return
         all_ids = np.concatenate(id_parts)
         all_scores = np.concatenate(score_parts)
         # per-partition bounded top-k across its salts (docs are distinct
@@ -496,7 +541,8 @@ def wand_topk(
             {"doc_id": all_ids[sel], "score": all_scores[sel]}
         )
 
-    matched = index.segments.filter(F.col("term").isin(list(idf_by_term)))
+    matched = index.segments.filter(
+        F.col("term").isin(list(idf_by_term) + sorted(ex_set)))
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )

@@ -1047,6 +1047,20 @@ def q_bm25_and_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_not_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prohibited clause through the PHYSICAL index: the excluded term's
+    postings ride the same salted scan and are masked inside the
+    block-max kernel's accumulator (before theta/heap), so pruning stays
+    exact (wand.py:wand_topk exclude_query). Same DuckDB twin as the
+    logical bm25_not_topk — the compressed path is value-identical."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, FLAGSHIP_QUERY, k=10, with_url=False, exclude_query="window")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_phrase_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search through the PHYSICAL positional index: per-posting
     delta+varbyte position payloads (Lucene .pos analog) verified by
@@ -3467,6 +3481,8 @@ ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
 
+ORACLE_SQL["bm25_not_phys_topk"] = _bm25_sql(exclude=["window"])
+
 def _constant_score_sql(terms: list, mt_pred: str) -> str:
     """BM25 over ``terms`` OR-combined (full outer) with a +1.0
     constant-score multi-term clause whose expansion is ``mt_pred``
@@ -3961,6 +3977,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lang_id — both r02-driver-green and replica-gate-green at three SFs —
     # yielded their slots to the new operators and rotate back in round 5.
     "bm25_not_topk": q_bm25_not_topk,
+    "bm25_not_phys_topk": q_bm25_not_phys_topk,
     "bm25_boost_topk": q_bm25_boost_topk,
     "bm25_must_topk": q_bm25_must_topk,
     "bm25_term_range_topk": q_bm25_term_range_topk,
@@ -3990,7 +4007,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_mixin_facet": q_format_mixin_facet,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
-    "booklist_enrich": q_booklist_enrich,
+    "lm_perplexity": q_lm_perplexity,
     "bpe_tokens": q_bpe_tokens,
     "webtext_pass": q_webtext_pass,
     "callnum_lop": q_callnum_lop,
@@ -4009,7 +4026,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "temperature_plan": q_temperature_plan,
     "pack_shards": q_pack_shards,
-    "lm_perplexity": q_lm_perplexity,
+    "booklist_enrich": q_booklist_enrich,
     "lang_id": q_lang_id,
     "reindex_fields": q_reindex_fields,
     # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---

@@ -183,3 +183,54 @@ def test_salt_partitions_conf_override(spark):
     finally:
         spark.conf.unset("spark.marc.saltPartitions")
     assert _salt_partitions(idx) == auto
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bmw_exclusion_rank_identical(seed):
+    """MUST_NOT through the kernel (exclude_ids): excluded docs never
+    qualify, never raise theta, never reach the heap — rank-identity vs
+    brute force with the excluded docs dropped AFTER scoring (stats stay
+    collection-wide). Excluding the df~90% stopword's doc set is the
+    harsh case: most of the corpus is masked."""
+    rng = np.random.default_rng(seed)
+    tf, dl = _make_corpus(rng)
+    n_docs, n_terms = tf.shape
+    df = (tf > 0).sum(axis=0)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    # score terms t1..t5; exclude every doc containing t0
+    score_terms = list(range(1, n_terms))
+    idf_by_term = {f"t{t}": float(idf[t]) for t in score_terms}
+    blocks = _blocks_df(tf, dl, idf)
+    sc_blocks = blocks[blocks["term"] != "t0"]
+    excluded = np.flatnonzero(tf[:, 0] > 0).astype(np.int64)
+
+    # brute force: score t1..t5 only, drop excluded docs post-hoc
+    tf2 = tf[:, 1:]
+    w = np.zeros(tf2.shape, dtype=np.float64)
+    for j, t in enumerate(score_terms):
+        tt = tf[:, t].astype(np.float64)
+        w[:, j] = idf[t] * tt * (K1 + 1) / (
+            tt + K1 * (1 - B + B * dl / AVGDL))
+        w[tf[:, t] == 0, j] = 0.0
+    totals = w.sum(axis=1)
+    keep = np.ones(n_docs, dtype=bool)
+    keep[excluded] = False
+    ok = np.flatnonzero((totals > 0) & keep)
+    sel = _topk_exact(ok, totals[ok], 10)
+    want_ids, want_sc = ok[sel], totals[ok][sel]
+
+    theta = -math.inf
+    ids_p, sc_p = [], []
+    for s, sub in sc_blocks.groupby("salt", sort=False):
+        salt_excl = excluded[excluded % 2 == s]  # n_salts=2, salt = doc%2
+        ids, scores, _, theta = _score_blocks_bmw(
+            sub.reset_index(drop=True), idf_by_term, 10, AVGDL,
+            theta0=theta, exclude_ids=salt_excl,
+        )
+        ids_p.append(ids)
+        sc_p.append(scores)
+    all_ids = np.concatenate(ids_p)
+    all_sc = np.concatenate(sc_p)
+    gsel = _topk_exact(all_ids, all_sc, 10)
+    assert all_ids[gsel].tolist() == want_ids.tolist()
+    np.testing.assert_allclose(all_sc[gsel], want_sc, rtol=1e-12)
