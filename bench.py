@@ -84,6 +84,7 @@ HEADLINE = [
     "range_facet",
     "pivot_facet",
     "highlight_topk",
+    "bm25_qstring_topk",
 ]
 
 

@@ -498,12 +498,13 @@ def bm25_topk_sql_plan(
     filter_query=None,
     exclude_query: str | None = None,
     require_query: str | None = None,
-    wildcard: str | None = None,
+    wildcard: "str | list[str] | None" = None,
     term_range: "tuple[str, str] | None" = None,
     boost_query: str | None = None,
     boost_weight: float = 1.0,
     boost_function=None,
     boost=None,
+    term_boosts: "dict[str, float] | None" = None,
     return_all_scored: bool = False,
 ) -> DataFrame:
     """Self-contained single-DataFrame BM25 top-k over a raw docs table —
@@ -577,6 +578,14 @@ def bm25_topk_sql_plan(
     to the score of every result. ``boost``: edismax's multiplicative
     ``boost`` parameter — a Column the final score is multiplied by.
     Application order matches edismax: (main + bq + bf) * boost.
+
+    ``term_boosts``: per-clause boosts — the query parser's ``term^2``
+    syntax (``SolrQueryParser`` / ``QueryParserBase.getBoost``; Lucene
+    multiplies the clause's score contribution by the boost). Keys are
+    raw surface forms, analyzed with the same ``chain`` before lookup;
+    unlisted terms keep weight 1.0. A boosted term absent from
+    ``query`` is NOT added to the clause set (boosting is a modifier,
+    not a clause).
     """
     from .postings import (collection_stats, doc_stats as _doc_stats,
                            term_freqs, with_tokens)
@@ -602,9 +611,17 @@ def bm25_topk_sql_plan(
     ds = _doc_stats(toks, key_col=key_col)
     cs = collection_stats(ds)  # 1 row: n_docs, avgdl
 
-    qdf = spark.createDataFrame([(t,) for t in qterms], schema="term string")
+    boosts: dict = {}
+    if term_boosts:
+        for raw, w in term_boosts.items():
+            for t in ANALYZERS[chain](raw):
+                boosts[t] = float(w)
+    qdf = spark.createDataFrame(
+        [(t, boosts.get(t, 1.0)) for t in qterms],
+        schema="term string, qboost double",
+    )
     dfreq = (
-        tf.join(F.broadcast(qdf), "term")
+        tf.join(F.broadcast(qdf.select("term")), "term")
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
@@ -624,7 +641,7 @@ def bm25_topk_sql_plan(
         )
     )
     scored = (
-        matched.withColumn("term_score", score_expr)
+        matched.withColumn("term_score", score_expr * F.col("qboost"))
         .groupBy(key_col)
         .agg(
             F.round(F.sum("term_score"), round_to).alias("score"),
@@ -637,7 +654,9 @@ def bm25_topk_sql_plan(
         )
     mt_preds = []
     if wildcard is not None:
-        mt_preds.append(F.col("term").startswith(wildcard))
+        prefixes = [wildcard] if isinstance(wildcard, str) else wildcard
+        for p in prefixes:
+            mt_preds.append(F.col("term").startswith(p))
     if term_range is not None:
         mt_preds.append(F.col("term").between(term_range[0], term_range[1]))
     for pred in mt_preds:
@@ -1334,4 +1353,54 @@ def cluster_topk(
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(key_col, F.col("term").alias("label"), "salience")
+    )
+
+
+def bm25_query_string_topk(
+    docs: DataFrame,
+    qstring: str,
+    key_col: str = "doc_id",
+    k: int = 10,
+    chain: str = "simple",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+    **plan_kw,
+) -> DataFrame:
+    """The query-STRING front door: parse one flat Lucene/Solr query
+    string (the syntax the reference's ``defType=lucene`` handlers
+    accept — ``test/solr/conf/solrconfig.xml:71``,
+    ``SolrReIndexer.java:34``) and run it through the structured BM25
+    plans.
+
+    ``'+spark -batch merge^2 "table hash" str* [sa TO sz]'`` becomes
+    one :func:`bm25_topk_sql_plan` call with ``require_query`` /
+    ``exclude_query`` / ``term_boosts`` / ``phrase`` / ``wildcard`` /
+    ``term_range`` filled in; a fuzzy-only string (``'sparc~2'``)
+    dispatches to :func:`bm25_fuzzy_topk_plan`. Unsupported syntax
+    raises ``QueryStringError`` — never a silent drop. ``plan_kw``
+    passes extra structured parameters (``filter_query``, ``bq``/...)
+    straight through; parser-produced keys win on conflict only by
+    raising, not overriding.
+    """
+    from ..functions.query_parser import QueryStringError, parse_query_string
+
+    pq = parse_query_string(qstring)
+    if pq.fuzzy:
+        word, edits = pq.fuzzy[0]
+        return bm25_fuzzy_topk_plan(
+            docs, word, key_col=key_col, k=k, chain=chain,
+            max_edits=edits, k1=k1, b=b, round_to=round_to,
+        )
+    kw = pq.plan_kwargs()
+    overlap = set(kw) & set(plan_kw)
+    if overlap:
+        raise QueryStringError(
+            f"structured kwargs {sorted(overlap)} conflict with clauses "
+            "parsed from the query string"
+        )
+    kw.update(plan_kw)
+    return bm25_topk_sql_plan(
+        docs, kw.pop("query"), key_col=key_col, k=k, chain=chain,
+        k1=k1, b=b, round_to=round_to, **kw,
     )

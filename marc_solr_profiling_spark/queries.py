@@ -1922,6 +1922,24 @@ def q_bm25_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-STRING front door (functions/query_parser.py): the flat
+    Lucene grammar of the reference's defType=lucene handlers
+    (test/solr/conf/solrconfig.xml:69-81, SolrReIndexer.java:34) parsed
+    into the structured plan — '+spark -batch merge^2 stream str*'
+    exercises MUST + MUST_NOT + a clause boost + a SHOULD term + a
+    CONSTANT_SCORE wildcard in one string. The twin re-derives the same
+    composition: boosted BM25 sum, +1.0 prefix clause (full outer),
+    required-term semi-join, prohibited-term anti-join."""
+    from .operators.bm25 import bm25_query_string_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_query_string_topk(
+        docs, "+spark -batch merge^2 stream str*",
+        key_col="doc_id", k=10, chain="simple", round_to=4,
+    )
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -3580,6 +3598,37 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLE_SQL["bm25_qstring_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT * FROM (VALUES ('merge', 2.0), ('stream', 1.0),
+                            ('spark', 1.0)) t(term, qboost)),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+bm AS (SELECT doc_id,
+              round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+                        * qboost), 4) AS s
+       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN cs
+       GROUP BY doc_id),
+mt AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'str%'),
+merged AS (
+  SELECT coalesce(bm.doc_id, mt.doc_id) AS doc_id,
+         round(coalesce(bm.s, 0.0)
+               + CASE WHEN mt.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4)
+         AS score
+  FROM bm FULL OUTER JOIN mt ON bm.doc_id = mt.doc_id),
+req AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+exd AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'batch')
+SELECT m.doc_id, m.score
+FROM merged m JOIN req USING (doc_id) ANTI JOIN exd USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
 ORACLE_SQL["cursor_page"] = """
 SELECT doc_id, lang, n_chars
 FROM documents
@@ -3976,6 +4025,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (pub_dates, facet_lang_remap, booklist_enrich); reindex_fields and
     # lang_id — both r02-driver-green and replica-gate-green at three SFs —
     # yielded their slots to the new operators and rotate back in round 5.
+    "bm25_qstring_topk": q_bm25_qstring_topk,
     "bm25_not_topk": q_bm25_not_topk,
     "bm25_not_phys_topk": q_bm25_not_phys_topk,
     "bm25_boost_topk": q_bm25_boost_topk,
