@@ -85,6 +85,8 @@ HEADLINE = [
     "pivot_facet",
     "highlight_topk",
     "bm25_qstring_topk",
+    "dsir_select",
+    "dedup_incremental",
 ]
 
 

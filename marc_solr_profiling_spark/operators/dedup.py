@@ -812,3 +812,156 @@ def fuzzy_dedup_keep(
         cluster.alias("cluster_id"),
         (cluster == F.col(key_col)).alias("kept"),
     )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """The persistable LSH SIGNATURE INDEX of a corpus snapshot:
+    ``(key, band, bucket)`` rows, ``bands`` per document. This is what a
+    production pipeline stores next to the corpus so the NEXT crawl can
+    be deduplicated against it without ever touching the old text again
+    (:func:`dedup_against`). Pure composition of the zero-shuffle
+    signature pass + one explode."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(
+        docs, key_col=key_col, text_col=text_col,
+        n_hashes=n_hashes, shingle_n=shingle_n, hash_impl=hash_impl,
+    )
+    return sig.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, F.col("bb.band"), F.col("bb.bucket"))
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    threshold: float = 0.2,
+    old_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental cross-snapshot fuzzy dedup: flag each NEW document
+    that near-duplicates any document of an EXISTING corpus — the
+    "dedup the new crawl against the old corpus" stage every growing
+    pipeline runs (RefinedWeb/FineWeb dedupe each CC snapshot against
+    what's already kept).
+
+    Asymmetric by design, which is the whole 100 TB story: the old
+    corpus participates ONLY through (a) its banded signature index
+    (``old_bands`` — precomputed via :func:`minhash_band_table` and
+    stored; recomputed here when not supplied) and (b) the shingle
+    streams of CANDIDATE old docs only (a key semi-join prunes the old
+    text scan before any explode reaches a join). The old corpus is
+    never self-joined, never re-shuffled wholesale, and with a stored
+    band table its text is read only for rows that collide with the
+    increment.
+
+    Steps: new band table -> equi-join against the old band table on
+    (band, bucket) (mega-buckets capped on the OLD side — boilerplate
+    buckets grow with the archive, not the increment) -> exact-Jaccard
+    verify on candidate pairs only -> per-new-doc aggregate. Returns
+    one row per NEW document: ``(key, n_dups, dup_of, kept)`` with
+    ``dup_of`` the smallest matching old key (NULL when none) and
+    ``kept = (n_dups == 0)``. New docs with empty text have no
+    signature, hence no candidates: kept.
+    """
+    from pyspark.sql import Window
+
+    nb = minhash_band_table(
+        new_docs, key_col=key_col, text_col=text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
+    ob = old_bands if old_bands is not None else minhash_band_table(
+        old_docs, key_col=key_col, text_col=text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
+
+    w = Window.partitionBy("band", "bucket")
+    ob_bounded = (
+        ob.withColumn("bsize", F.count("*").over(w))
+        .filter(F.col("bsize") <= max_bucket)
+        .drop("bsize")
+    )
+    cand = (
+        nb.select("band", "bucket", F.col(key_col).alias("new_key"))
+        .join(ob_bounded.select(
+            "band", "bucket", F.col(key_col).alias("old_key")),
+            ["band", "bucket"])
+        .select("new_key", "old_key")
+        .distinct()
+    )
+
+    nsh = new_docs.select(
+        F.col(key_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"),
+    ).join(cand.select(F.col("new_key").alias(key_col)).distinct(),
+           key_col, "left_semi")
+    osh = old_docs.select(
+        F.col(key_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("shingle"),
+    ).join(cand.select(F.col("old_key").alias(key_col)).distinct(),
+           key_col, "left_semi")
+
+    n_sizes = nsh.groupBy(key_col).agg(F.count("*").alias("na"))
+    o_sizes = osh.groupBy(key_col).agg(F.count("*").alias("nb"))
+
+    inter = (
+        nsh.select(F.col(key_col).alias("new_key"), "shingle")
+        .join(osh.select(F.col(key_col).alias("old_key"), "shingle"),
+              "shingle")
+        .groupBy("new_key", "old_key")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["new_key", "old_key"], "left_semi")
+    )
+    jac = (
+        inter
+        .join(n_sizes.select(F.col(key_col).alias("new_key"), "na"),
+              "new_key")
+        .join(o_sizes.select(F.col(key_col).alias("old_key"), "nb"),
+              "old_key")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    agg = jac.groupBy("new_key").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.min("old_key").alias("dup_of"),
+    )
+    return (
+        new_docs.select(key_col)
+        .join(agg.withColumnRenamed("new_key", key_col), key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long"))
+            .alias("n_dups"),
+            "dup_of",
+            F.col("n_dups").isNull().alias("kept"),
+        )
+    )

@@ -1922,6 +1922,42 @@ def q_bm25_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (dedup.py:dedup_against): the
+    odd-keyed half of the corpus is the NEW crawl, deduplicated against
+    the even-keyed half's LSH band index — band equi-join (old-side
+    mega-bucket cap), exact-Jaccard verify on candidates only,
+    per-new-doc keep flag. The twin replays signatures, banding, the
+    cap, cross-side Jaccard, and the keep rule in SQL."""
+    from .operators.dedup import dedup_against
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 1000)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup_against(new, old, threshold=0.2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_dups",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "kept",
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, functions/dsir.py):
+    hashed unigram+bigram importance weights against a target seed
+    (doc_id % 10 == 0) over the raw pool, Gumbel top-50 without
+    replacement with md5-derived deterministic noise. The twin replays
+    bucket counts, add-alpha smoothing, per-doc log-ratio sums, the
+    Gumbel transform, and the top-k in SQL."""
+    from .functions.dsir import dsir_resample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_resample(docs, tgt, n_select=50, seed="dsir")
+
+
 def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-STRING front door (functions/query_parser.py): the flat
     Lucene grammar of the reference's defType=lucene handlers
@@ -3598,6 +3634,86 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLE_SQL["dedup_incremental"] = (
+    "WITH " + _SHINGLE_CTE.format(max_id=1000) + """,
+sig AS (SELECT doc_id,
+       """
+    + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    + """
+  FROM sh GROUP BY doc_id),
+bands AS (
+  """
+    + "\n  UNION ALL ".join(
+        "SELECT doc_id, %d AS band, %s AS bucket FROM sig"
+        % (b, "||'|'||".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(4))
+    + """
+),
+obands AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+nbands AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+ok AS (SELECT band, bucket FROM obands GROUP BY 1, 2
+       HAVING count(*) <= 200),
+ob AS (SELECT obands.* FROM obands JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT n.doc_id AS new_key, o.doc_id AS old_key
+         FROM nbands n JOIN ob o USING (band, bucket)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.new_key, c.old_key, count(*) AS n_common
+  FROM cand c
+  JOIN sh ns ON ns.doc_id = c.new_key
+  JOIN sh os ON os.doc_id = c.old_key AND os.shingle = ns.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.new_key, i.old_key
+  FROM inter i JOIN sizes sn ON sn.doc_id = i.new_key
+               JOIN sizes so ON so.doc_id = i.old_key
+  WHERE round(n_common / (sn.n + so.n - n_common), 6) >= 0.2),
+agg AS (SELECT new_key, count(*)::BIGINT AS n_dups,
+               min(old_key) AS dup_of
+        FROM jac GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_dups, 0)::BIGINT AS n_dups,
+       a.dup_of::BIGINT AS dup_of,
+       a.new_key IS NULL AS kept
+FROM documents d LEFT JOIN agg a ON a.new_key = d.doc_id
+WHERE d.doc_id < 1000 AND d.doc_id % 2 = 1
+"""
+)
+
+ORACLE_SQL["dsir_select"] = """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+            AS toks FROM documents),
+feats AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(0, len(toks) - 1),
+                     i -> toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END)) AS g
+  FROM tk WHERE len(toks) >= 1),
+bkt AS (SELECT doc_id, substr(md5(g), 1, 3) AS b FROM feats),
+ct AS (SELECT b, count(*)::DOUBLE AS c FROM bkt
+       WHERE doc_id % 10 = 0 GROUP BY b),
+cr AS (SELECT b, count(*)::DOUBLE AS c FROM bkt GROUP BY b),
+nt AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM ct),
+nr AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM cr),
+scored AS (
+  SELECT k.doc_id,
+         ln((coalesce(t.c, 0) + 0.5) / ((SELECT n FROM nt) + 0.5 * 4096))
+       - ln((coalesce(r.c, 0) + 0.5) / ((SELECT n FROM nr) + 0.5 * 4096))
+         AS s
+  FROM bkt k LEFT JOIN ct t ON k.b = t.b LEFT JOIN cr r ON k.b = r.b),
+lw AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+              round(sum(s), 4) AS dsir_logw
+       FROM scored GROUP BY doc_id)
+SELECT doc_id, n_feats, dsir_logw,
+       round(dsir_logw - ln(-ln(
+         ((('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 13))
+           ::UBIGINT)::DOUBLE + 0.5) / 4503599627370496.0)), 4)
+       AS gumbel_key
+FROM lw
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 50
+"""
+
 ORACLE_SQL["bm25_qstring_topk"] = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -4026,6 +4142,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lang_id — both r02-driver-green and replica-gate-green at three SFs —
     # yielded their slots to the new operators and rotate back in round 5.
     "bm25_qstring_topk": q_bm25_qstring_topk,
+    "dsir_select": q_dsir_select,
+    "dedup_incremental": q_dedup_incremental,
     "bm25_not_topk": q_bm25_not_topk,
     "bm25_not_phys_topk": q_bm25_not_phys_topk,
     "bm25_boost_topk": q_bm25_boost_topk,
