@@ -87,6 +87,8 @@ HEADLINE = [
     "bm25_qstring_topk",
     "dsir_select",
     "dedup_incremental",
+    "train_shuffle",
+    "bm25_term_boost_phys_topk",
 ]
 
 

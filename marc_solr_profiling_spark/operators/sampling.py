@@ -199,3 +199,85 @@ def pack_shards(docs: DataFrame, tokens_per_shard: int,
         key_col, weight_col,
         F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),
     )
+
+
+def global_shuffle(docs: DataFrame, seed: str = "shuffle",
+                   key_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
+    """Deterministic corpus-wide training-order shuffle: every document
+    gets a dense 0-based ``shuffle_rank`` in the total order
+    ``(md5(seed:key), key)`` — the "shuffle the corpus before epoch
+    writing" step of a training-data pipeline, made reproducible (same
+    seed -> same order on every re-run, no RNG state) and auditable
+    (the twin is one ``row_number() OVER (ORDER BY md5...)``).
+
+    Scale shape: the naive dense rank is a no-partition-key window =
+    one task holding the corpus. This is the same two-phase distributed
+    scan as :func:`pack_shards`: range-partition + sort on the hash
+    key, local 0-based ranks per partition, collect P per-partition
+    COUNTS (driver-sized scalars), prefix-sum, broadcast offsets back.
+    One range shuffle total. Downstream shard writers consume
+    ``shuffle_rank`` directly (e.g. ``floor(rank / docs_per_shard)``),
+    or feed the ranked frame to :func:`pack_shards` keyed on the rank
+    for token-budget shards in shuffled order.
+
+    Note the rank is POSITIONAL: growing the corpus perturbs ranks (any
+    dense rank must). The hash KEY itself is growth-stable — stable
+    properties (splits, sampling) belong on the key
+    (:func:`hash_split`), the rank is for materializing one ordering.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = docs.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    d = (
+        docs.select(
+            F.col(key_col),
+            F.md5(F.concat(F.lit(seed + ":"),
+                           F.col(key_col).cast("string"))
+                  ).alias("shuffle_key"),
+        )
+        .repartitionByRange(parts, "shuffle_key", key_col)
+        .sortWithinPartitions("shuffle_key", key_col)
+    )
+
+    def local_rank(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame({
+                key_col: pdf[key_col],
+                "shuffle_key": pdf["shuffle_key"],
+                "pid": pid,
+                "local_rank": range(run, run + n),
+            })
+            run += n
+
+    ranked = d.mapInPandas(
+        local_rank,
+        schema=(f"{key_col} {key_t}, shuffle_key string, pid int, "
+                "local_rank long"),
+    )
+    from . import _cache
+
+    _cache.begin("global_shuffle")
+    ranked = _cache.hold("global_shuffle", ranked)
+    counts = dict(
+        ranked.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets: Dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    return ranked.select(
+        key_col, "shuffle_key",
+        (F.coalesce(omap[F.col("pid")], F.lit(0))
+         + F.col("local_rank")).cast("long").alias("shuffle_rank"),
+    )

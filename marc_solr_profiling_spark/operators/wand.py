@@ -451,6 +451,7 @@ def wand_topk(
     min_match: int | str = 1,
     skip_acc=None,
     exclude_query: str | None = None,
+    term_boosts: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
@@ -469,6 +470,10 @@ def wand_topk(
     per-salt exclusion is complete), are decoded to sorted doc-id
     arrays, and are masked out inside the kernel's accumulator — before
     theta derivation and heap entry, so block-max pruning stays exact.
+    ``term_boosts``: per-clause boosts (the query parser's ``term^2``),
+    folded into the per-term idf weight exactly like the dismax qf
+    weights (:func:`dismax_topk`) — block caps are ``weight *
+    max_wnorm``, so pruning bounds scale with the boost and stay exact.
     """
     spark = index.spark
     qterms = _analyze_query(query, index.chain)
@@ -484,8 +489,14 @@ def wand_topk(
     # (few terms: a literal In is fine here; the batch path broadcast-joins)
     if not drows:
         return empty
+    boosts: dict[str, float] = {}
+    if term_boosts:
+        for raw, w in term_boosts.items():
+            for t in _analyze_query(raw, index.chain):
+                boosts[t] = float(w)
     idf_by_term = {
-        r["term"]: bm25_idf(index.n_docs, int(r["df"])) for r in drows
+        r["term"]: boosts.get(r["term"], 1.0)
+        * bm25_idf(index.n_docs, int(r["df"])) for r in drows
         if r["term"] not in ex_set  # a term both scored and prohibited
         # matches no doc that survives; drop it from the scoring set
     }

@@ -1922,6 +1922,32 @@ def q_bm25_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_term_boost_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clause boosts (term^2) through the PHYSICAL index: the boost
+    folds into the per-term idf weight exactly like dismax qf weights,
+    so block caps scale with it and block-max pruning stays exact
+    (wand.py:wand_topk term_boosts). Twin: the boosted logical SQL —
+    the compressed path is value-identical."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, FLAGSHIP_QUERY, k=10, with_url=False,
+        term_boosts={"merge": 2.0})
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (sampling.py:global_shuffle):
+    dense 0-based rank in the (md5('ord:'||key), key) total order via
+    the two-phase distributed scan — the twin is the naive
+    row_number() window the operator exists to avoid at scale."""
+    from .operators.sampling import global_shuffle
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, seed="ord", partitions=8)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup (dedup.py:dedup_against): the
     odd-keyed half of the corpus is the NEW crawl, deduplicated against
@@ -3634,6 +3660,36 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+ORACLE_SQL["bm25_term_boost_phys_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT * FROM (VALUES ('spark', 1.0), ('merge', 2.0),
+                            ('window', 1.0), ('stream', 1.0))
+      t(term, qboost)),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+                 * qboost), 4) AS score
+FROM tf JOIN q USING (term) JOIN dfq USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["train_shuffle"] = """
+SELECT doc_id,
+       md5('ord:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       (row_number() OVER (
+          ORDER BY md5('ord:' || CAST(doc_id AS VARCHAR)), doc_id)
+        - 1)::BIGINT AS shuffle_rank
+FROM documents
+"""
+
 ORACLE_SQL["dedup_incremental"] = (
     "WITH " + _SHINGLE_CTE.format(max_id=1000) + """,
 sig AS (SELECT doc_id,
@@ -4144,6 +4200,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
+    "train_shuffle": q_train_shuffle,
+    "bm25_term_boost_phys_topk": q_bm25_term_boost_phys_topk,
     "bm25_not_topk": q_bm25_not_topk,
     "bm25_not_phys_topk": q_bm25_not_phys_topk,
     "bm25_boost_topk": q_bm25_boost_topk,

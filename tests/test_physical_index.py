@@ -253,3 +253,43 @@ def test_wand_topk_index_without_url_column(spark, tmp_path):
     rows = wand_topk(idx, "the batch", k=5).collect()
     assert len(rows) == 5
     assert set(rows[0].asDict()) == {"doc_id", "score"}
+
+
+def test_wand_term_boosts_scale_exactly(index):
+    """Per-clause boosts through the physical kernel (wand_topk
+    term_boosts): a uniform 2x boost on every clause must exactly
+    double every score with identical ranking — this exercises the
+    boost fold through block caps, pruning thetas, and the heap."""
+    q = generate_query_set(50, seed=42)[0]
+    base = [(r["doc_id"], r["score"])
+            for r in wand_topk(index, q, k=10, with_url=False).collect()]
+    boosts = {t: 2.0 for t in q.split()}
+    doubled = [(r["doc_id"], r["score"])
+               for r in wand_topk(index, q, k=10, with_url=False,
+                                  term_boosts=boosts).collect()]
+    assert [d for d, _ in doubled] == [d for d, _ in base]
+    for (d0, s0), (d1, s1) in zip(base, doubled):
+        assert s1 == pytest.approx(2.0 * s0, rel=1e-12)
+
+
+def test_wand_term_boost_single_clause(index, oracle_index):
+    """Boosting ONE clause w times must equal brute-force BM25 where
+    that term's idf is scaled by w (the dismax qf-fold contract)."""
+    q = generate_query_set(50, seed=42)[1]
+    t0 = q.split()[0]
+    got = [(r["url"], r["score"])
+           for r in wand_topk(index, q, k=10,
+                              term_boosts={t0: 3.0}).collect()]
+    # oracle: score = sum over terms of w_t * idf_t * tf_norm; replay
+    # via two oracle queries — full query minus the unboosted single
+    # term gives the term's own contribution
+    want = {}
+    for u, s in oracle_index.topk(q, k=10**9):
+        want[u] = s
+    for u, s in (oracle_index.topk(t0, k=10**9)
+                 if t0 else []):
+        want[u] = want.get(u, 0.0) + 2.0 * s  # +2x on top of the 1x in q
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [u for u, _ in got] == [u for u, _ in top]
+    for (gu, gs), (wu, ws) in zip(got, top):
+        assert gs == pytest.approx(ws, rel=1e-9)

@@ -115,3 +115,39 @@ def test_pack_shards_budget_held(spark):
     sizes = {r.shard_id: r["sum(n_tokens)"] for r in
              out.groupBy("shard_id").sum("n_tokens").collect()}
     assert sizes == {i: 1000 for i in range(10)}
+
+
+# --- global_shuffle (deterministic training-order shuffle) ---------------
+
+def test_global_shuffle_matches_serial_rank(spark):
+    import hashlib
+
+    from marc_solr_profiling_spark.operators.sampling import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long")
+    got = {r.doc_id: (r.shuffle_key, r.shuffle_rank)
+           for r in global_shuffle(docs, seed="s7", partitions=8).collect()}
+    want = sorted(
+        (hashlib.md5(f"s7:{i}".encode()).hexdigest(), i) for i in range(500))
+    assert len(got) == 500
+    for rank, (h, i) in enumerate(want):
+        assert got[i] == (h, rank)
+
+
+def test_global_shuffle_partition_invariant_and_seeded(spark):
+    from marc_solr_profiling_spark.operators.sampling import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    base = sorted(tuple(r) for r in
+                  global_shuffle(docs, seed="a", partitions=1).collect())
+    for parts in (3, 8):
+        again = sorted(tuple(r) for r in
+                       global_shuffle(docs, seed="a",
+                                      partitions=parts).collect())
+        assert again == base
+    other = sorted(tuple(r) for r in
+                   global_shuffle(docs, seed="b", partitions=8).collect())
+    assert other != base
+    # dense 0-based ranks either way
+    assert sorted(r[2] for r in other) == list(range(200))
