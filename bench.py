@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_incremental",
     "train_shuffle",
     "bm25_term_boost_phys_topk",
+    "bm25_wildcard_phys_topk",
+    "bm25_range_phys_topk",
 ]
 
 

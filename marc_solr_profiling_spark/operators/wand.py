@@ -177,6 +177,7 @@ def _score_blocks_bmw(
     round_to: int | None = None,
     decode_cache: dict | None = None,
     exclude_ids: np.ndarray | None = None,
+    bonus_sets: "list[np.ndarray] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Score ONE SALT's matched blocks with block-max pruning.
 
@@ -216,6 +217,17 @@ def _score_blocks_bmw(
     survivors only UNDERSTATES the true k-th — pruning stays exact) and
     never reach the heap; the UB machinery is untouched.
 
+    ``bonus_sets``: SORTED doc-id arrays, one per CONSTANT_SCORE
+    multi-term clause (wildcard / term range) of this salt — each doc
+    present in a set gets +1.0 added to its total (Lucene's
+    CONSTANT_SCORE_REWRITE contribution). Block UBs do not know about
+    bonuses, so every pruning comparison is slackened by
+    ``len(bonus_sets)`` (the maximum possible bonus): a block is only
+    skipped when even UB + max-bonus cannot reach theta — pruning stays
+    exact, it just prunes less when constant clauses are present.
+    Bonus-ONLY docs (matching no scored term) never enter this kernel;
+    the caller emits them separately.
+
     Returns (doc_ids, scores) of the salt's top-k among docs matching at
     least ``min_match`` distinct query terms, the number of blocks skipped
     without decoding, and the updated theta.
@@ -223,6 +235,7 @@ def _score_blocks_bmw(
     uniq_terms = pd.unique(pdf["term"])
     n_terms = len(uniq_terms)
     eps = 0.0 if round_to is None else 10.0 ** (-round_to)
+    bonus_slack = float(len(bonus_sets)) if bonus_sets else 0.0
     grp_arr = (
         None if group_of is None
         else np.asarray([group_of[t] for t in uniq_terms], dtype=np.int64)
@@ -323,6 +336,16 @@ def _score_blocks_bmw(
         keep = exclude_ids[pos] != uniq
         return uniq[keep], totals[keep], counts[keep]
 
+    def _add_bonus(uniq, totals, counts):
+        if not bonus_sets or uniq.size == 0:
+            return uniq, totals, counts
+        for bs in bonus_sets:
+            if bs.size == 0:
+                continue
+            pos = np.clip(np.searchsorted(bs, uniq), 0, bs.size - 1)
+            totals[bs[pos] == uniq] += 1.0
+        return uniq, totals, counts
+
     def accumulate():
         if not ids_parts:
             e = np.empty(0)
@@ -334,7 +357,7 @@ def _score_blocks_bmw(
             totals = np.zeros(uniq.size)
             np.add.at(totals, inv, all_w)
             counts = np.bincount(inv, minlength=uniq.size)
-            return _drop_excluded(uniq, totals, counts)
+            return _add_bonus(*_drop_excluded(uniq, totals, counts))
         # dismax: two-level accumulate — per (doc, base term) max+sum
         # over field-scoped keys, combine, then sum per doc
         all_g = np.concatenate(
@@ -354,7 +377,7 @@ def _score_blocks_bmw(
         # distinct base terms per doc (a term matched in several fields
         # counts once — edismax mm semantics)
         counts = np.bincount(docpos, minlength=uniq.size)
-        return _drop_excluded(uniq, totals, counts)
+        return _add_bonus(*_drop_excluded(uniq, totals, counts))
 
     # phase 1: decode in UB order until k qualifying docs, derive theta
     theta = theta0
@@ -363,7 +386,7 @@ def _score_blocks_bmw(
     n_seen = 0
     while i < n_blocks:
         # stop early if every remaining block is already below theta0
-        if ub_all[i] < theta - eps:
+        if ub_all[i] < theta - eps - bonus_slack:
             break
         while i < n_blocks and n_seen < target:
             decode(i)
@@ -390,7 +413,7 @@ def _score_blocks_bmw(
     if math.isfinite(theta):
         asc = np.argsort(term_max, kind="stable")
         cum = np.cumsum(term_max[asc])
-        non_ess = {int(x) for x in asc[cum < theta - eps]}
+        non_ess = {int(x) for x in asc[cum < theta - eps - bonus_slack]}
 
     # phase 2: skip every remaining block whose UB can't reach theta
     # (strict <: a block whose UB EQUALS theta may hold a tied doc whose
@@ -399,7 +422,7 @@ def _score_blocks_bmw(
     n_skipped = 0
     pending: list[int] = []
     for bi in range(i, n_blocks):
-        if ub_all[bi] < theta - eps:
+        if ub_all[bi] < theta - eps - bonus_slack:
             n_skipped += 1
         elif int(ref_all[bi, 0]) in non_ess:
             pending.append(bi)
@@ -452,6 +475,8 @@ def wand_topk(
     skip_acc=None,
     exclude_query: str | None = None,
     term_boosts: "dict[str, float] | None" = None,
+    wildcard: "str | list[str] | None" = None,
+    term_range: "tuple[str, str] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
@@ -474,6 +499,22 @@ def wand_topk(
     folded into the per-term idf weight exactly like the dismax qf
     weights (:func:`dismax_topk`) — block caps are ``weight *
     max_wnorm``, so pruning bounds scale with the boost and stay exact.
+
+    ``wildcard`` / ``term_range``: CONSTANT_SCORE multi-term clauses
+    (``pre*`` / ``[lo TO hi]``) answered FROM THE INDEX: each clause is
+    a predicate on the sorted term column (dictionary range scan —
+    min/max row-group pruning applies), its matching postings ride the
+    same salted scan, and its per-salt doc set becomes a +1.0 bonus
+    inside the kernel (pruning slackened by the clause count — see
+    ``_score_blocks_bmw`` bonus_sets). Docs matching ONLY constant
+    clauses are emitted at their bonus value and max-merged with the
+    kernel's rows per partition (a pruned doc's understated bonus row
+    provably never displaces a correct result: its own salt already
+    contributed k rows with larger totals). Unlike the logical plan,
+    scores here are rounded ONCE at the end (the logical twin rounds
+    the scored sum before adding the bonus); the oracle row's twin uses
+    the single-round form. A query with no scored clause still requires
+    ``query`` terms here (wildcard-only strings use the logical plan).
     """
     spark = index.spark
     qterms = _analyze_query(query, index.chain)
@@ -505,6 +546,10 @@ def wand_topk(
     avgdl = index.avgdl
     kk = int(k)
     mm = parse_mm_spec(min_match, len(qterms))
+    prefixes = ([wildcard] if isinstance(wildcard, str)
+                else list(wildcard or []))
+    ranges = [term_range] if term_range is not None else []
+    has_mt = bool(prefixes or ranges)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -524,17 +569,44 @@ def wand_topk(
             excl = None
             if ex_set:
                 ex_rows = sub[sub["term"].isin(ex_set)]
-                sub = sub[~sub["term"].isin(ex_set)]
                 if len(ex_rows):
                     excl = np.unique(np.concatenate(
                         [delta_decode(g).astype(np.int64)
                          for g in ex_rows["doc_gaps"]]
                     ))
-                if not len(sub):
-                    continue
+            bsets = None
+            if has_mt:
+                terms = sub["term"]
+                bsets = []
+                for pd_pred in (
+                    [terms.str.startswith(p) for p in prefixes]
+                    + [(terms >= lo) & (terms <= hi) for lo, hi in ranges]
+                ):
+                    rows = sub[pd_pred]
+                    bsets.append(
+                        np.unique(np.concatenate(
+                            [delta_decode(g).astype(np.int64)
+                             for g in rows["doc_gaps"]]))
+                        if len(rows) else np.empty(0, dtype=np.int64))
+                wall = ([b for b in bsets if b.size])
+                if wall:
+                    wu, wc = np.unique(np.concatenate(wall),
+                                       return_counts=True)
+                    if excl is not None and excl.size and wu.size:
+                        pos = np.clip(np.searchsorted(excl, wu), 0,
+                                      excl.size - 1)
+                        keep = excl[pos] != wu
+                        wu, wc = wu[keep], wc[keep]
+                    # docs matching only constant clauses: emitted at
+                    # their bonus value, max-merged with kernel rows
+                    id_parts.append(wu)
+                    score_parts.append(wc.astype(np.float64))
+            srows = sub[sub["term"].isin(idf_by_term)]
+            if not len(srows):
+                continue
             ids, scores, nsk, theta = _score_blocks_bmw(
-                sub, idf_by_term, kk, avgdl, min_match=mm, theta0=theta,
-                exclude_ids=excl,
+                srows, idf_by_term, kk, avgdl, min_match=mm, theta0=theta,
+                exclude_ids=excl, bonus_sets=bsets,
             )
             id_parts.append(ids)
             score_parts.append(scores)
@@ -546,14 +618,22 @@ def wand_topk(
         all_ids = np.concatenate(id_parts)
         all_scores = np.concatenate(score_parts)
         # per-partition bounded top-k across its salts (docs are distinct
-        # across salts, so no re-accumulation is needed)
-        sel = _topk_exact(all_ids, all_scores, kk)
+        # across salts; a doc's kernel row and bonus-only row max-merge —
+        # the kernel total always dominates its own bonus row)
+        uniq_ids, inv = np.unique(all_ids, return_inverse=True)
+        best = np.full(uniq_ids.size, -np.inf)
+        np.maximum.at(best, inv, all_scores)
+        sel = _topk_exact(uniq_ids, best, kk)
         yield pd.DataFrame(
-            {"doc_id": all_ids[sel], "score": all_scores[sel]}
+            {"doc_id": uniq_ids[sel], "score": best[sel]}
         )
 
-    matched = index.segments.filter(
-        F.col("term").isin(list(idf_by_term) + sorted(ex_set)))
+    seg_pred = F.col("term").isin(list(idf_by_term) + sorted(ex_set))
+    for p in prefixes:
+        seg_pred = seg_pred | F.col("term").startswith(p)
+    for lo, hi in ranges:
+        seg_pred = seg_pred | F.col("term").between(lo, hi)
+    matched = index.segments.filter(seg_pred)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )

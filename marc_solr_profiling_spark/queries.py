@@ -1922,6 +1922,34 @@ def q_bm25_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_wildcard_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard clause through the PHYSICAL index
+    (wand.py:wand_topk wildcard): the prefix is a dictionary range
+    predicate on the sorted term column, the matching postings ride
+    the salted scan, and the +1.0 CONSTANT_SCORE bonus is applied
+    inside the block-max kernel with pruning slackened by the clause
+    count (exact). Twin: single-round constant-score SQL."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, "merge window", k=10, with_url=False, wildcard="str")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_range_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery through the PHYSICAL index (wand.py:wand_topk
+    term_range): between-predicate on the sorted term dictionary +
+    kernel-side +1.0 bonus — the other MultiTermQuery member on the
+    compressed path."""
+    from .operators.wand import wand_topk
+
+    idx = _shared_index(spark, sf_dir)
+    out = wand_topk(
+        idx, "merge", k=10, with_url=False, term_range=("sa", "sz"))
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_term_boost_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clause boosts (term^2) through the PHYSICAL index: the boost
     folds into the per-term idf weight exactly like dismax qf weights,
@@ -3660,6 +3688,42 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+def _constant_score_phys_sql(terms: list, mt_pred: str) -> str:
+    """Single-round variant of :func:`_constant_score_sql` for the
+    PHYSICAL constant-score path: the kernel accumulates raw totals
+    (scored sum + bonus) and rounds once at the end, so the twin rounds
+    once too (the logical plan rounds the scored sum before the merge)."""
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({terms!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+bm AS (SELECT doc_id,
+              sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * 2.2
+                  / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))) AS s
+       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN cs
+       GROUP BY doc_id),
+mt AS (SELECT DISTINCT doc_id FROM tf WHERE {mt_pred})
+SELECT coalesce(bm.doc_id, mt.doc_id) AS doc_id,
+       round(coalesce(bm.s, 0.0)
+             + CASE WHEN mt.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4)
+       AS score
+FROM bm FULL OUTER JOIN mt ON bm.doc_id = mt.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+ORACLE_SQL["bm25_wildcard_phys_topk"] = _constant_score_phys_sql(
+    ["merge", "window"], "term LIKE 'str%'")
+
+ORACLE_SQL["bm25_range_phys_topk"] = _constant_score_phys_sql(
+    ["merge"], "term BETWEEN 'sa' AND 'sz'")
+
 ORACLE_SQL["bm25_term_boost_phys_topk"] = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -4202,6 +4266,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "train_shuffle": q_train_shuffle,
     "bm25_term_boost_phys_topk": q_bm25_term_boost_phys_topk,
+    "bm25_wildcard_phys_topk": q_bm25_wildcard_phys_topk,
+    "bm25_range_phys_topk": q_bm25_range_phys_topk,
     "bm25_not_topk": q_bm25_not_topk,
     "bm25_not_phys_topk": q_bm25_not_phys_topk,
     "bm25_boost_topk": q_bm25_boost_topk,

@@ -293,3 +293,67 @@ def test_wand_term_boost_single_clause(index, oracle_index):
     assert [u for u, _ in got] == [u for u, _ in top]
     for (gu, gs), (wu, ws) in zip(got, top):
         assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def _constant_score_expected(oracle_index, q, pred, k=10, excl_term=None):
+    """Brute-force: BM25 OR-scores + 1.0 per doc holding any term
+    matching pred, minus docs holding excl_term."""
+    scores = oracle_index.score_query(q)
+    W = set()
+    for t, pl in oracle_index.postings.items():
+        if pred(t):
+            W.update(pl)
+    want = {u: s + (1.0 if u in W else 0.0) for u, s in scores.items()}
+    for u in W:
+        want.setdefault(u, 1.0)
+    if excl_term is not None:
+        for u in oracle_index.postings.get(excl_term, {}):
+            want.pop(u, None)
+    return sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_wand_wildcard_constant_score(index, oracle_index):
+    """Wildcard (CONSTANT_SCORE_REWRITE) through the physical index:
+    +1.0 per doc holding any prefix-matching term, OR-combined —
+    including docs matching ONLY the wildcard."""
+    q = generate_query_set(50, seed=42)[2]
+    prefix = sorted(oracle_index.postings)[len(oracle_index.postings) // 3][:2]
+    got = [(r["url"], r["score"])
+           for r in wand_topk(index, q, k=10, wildcard=prefix).collect()]
+    want = _constant_score_expected(
+        oracle_index, q, lambda t: t.startswith(prefix))
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_wand_term_range_constant_score(index, oracle_index):
+    q = generate_query_set(50, seed=42)[3]
+    vocab = sorted(oracle_index.postings)
+    lo, hi = vocab[len(vocab) // 2], vocab[2 * len(vocab) // 3]
+    got = [(r["url"], r["score"])
+           for r in wand_topk(index, q, k=10,
+                              term_range=(lo, hi)).collect()]
+    want = _constant_score_expected(
+        oracle_index, q, lambda t: lo <= t <= hi)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_wand_wildcard_with_exclusion(index, oracle_index):
+    """Constant-score clause + MUST_NOT in one request: excluded docs
+    vanish even when they match the wildcard."""
+    q = generate_query_set(50, seed=42)[4]
+    prefix = sorted(oracle_index.postings)[len(oracle_index.postings) // 4][:2]
+    # exclude a mid-df term
+    ex = max(oracle_index.postings,
+             key=lambda t: (len(oracle_index.postings[t]), t))
+    got = [(r["url"], r["score"])
+           for r in wand_topk(index, q, k=10, wildcard=prefix,
+                              exclude_query=ex).collect()]
+    want = _constant_score_expected(
+        oracle_index, q, lambda t: t.startswith(prefix), excl_term=ex)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
