@@ -197,3 +197,119 @@ def dsir_resample(docs: DataFrame, target_docs: DataFrame,
         keyed.orderBy(F.desc("gumbel_key"), F.asc(key_col))
         .limit(n_select)
     )
+
+
+# --- fast64 variant -------------------------------------------------------
+#
+# The md5 path above is the ORACLE CONTRACT (bucket = substr(md5(gram),
+# 1,3), bit-identical in DuckDB); its 3.2M-doc cost is dominated by
+# building every bigram STRING and md5-hashing every distinct bigram
+# (measured 554 s vs the NB classifier's 141 s unigram floor). The
+# fast64 variant keeps md5 codes for TOKENS (memoized per distinct
+# token — the shared token-identity scheme) but derives bigram feature
+# identity NUMERICALLY: the same wrapping int64 polynomial over
+# adjacent token codes the fast64 MinHash kernel uses
+# (dedup._doc_gram_hashes_kernel), splitmix-remixed so the bucket bits
+# are uniform. No gram strings exist at all. Same model shape, same
+# selection semantics, different (equally valid) hash family — use md5
+# only when cross-engine replay matters, exactly the minhash_signatures
+# hash_impl contract.
+
+_POLY = 1099511628211  # FNV prime, the shared gram-polynomial base
+
+
+def _fast_feature_buckets(tk, memo):
+    """Bucket array (int64 in [0, N_BUCKETS)) of a doc's unigram +
+    bigram features, no strings built for bigrams."""
+    import numpy as np
+
+    from .lm import token_codes_md5
+
+    c = token_codes_md5(tk, memo)
+    shift = np.uint64(52)
+    uni = (c.view(np.uint64) >> shift).astype(np.int64)
+    if len(c) < 2:
+        return uni
+    with np.errstate(over="ignore"):
+        poly = c[:-1] * np.int64(_POLY) + c[1:]
+    x = poly.view(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    big = (x >> shift).astype(np.int64)
+    return np.concatenate([uni, big])
+
+
+def _fast_bucket_counts(df: DataFrame, text_col: str):
+    """Dense float64[N_BUCKETS] feature counts via the kernel bucketing
+    — a partial aggregate: each batch emits ONE 4096-long count row,
+    summed on the driver (rows collected = batches, driver-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    tok = df.select(tokens_simple(text_col).alias("tk")).filter(
+        F.size("tk") >= 1)
+
+    def counts(batches):
+        memo: dict = {}
+        for pdf in batches:
+            acc = np.zeros(N_BUCKETS, dtype=np.int64)
+            for tk in pdf["tk"]:
+                b = _fast_feature_buckets(tk, memo)
+                acc += np.bincount(b, minlength=N_BUCKETS)
+            yield pd.DataFrame({"c": [acc.tolist()]})
+
+    rows = tok.mapInPandas(counts, schema="c array<long>").collect()
+    arr = np.zeros(N_BUCKETS, dtype=np.float64)
+    for r in rows:
+        arr += np.asarray(r["c"], dtype=np.float64)
+    return arr
+
+
+def dsir_logweight_fast(docs: DataFrame, target_docs: DataFrame,
+                        raw_docs: DataFrame | None = None,
+                        alpha: float = 0.5,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        round_to: int = 4) -> DataFrame:
+    """fast64 twin of :func:`dsir_logweight` — identical pipeline shape
+    and output schema, numeric bigram identity (no SQL twin; the md5
+    path is the oracle contract)."""
+    import numpy as np
+    import pandas as pd
+
+    tgt = _fast_bucket_counts(target_docs, text_col)
+    raw = _fast_bucket_counts(
+        raw_docs if raw_docs is not None else docs, text_col)
+    d = float(N_BUCKETS)
+    lr = (
+        np.log((tgt + alpha) / (tgt.sum() + alpha * d))
+        - np.log((raw + alpha) / (raw.sum() + alpha * d))
+    )
+
+    spark = docs.sparkSession
+    bc_lr = spark.sparkContext.broadcast(lr)
+    key_t = docs.select(key_col).schema.fields[0].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, n_feats long, dsir_logw double"
+    tok = docs.select(
+        F.col(key_col), tokens_simple(text_col).alias("tk")
+    ).filter(F.size("tk") >= 1)
+
+    def score(batches):
+        memo: dict = {}
+        table = bc_lr.value
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            n = len(pdf)
+            lens = np.empty(n, dtype=np.int64)
+            sums = np.empty(n, dtype=np.float64)
+            for i, tk in enumerate(pdf["tk"]):
+                b = _fast_feature_buckets(tk, memo)
+                lens[i] = b.size
+                sums[i] = table[b].sum()
+            yield pd.DataFrame({
+                key_col: keys,
+                "n_feats": lens,
+                "dsir_logw": np.round(sums, round_to),
+            })
+
+    return tok.mapInPandas(score, schema=out_schema)

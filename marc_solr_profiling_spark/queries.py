@@ -4261,6 +4261,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (pub_dates, facet_lang_remap, booklist_enrich); reindex_fields and
     # lang_id — both r02-driver-green and replica-gate-green at three SFs —
     # yielded their slots to the new operators and rotate back in round 5.
+    # Round-4c: the 7 new operators (qstring, dsir, incremental dedup,
+    # train shuffle, physical term-boost/wildcard/range) lead; to make
+    # room, pub_dates + facet_lang_remap (r02-driver-green) rotate out
+    # and 5 never-driver-checked r3 entries (pagerank, hash_split,
+    # stratified_sample, temperature_plan, pack_shards — all simple
+    # exact-membership/numpy-twin ops, replica-gate-green at three SFs)
+    # wait just past the window for round 5.
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4297,8 +4304,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_facet": q_pivot_facet,
     "highlight_topk": q_highlight_topk,
     "format_mixin_facet": q_format_mixin_facet,
-    "pub_dates": q_pub_dates,
-    "facet_lang_remap": q_facet_lang_remap,
+    "decontaminate": q_decontaminate,
+    "clean_funnel": q_clean_funnel,
     "lm_perplexity": q_lm_perplexity,
     "bpe_tokens": q_bpe_tokens,
     "webtext_pass": q_webtext_pass,
@@ -4311,8 +4318,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "c4_line_filter": q_c4_line_filter,
     "line_dedup": q_line_dedup,
-    "decontaminate": q_decontaminate,
-    "clean_funnel": q_clean_funnel,
+    "pub_dates": q_pub_dates,
+    "facet_lang_remap": q_facet_lang_remap,
     "pagerank": q_pagerank,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,

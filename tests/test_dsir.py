@@ -155,3 +155,51 @@ LIMIT 3
     tgt = corpus.filter(F.col("doc_id") <= 2)
     got = [tuple(r) for r in dsir_resample(corpus, tgt, 3).collect()]
     assert got == [tuple(r) for r in duck]
+
+
+def test_fast64_variant_semantics_and_determinism(corpus, spark):
+    """dsir_logweight_fast: same pipeline, numeric bigram identity —
+    target-like docs outscore off-topic ones per feature, output is
+    deterministic, n_feats matches the md5 path exactly (feature
+    COUNTS are hash-family independent)."""
+    from pyspark.sql import functions as F
+
+    from marc_solr_profiling_spark.functions.dsir import (
+        dsir_logweight_fast)
+
+    tgt = corpus.filter(F.col("doc_id") <= 2)
+    out = {r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+           for r in dsir_logweight_fast(corpus, tgt).collect()}
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for k, text in texts.items():
+        assert out[k][0] == len(_feats(text))
+    # same semantic ordering contract as the md5 test
+    assert out[1][1] / out[1][0] > out[3][1] / out[3][0]
+    again = {r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+             for r in dsir_logweight_fast(
+                 corpus.repartition(5), tgt).collect()}
+    assert again == out
+
+
+def test_fast64_hand_computed(spark):
+    """One three-token doc, hand-replayed bucket arithmetic."""
+    import numpy as np
+
+    from marc_solr_profiling_spark.functions.dsir import (
+        N_BUCKETS, _fast_feature_buckets, dsir_logweight_fast)
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee")], "doc_id long, text string")
+    tgt = docs.filter("doc_id = 1")
+    got = {r["doc_id"]: r["dsir_logw"]
+           for r in dsir_logweight_fast(docs, tgt, alpha=0.5).collect()}
+    memo = {}
+    b1 = _fast_feature_buckets(["aa", "bb", "cc"], memo)
+    b2 = _fast_feature_buckets(["dd", "ee"], memo)
+    ct = np.bincount(b1, minlength=N_BUCKETS).astype(float)
+    cr = ct + np.bincount(b2, minlength=N_BUCKETS).astype(float)
+    d = float(N_BUCKETS)
+    lr = (np.log((ct + 0.5) / (ct.sum() + 0.5 * d))
+          - np.log((cr + 0.5) / (cr.sum() + 0.5 * d)))
+    assert got[1] == pytest.approx(round(float(lr[b1].sum()), 4), abs=1e-9)
+    assert got[2] == pytest.approx(round(float(lr[b2].sum()), 4), abs=1e-9)
