@@ -143,3 +143,58 @@ def stream_dedup_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_fuzzy_dedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    old_docs: "DataFrame",
+    old_bands: "DataFrame",
+    key_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_bucket: int = 200,
+) -> None:
+    """Streaming front door for incremental cross-snapshot dedup
+    (operators/dedup.py:dedup_against): as each micro-batch of crawled
+    pages lands, every page near-duplicating the EXISTING archive —
+    represented by its stored LSH band table ``old_bands`` — is
+    dropped; survivors append to ``target_dir``.
+
+    ``dedup_against`` is stateless given the archive side, so this is a
+    ``foreachBatch`` composition (the Structured Streaming idiom for
+    batch joins against static side inputs): no streaming state store,
+    exactly-once appends via the checkpoint. Archive text (``old_docs``)
+    is read only for band-collision candidates of each batch — the
+    asymmetric 100 TB shape measured in BENCH.md (56 s for a 100k
+    increment vs a 3.1M archive). Within-batch and batch-vs-batch
+    duplicates are NOT this gate's job — compose with
+    :func:`stream_dedup_gate` (exact, stateful) upstream, exactly as a
+    batch pipeline runs exact dedup before fuzzy dedup.
+
+    Blocks until the AvailableNow drain completes.
+    """
+    from ..operators.dedup import dedup_against
+
+    stream = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(source_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        flags = dedup_against(
+            batch_df, old_docs, key_col=key_col, text_col=text_col,
+            threshold=threshold, max_bucket=max_bucket,
+            old_bands=old_bands,
+        )
+        kept = batch_df.join(
+            flags.filter(F.col("kept")).select(key_col), key_col,
+            "left_semi")
+        kept.write.mode("append").parquet(target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -62,3 +62,49 @@ def test_stream_dedup_gate_across_batches(spark, tmp_path):
     out2 = spark.read.parquet(dst)
     assert out2.count() == 30
     assert out2.select("digest").distinct().count() == 30
+
+
+def test_stream_fuzzy_dedup_gate_vs_archive(spark, tmp_path):
+    """Streaming incremental dedup against a stored archive band table:
+    arriving pages that near-duplicate archive docs are dropped, the
+    drained output equals the batch dedup_against keep set, and a
+    re-drain against the same checkpoint appends nothing."""
+    from marc_solr_profiling_spark.operators.dedup import (
+        dedup_against, minhash_band_table)
+    from marc_solr_profiling_spark.streaming.ingest import (
+        stream_fuzzy_dedup_gate)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    archive = generate_web_pages(spark, 30, seed=42, partitions=2)
+    bands = minhash_band_table(archive, key_col="url")
+
+    # new crawl: 10 fresh pages + 5 exact copies of archive pages
+    fresh = generate_web_pages(spark, 10, seed=7, partitions=1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" genuinely new tail")))
+    dups = archive.limit(5).withColumn(
+        "url", F.concat(F.lit("http://recrawl/"), F.col("url")))
+    fresh.unionByName(dups).write.parquet(src, mode="overwrite")
+
+    stream_fuzzy_dedup_gate(
+        spark, src, dst, ckpt, old_docs=archive, old_bands=bands,
+        key_col="url", threshold=0.2)
+    out = spark.read.parquet(dst)
+
+    new_docs = spark.read.parquet(src)
+    want = new_docs.join(
+        dedup_against(new_docs, archive, key_col="url", threshold=0.2)
+        .filter(F.col("kept")).select("url"), "url", "left_semi")
+    assert sorted(r["url"] for r in out.select("url").collect()) == \
+           sorted(r["url"] for r in want.select("url").collect())
+    # the 5 recrawled copies are gone, the 10 fresh pages survive
+    assert out.filter(F.col("url").startswith("http://recrawl/")).count() == 0
+    assert out.count() == 10
+
+    # re-drain: checkpoint remembers the processed files
+    stream_fuzzy_dedup_gate(
+        spark, src, dst, ckpt, old_docs=archive, old_bands=bands,
+        key_col="url", threshold=0.2)
+    assert spark.read.parquet(dst).count() == 10
