@@ -986,3 +986,59 @@ def wand_topk_batch(
         )
         .orderBy("qid", "rank")
     )
+
+
+def wand_query_string_topk(
+    index,
+    qstring: str,
+    k: int = 10,
+    with_url: bool = True,
+    skip_acc=None,
+) -> DataFrame:
+    """Query-STRING front door for the PHYSICAL index: parse one flat
+    Lucene query string (``functions/query_parser.py`` — the grammar of
+    the reference's ``defType=lucene`` handlers) and answer it from the
+    compressed postings via :func:`wand_topk`.
+
+    Supported through this door: optional SHOULD terms, ``-term``
+    prohibited clauses, ``term^W`` boosts, ``pre*`` wildcard and
+    ``[lo TO hi]`` range clauses, uniform ``AND``/``OR``. Clause types
+    whose physical path is a DIFFERENT plan raise ``QueryStringError``
+    naming it rather than silently degrading: phrases →
+    ``phrase.phrase_topk`` (positional index), fuzzy →
+    ``bm25.bm25_fuzzy_topk_plan``, ``+term`` MUST gating → the logical
+    ``bm25_query_string_topk`` (the kernel's mm gate counts distinct
+    matches, not specific required terms).
+    """
+    from ..functions.query_parser import QueryStringError, parse_query_string
+
+    pq = parse_query_string(qstring)
+    if pq.fuzzy:
+        raise QueryStringError(
+            "fuzzy clauses answer from the term dictionary, not the "
+            "posting kernel — use bm25_fuzzy_topk_plan")
+    if pq.phrase is not None:
+        raise QueryStringError(
+            "phrase clauses answer from the positional index — use "
+            "phrase.phrase_topk")
+    if pq.require_terms:
+        raise QueryStringError(
+            "+term MUST gating is not expressible in the kernel's "
+            "distinct-count mm gate — use bm25_query_string_topk")
+    if not pq.should_terms:
+        raise QueryStringError(
+            "the physical door needs at least one scored SHOULD term "
+            "(wildcard-only strings use the logical plan)")
+    return wand_topk(
+        index,
+        " ".join(pq.should_terms),
+        k=k,
+        with_url=with_url,
+        min_match=(pq.min_match if pq.min_match is not None else 1),
+        skip_acc=skip_acc,
+        exclude_query=(" ".join(pq.exclude_terms)
+                       if pq.exclude_terms else None),
+        term_boosts=(dict(pq.term_boosts) if pq.term_boosts else None),
+        wildcard=(list(pq.wildcards) if pq.wildcards else None),
+        term_range=pq.term_range,
+    )

@@ -357,3 +357,27 @@ def test_wand_wildcard_with_exclusion(index, oracle_index):
     assert [u for u, _ in got] == [u for u, _ in want]
     for (gu, gs), (wu, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_wand_query_string_front_door(index):
+    """String front door == structured wand_topk on the same clauses."""
+    from marc_solr_profiling_spark.functions.query_parser import (
+        QueryStringError)
+    from marc_solr_profiling_spark.operators.wand import (
+        wand_query_string_topk)
+
+    q = generate_query_set(50, seed=42)[5]
+    words = q.split()
+    qs = f"{words[0]}^2 " + " ".join(words[1:]) + " -voyage st*"
+    via_string = [tuple(r) for r in wand_query_string_topk(
+        index, qs, k=10, with_url=False).collect()]
+    structured = [tuple(r) for r in wand_topk(
+        index, " ".join(words), k=10, with_url=False,
+        exclude_query="voyage", term_boosts={words[0]: 2.0},
+        wildcard=["st"]).collect()]
+    assert via_string == structured
+
+    import pytest as _pytest
+    for bad in ['"a phrase" term', "word~2", "+must other", "only*"]:
+        with _pytest.raises(QueryStringError):
+            wand_query_string_topk(index, bad)
