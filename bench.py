@@ -91,6 +91,7 @@ HEADLINE = [
     "bm25_term_boost_phys_topk",
     "bm25_wildcard_phys_topk",
     "bm25_range_phys_topk",
+    "pack_sequences",
 ]
 
 

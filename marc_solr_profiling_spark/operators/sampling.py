@@ -148,6 +148,21 @@ def pack_shards(docs: DataFrame, tokens_per_shard: int,
     One range shuffle total; every partition works independently in both
     passes. ``shard_id = floor(global_start / tokens_per_shard)``.
     """
+    scanned, start = _global_starts(docs, key_col, weight_col, partitions,
+                                    cache_key="pack_shards")
+    return scanned.select(
+        key_col, weight_col,
+        F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),
+    )
+
+
+def _global_starts(docs: DataFrame, key_col: str, weight_col: str,
+                   partitions: int | None, cache_key: str):
+    """The shared two-phase distributed prefix sum (see
+    :func:`pack_shards` docstring): returns ``(scanned_frame,
+    start_col)`` where ``start_col`` is each row's global token START
+    position in key order. One range shuffle; per-partition totals are
+    P driver-sized scalars."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -180,8 +195,8 @@ def pack_shards(docs: DataFrame, tokens_per_shard: int,
     # cache: pass 2 must see the same partition numbering as the totals
     from . import _cache
 
-    _cache.begin("pack_shards")
-    scanned = _cache.hold("pack_shards", scanned)
+    _cache.begin(cache_key)
+    scanned = _cache.hold(cache_key, scanned)
     totals = dict(
         scanned.groupBy("pid").agg(F.max("local_end").alias("t")).collect()
     )
@@ -195,9 +210,52 @@ def pack_shards(docs: DataFrame, tokens_per_shard: int,
     ) if offsets else F.create_map()
     start = (F.coalesce(omap[F.col("pid")], F.lit(0))
              + F.col("local_end") - F.col(weight_col))
-    return scanned.select(
+    return scanned, start
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   key_col: str = "doc_id", weight_col: str = "n_tokens",
+                   partitions: int | None = None) -> DataFrame:
+    """Fixed-length training-SEQUENCE packing: documents in key order
+    are concatenated on the token line and CUT into back-to-back
+    sequences of exactly ``seq_len`` tokens (the "pack to 2048-token
+    context windows" step of LM training-data prep — unlike
+    :func:`pack_shards`, a document that straddles a boundary IS split,
+    and every sequence except the last is exactly full).
+
+    Returns one row per (document, sequence) FRAGMENT:
+    ``(key, weight, seq_id, tok_from, tok_to)`` with ``tok_from``/
+    ``tok_to`` the half-open LOCAL token range of the document that
+    lands in ``seq_id`` — exactly what a downstream tokenized-shard
+    writer needs to slice each document's token array into its
+    sequences. Zero-token docs contribute no fragment.
+
+    Scale shape: the same two-phase global prefix sum as
+    :func:`pack_shards` (one range shuffle), then the fragment explode
+    is a per-row JVM ``sequence()`` over the spanned sequence ids —
+    fragments per doc = ceil(weight / seq_len) + 1 at most, never a
+    corpus-wide window or driver loop.
+    """
+    scanned, start_col = _global_starts(docs, key_col, weight_col,
+                                        partitions,
+                                        cache_key="pack_sequences")
+    L = int(seq_len)
+    base = scanned.filter(F.col(weight_col) > 0).select(
+        key_col, weight_col, start_col.alias("_start"))
+    first = (F.col("_start") / L).cast("long")
+    last = ((F.col("_start") + F.col(weight_col) - 1) / L).cast("long")
+    frag = base.select(
+        key_col, weight_col, "_start",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    return frag.select(
         key_col, weight_col,
-        F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),
+        "seq_id",
+        F.greatest(F.col("seq_id") * L - F.col("_start"), F.lit(0))
+        .cast("long").alias("tok_from"),
+        F.least((F.col("seq_id") + 1) * L - F.col("_start"),
+                F.col(weight_col).cast("long"))
+        .cast("long").alias("tok_to"),
     )
 
 

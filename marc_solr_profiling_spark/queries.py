@@ -665,6 +665,19 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, 50_000, weight_col="n_chars", partitions=8)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing
+    (sampling.py:pack_sequences): the corpus token line cut into
+    back-to-back 4096-token sequences, one row per (doc, sequence)
+    fragment with the doc-local half-open token range; straddling docs
+    split, every sequence but the last exactly full. The twin replays
+    the serial window prefix sum + a generate_series lateral join."""
+    from .operators.sampling import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, 4096, weight_col="n_chars", partitions=8)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the documents
     table (each doc links to (id*7+1)%N and (id*13+3)%N — the testdata
@@ -3496,6 +3509,25 @@ SELECT doc_id, n_chars,
 FROM documents
 """
 
+ORACLE_SQL["pack_sequences"] = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         (sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_chars) AS s
+  FROM documents
+  WHERE n_chars > 0),
+f AS (
+  SELECT doc_id, n_chars, s,
+         unnest(generate_series((s // 4096)::BIGINT,
+                                ((s + n_chars - 1) // 4096)::BIGINT))
+         AS seq_id
+  FROM w)
+SELECT doc_id, n_chars, seq_id::BIGINT AS seq_id,
+       greatest(seq_id * 4096 - s, 0)::BIGINT AS tok_from,
+       least((seq_id + 1) * 4096 - s, n_chars)::BIGINT AS tok_to
+FROM f
+"""
+
 ORACLE_SQL["pagerank"] = """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 e AS (
@@ -4273,6 +4305,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "train_shuffle": q_train_shuffle,
     "bm25_term_boost_phys_topk": q_bm25_term_boost_phys_topk,
+    "pack_sequences": q_pack_sequences,
     "bm25_wildcard_phys_topk": q_bm25_wildcard_phys_topk,
     "bm25_range_phys_topk": q_bm25_range_phys_topk,
     "bm25_not_topk": q_bm25_not_topk,

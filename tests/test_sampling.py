@@ -151,3 +151,57 @@ def test_global_shuffle_partition_invariant_and_seeded(spark):
     assert other != base
     # dense 0-based ranks either way
     assert sorted(r[2] for r in other) == list(range(200))
+
+
+# --- pack_sequences (fixed-length training sequences) --------------------
+
+def test_pack_sequences_tiles_token_line(spark):
+    """Fragments per sequence sum to exactly seq_len (except the tail),
+    every doc's fragments tile [0, weight), and straddling docs split."""
+    import numpy as np
+
+    from marc_solr_profiling_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(11)
+    w = rng.integers(0, 700, 300)
+    docs = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(w)],
+        "doc_id long, n_tokens long")
+    L = 512
+    rows = pack_sequences(docs, L, partitions=8).collect()
+    # per-doc tiling
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total = int(w.sum())
+    for d, frs in by_doc.items():
+        frs.sort(key=lambda r: r["tok_from"])
+        assert frs[0]["tok_from"] == 0
+        assert frs[-1]["tok_to"] == w[d]
+        for a, b in zip(frs, frs[1:]):
+            assert a["tok_to"] == b["tok_from"]
+            assert b["seq_id"] == a["seq_id"] + 1
+    assert set(by_doc) == {i for i in range(300) if w[i] > 0}
+    # per-sequence fullness
+    by_seq = {}
+    for r in rows:
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + (
+            r["tok_to"] - r["tok_from"])
+    n_seq = -(-total // L)
+    assert set(by_seq) == set(range(n_seq))
+    for s, n in by_seq.items():
+        assert n == (L if s < n_seq - 1 else total - L * (n_seq - 1))
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from marc_solr_profiling_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)],
+        "doc_id long, n_tokens long")
+    base = sorted(tuple(r) for r in
+                  pack_sequences(docs, 256, partitions=1).collect())
+    for parts in (3, 8):
+        got = sorted(tuple(r) for r in
+                     pack_sequences(docs, 256, partitions=parts).collect())
+        assert got == base
