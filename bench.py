@@ -92,6 +92,7 @@ HEADLINE = [
     "bm25_wildcard_phys_topk",
     "bm25_range_phys_topk",
     "pack_sequences",
+    "snapshot_diff",
 ]
 
 

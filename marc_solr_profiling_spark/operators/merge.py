@@ -83,3 +83,50 @@ def realtime_get(
         key_col=key_col,
     )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "id",
+    value_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Record-level diff of two corpus snapshots — the MarcDiff utility
+    (``core/src/org/solrmarc/tools/MarcDiff.java:60-120``: two id-sorted
+    record files walked in step; a record is 'different in file1 and
+    file2' on byte inequality, 'found in file1 but not in file2' and
+    vice versa on one-sided ids) as one full-outer join.
+
+    Returns one row per key present in either side:
+    ``(key, status)`` with status in ``added`` (new only), ``deleted``
+    (old only), ``changed`` (both, any value column differs),
+    ``unchanged``. The reference walks two sorted files serially; here
+    the sort IS the join — a sort-merge full-outer on the key, so the
+    diff of two 100 TB snapshots is one co-partitioned shuffle, and
+    with both sides bucketed by key, none.
+
+    ``value_cols`` defaults to every shared non-key column;
+    null-vs-null counts as equal (the ``<=>`` null-safe comparison).
+    """
+    from pyspark.sql import functions as F
+
+    if value_cols is None:
+        value_cols = [c for c in old.columns
+                      if c != key_col and c in new.columns]
+    o = old.select(
+        F.col(key_col), F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in value_cols])
+    n = new.select(
+        F.col(key_col), F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in value_cols])
+    joined = o.join(n, key_col, "full_outer")
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "deleted")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(key_col, status.alias("status"))

@@ -678,6 +678,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, 4096, weight_col="n_chars", partitions=8)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level snapshot diff (the MarcDiff utility,
+    MarcDiff.java:60-120, as one full-outer key join —
+    merge.py:snapshot_diff): old = docs < 400, new = docs >= 200 with
+    every 10th text uppercased, statuses added/deleted/changed/
+    unchanged."""
+    from .operators.merge import snapshot_diff
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 200).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.upper("text"))
+        .otherwise(F.col("text")))
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the documents
     table (each doc links to (id*7+1)%N and (id*13+3)%N — the testdata
@@ -3509,6 +3526,20 @@ SELECT doc_id, n_chars,
 FROM documents
 """
 
+ORACLE_SQL["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END
+               AS text
+        FROM documents WHERE doc_id >= 200)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'deleted'
+            WHEN old.text IS NOT DISTINCT FROM new.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
 ORACLE_SQL["pack_sequences"] = """
 WITH w AS (
   SELECT doc_id, n_chars,
@@ -4306,6 +4337,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_shuffle": q_train_shuffle,
     "bm25_term_boost_phys_topk": q_bm25_term_boost_phys_topk,
     "pack_sequences": q_pack_sequences,
+    "snapshot_diff": q_snapshot_diff,
     "bm25_wildcard_phys_topk": q_bm25_wildcard_phys_topk,
     "bm25_range_phys_topk": q_bm25_range_phys_topk,
     "bm25_not_topk": q_bm25_not_topk,

@@ -218,3 +218,24 @@ def test_combine_mult_bibs_mhlds_runs_and_errors(spark):
     assert good["b3"]["datafields"][0]["subfields"][0]["value"] == "T3"
     assert sorted(errs) == [("b3", "bib follows mhld"),
                             ("b9", "mhld out of order")]
+
+
+def test_snapshot_diff_statuses(spark):
+    """MarcDiff analog (MarcDiff.java:60-120): added / deleted /
+    changed / unchanged over a full-outer key join."""
+    from marc_solr_profiling_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, "d", "z")],
+        "id long, text string, extra string")
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, "d", None), (5, "e", "w")],
+        "id long, text string, extra string")
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "deleted", 2: "unchanged", 3: "changed",
+                   4: "changed", 5: "added"}
+    # restricting value_cols changes what counts as a change
+    got2 = {r["id"]: r["status"]
+            for r in snapshot_diff(old, new, value_cols=["text"]).collect()}
+    assert got2[4] == "unchanged"  # extra-column difference ignored
+    assert got2[3] == "changed"
