@@ -93,6 +93,7 @@ HEADLINE = [
     "bm25_range_phys_topk",
     "pack_sequences",
     "snapshot_diff",
+    "bm25_gen_topk",
 ]
 
 

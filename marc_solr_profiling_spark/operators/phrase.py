@@ -130,6 +130,9 @@ def phrase_topk(
     }
     avgdl = index.avgdl
     kk = int(k)
+    # generational index (plans/generations.py): tombstoned docs leave
+    # the candidate set before position verification
+    dels = getattr(index, "deleted_array", lambda: None)()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -163,6 +166,12 @@ def phrase_topk(
                     break
             if cand is None or cand.size == 0:
                 continue
+            if dels is not None:
+                pos_d = np.clip(np.searchsorted(dels, cand), 0,
+                                dels.size - 1)
+                cand = cand[dels[pos_d] != cand]
+                if cand.size == 0:
+                    continue
             # adjacency verification, vectorized across ALL candidates at
             # once: each candidate's positions are shifted into a private
             # range (candidate_index * stride, stride > max position +

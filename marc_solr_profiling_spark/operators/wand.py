@@ -550,6 +550,10 @@ def wand_topk(
                 else list(wildcard or []))
     ranges = [term_range] if term_range is not None else []
     has_mt = bool(prefixes or ranges)
+    # generational index (plans/generations.py): tombstoned doc ids ride
+    # the MUST_NOT exclusion path — masked before theta/heap, pruning
+    # stays exact
+    dels = getattr(index, "deleted_array", lambda: None)()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -574,6 +578,8 @@ def wand_topk(
                         [delta_decode(g).astype(np.int64)
                          for g in ex_rows["doc_gaps"]]
                     ))
+            if dels is not None:
+                excl = dels if excl is None else np.union1d(excl, dels)
             bsets = None
             if has_mt:
                 terms = sub["term"]
@@ -707,6 +713,7 @@ def dismax_topk(
     mm = parse_mm_spec(min_match, len(qterms))
     n_groups = len(qterms)
     tie_f = float(tie)
+    dels = getattr(index, "deleted_array", lambda: None)()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -723,6 +730,7 @@ def dismax_topk(
                 sub, idf_by_term, kk, 0.0, min_match=mm, theta0=theta,
                 group_of=group_of, n_groups=n_groups, tie=tie_f,
                 avgdl_by_term=avgdl_by_term, round_to=round_to,
+                exclude_ids=dels,
             )
             id_parts.append(ids)
             score_parts.append(scores)
@@ -810,6 +818,7 @@ def wand_topk_batch(
         qid: [t for t in ts if t in idf_by_term]
         for qid, ts in per_q_terms.items()
     }
+    dels = getattr(index, "deleted_array", lambda: None)()
 
     if mode == "auto":
         df_by_term = {r["term"]: int(r["df"]) for r in drows}
@@ -839,6 +848,14 @@ def wand_topk_batch(
             ids = delta_decode(row.doc_gaps).astype(np.int64)
             tfs = varbyte_decode(row.tfs).astype(np.float64)
             dls = varbyte_decode(row.dls).astype(np.float64)
+            if dels is not None and ids.size:
+                # generational index: drop tombstoned postings at decode
+                pos = np.clip(np.searchsorted(dels, ids), 0, dels.size - 1)
+                keep = dels[pos] != ids
+                if not keep.all():
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if ids.size == 0:
+                    continue
             w = (
                 idf_by_term[row.term] * tfs * (K1 + 1.0)
                 / (tfs + K1 * (1.0 - B + B * dls / avgdl))
@@ -923,6 +940,7 @@ def wand_topk_batch(
                 ids, scores, nsk, thetas[qid] = _score_blocks_bmw(
                     qsub, idf_by_term, kk, avgdl,
                     theta0=thetas[qid], decode_cache=cache,
+                    exclude_ids=dels,
                 )
                 n_skipped += nsk
                 id_parts[qid].append(ids)

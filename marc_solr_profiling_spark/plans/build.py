@@ -107,7 +107,18 @@ def _resolve_range_buckets(range_buckets: int | str, spark: SparkSession,
 
 
 class InvertedIndex:
-    """Handle to a built physical index (paths + cached stats)."""
+    """Handle to a built physical index (paths + cached stats).
+
+    A store may be one GENERATION of a chain (``plans/generations.py``
+    ``append_delta``): its manifest then names a ``parent`` store, its own
+    stages hold only the DELTA (tf/docs/segments of the appended docs),
+    and a cumulative ``deletes`` stage masks tombstoned doc ids — the
+    Lucene segment + live-docs model. Readers see ONE logical index:
+    ``segments``/``docs``/``live_tf`` union the whole chain,
+    ``dictionary``/``stats`` are the newest store's (committed fully
+    adjusted at append time), and the query kernels drop deleted ids via
+    :meth:`deleted_array`.
+    """
 
     def __init__(self, store: IndexStore, spark: SparkSession, chain: str):
         self.store = store
@@ -121,14 +132,112 @@ class InvertedIndex:
         meta = self.store.get_meta()
         self.n_salts = int(meta.get("n_salts", 16))
         self.has_positions = bool(meta.get("positions", False))
+        # generation chain, newest first (self.store == stores[0]); a
+        # plain build has exactly one store and every property reduces to
+        # the single-stage read
+        self.stores = [self.store]
+        seen = {self.store.path}
+        parent = meta.get("parent")
+        while parent:
+            if parent in seen:  # defensive: a cyclic manifest would hang
+                raise ValueError(f"generation chain cycle at {parent}")
+            seen.add(parent)
+            ps = IndexStore(parent)
+            self.stores.append(ps)
+            parent = ps.get_meta().get("parent")
+
+    def _gen_avgdl(self, store: IndexStore) -> float:
+        """The avgdl a generation's block-max caps were BUILT with (its
+        ``max_wnorm`` values bound BM25 weights only at that avgdl)."""
+        v = store.get_meta().get("built_avgdl")
+        if v is not None:
+            return float(v)
+        return float(
+            store.read_stage(self.spark, "stats").collect()[0]["avgdl"]
+        )
 
     @property
     def segments(self) -> DataFrame:
-        return self.store.read_stage(self.spark, "segments")
+        if len(self.stores) == 1:
+            return self.store.read_stage(self.spark, "segments")
+        # chain union. Block-range disjointness within a (term, salt)
+        # group — the kernel invariant — holds across generations because
+        # append_delta assigns doc ids ABOVE every ancestor's max (updated
+        # docs get fresh ids; their old ids are tombstoned, never reused).
+        # Cap safety: BM25 weight grows with avgdl, bounded by the ratio
+        # w(avgdl_now)/w(avgdl_built) <= avgdl_now/avgdl_built, so scaling
+        # a generation's caps by max(1, ratio) keeps them upper bounds
+        # under the CURRENT avgdl — block-max pruning stays exact, merely
+        # slackened by the corpus drift since that generation was built
+        # (a tiered merge rebuilds caps tight again).
+        parts = []
+        for st in self.stores:
+            seg = st.read_stage(self.spark, "segments")
+            scale = self.avgdl / max(self._gen_avgdl(st), 1e-12)
+            if scale > 1.0:
+                seg = seg.withColumn(
+                    "max_wnorm", F.col("max_wnorm") * F.lit(float(scale))
+                )
+            parts.append(seg)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @property
     def docs(self) -> DataFrame:
-        return self.store.read_stage(self.spark, "docs")
+        if len(self.stores) == 1:
+            return self.store.read_stage(self.spark, "docs")
+        out = None
+        for st in self.stores:
+            d = st.read_stage(self.spark, "docs")
+            out = d if out is None else out.unionByName(
+                d, allowMissingColumns=True
+            )
+        dels = self.deletes_df()
+        if dels is not None:
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        return out
+
+    def live_tf(self) -> DataFrame:
+        """Chain-wide PACKED tf rows of live (non-deleted) docs — the
+        input a tiered merge / full rebuild re-segments (compact rows;
+        no re-tokenization ever)."""
+        out = None
+        for st in self.stores:
+            t = st.read_stage(self.spark, "tf")
+            out = t if out is None else out.unionByName(t)
+        dels = self.deletes_df()
+        if dels is not None:
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        return out
+
+    def deletes_df(self) -> DataFrame | None:
+        """Cumulative tombstoned doc ids (newest generation's ``deletes``
+        stage carries the whole set), or None for a delete-free index."""
+        if self.store.stage_complete("deletes"):
+            return self.store.read_stage(self.spark, "deletes")
+        return None
+
+    def deleted_array(self):
+        """Sorted int64 numpy array of tombstoned doc ids for kernel-side
+        masking, or None. Driver-collected ONCE per handle and shipped in
+        the mapInPandas closures — the Lucene live-docs-bitmap analog
+        (deletes are bounded by the un-merged churn, reclaimed by
+        ``merge_generations``; the array is ids-only, never postings)."""
+        if hasattr(self, "_del_arr"):
+            return self._del_arr
+        import numpy as np
+
+        dels = self.deletes_df()
+        if dels is None:
+            self._del_arr = None
+        else:
+            rows = dels.select("doc_id").collect()
+            arr = np.sort(np.asarray([r["doc_id"] for r in rows],
+                                     dtype=np.int64))
+            self._del_arr = arr if arr.size else None
+        return self._del_arr
 
     @property
     def dictionary(self) -> DataFrame:
@@ -405,6 +514,13 @@ def build_index(
         # range-sampling pass
         store.commit_stage("dictionary", dictionary, partition_sort=["term"])
 
+    if "built_avgdl" not in store.get_meta():
+        # the avgdl the segment caps were built with — generation-chain
+        # readers (append_delta) scale caps by current/built to stay exact
+        store.set_meta({"built_avgdl": float(
+            store.read_stage(spark, "stats").collect()[0]["avgdl"]
+        )})
+
     return InvertedIndex(store, spark, chain)
 
 
@@ -437,8 +553,13 @@ def incremental_update(
 
     ``delta_docs`` rows REPLACE base docs with the same id (upsert).
     """
-    old_tf = index.store.read_stage(spark, "tf")  # packed per-doc rows
-    old_docs = index.store.read_stage(spark, "docs")
+    # chain-aware reads: for a generational index (append_delta) these
+    # union every generation's stages and drop tombstoned ids, so this
+    # full-merge path doubles as the FORCE-MERGE (Solr optimize) — the
+    # output is always a single-generation snapshot with deletes applied
+    # physically and caps rebuilt tight at the current avgdl
+    old_tf = index.live_tf()  # packed per-doc rows
+    old_docs = index.docs
     # positional base index -> the delta must carry positions too, and the
     # merged segments keep the .pos payloads
     positions = "pos" in old_tf.columns
@@ -539,6 +660,10 @@ def incremental_update(
             ),
             partition_sort=["term"],
         )
+    if "built_avgdl" not in store.get_meta():
+        store.set_meta({"built_avgdl": float(
+            store.read_stage(spark, "stats").collect()[0]["avgdl"]
+        )})
     return InvertedIndex(store, spark, index.chain)
 
 

@@ -1,0 +1,411 @@
+"""Generational (Lucene-segment-style) incremental index maintenance.
+
+``plans/build.py:incremental_update`` restates the reference's nightly
+merge (``core/src/org/solrmarc/marc/MarcMerger.java:251-364`` — base ⋈
+mods ⋈ deletes) as a FULL re-segment of the merged tf: correct, but the
+one shuffle it keeps is proportional to the WHOLE corpus. At the
+10^12-doc design point a nightly 0.01% delta must not move 100 TB of
+postings, so this module adds the model Lucene/Solr actually use under
+``<autoCommit>`` (``profiling/solr/conf/solrconfig.xml:30-33``) and
+``optimize`` (``MarcImporter.java:418-442``):
+
+* :func:`append_delta` — O(|delta|) ingest: tokenize and segment ONLY the
+  new/updated docs into a NEW generation store whose manifest points at
+  its parent; tombstone replaced/deleted docs in a cumulative ``deletes``
+  stage (the live-docs bitmap analog); commit exactly-adjusted global
+  stats + dictionary so BM25 scores stay value-identical to a
+  from-scratch rebuild of the live corpus.
+* :func:`merge_generations` / :func:`force_merge` — the tiered-merge /
+  optimize reclaim: re-segment the chosen generations' compact tf rows
+  (never re-tokenize), apply their deletes physically, rebuild caps
+  tight at the current avgdl.
+
+Why scores stay exact (the rank-identity contract vs a full rebuild):
+
+- doc ids are append-only (every generation's ids sit above every
+  ancestor's max, tombstoned ids never reused), so within a (term, salt)
+  group the block doc-ranges of different generations are DISJOINT — the
+  block-max kernel's one structural invariant (``operators/wand.py
+  _score_blocks_bmw``) survives a plain union of generation segments;
+- deleted ids are masked inside the kernels through the existing
+  ``exclude_ids`` path (excluded docs never score, never raise theta —
+  pruning stays exact);
+- df/cf/n_docs/avgdl are re-derived EXACTLY at append time: parent values
+  minus the tombstoned docs' contributions (read from the compact packed
+  tf rows of the chain — a broadcast semi-join, no re-tokenization) plus
+  the delta's; stale block-max caps of old generations are scaled by
+  ``avgdl_now / avgdl_built`` at read time (an upper bound on the weight
+  growth), so pruning remains sound under corpus drift.
+
+Scale shape of one append: tokenize |delta| docs, shuffle |delta|
+packed rows into delta segments, one broadcast semi-join of the chain tf
+against the tombstone ids (column-pruned compact rows), one
+dictionary-sized outer join for the adjustment. Nothing proportional to
+corpus POSTINGS moves. The dictionary join is the largest term —
+O(vocab) — the same cost Lucene pays writing a merged term dictionary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.postings import tokenize_and_count_packed
+from ..operators.segments import build_segments_packed
+from .build import (
+    InvertedIndex,
+    _resolve_range_buckets,
+    assign_doc_ids,
+    incremental_update,
+)
+from .lineage import IndexStore, config_fingerprint
+
+
+def _key_expr(df: DataFrame, key_col: str):
+    if key_col not in df.columns:
+        raise ValueError(
+            f"append_delta needs the external key column {key_col!r} in the "
+            f"docs stage (build the base with build_index(key_col={key_col!r}"
+            ", id_col=None)); got columns " + str(df.columns)
+        )
+    return F.col(key_col)
+
+
+def append_delta(
+    spark: SparkSession,
+    index: InvertedIndex,
+    out_path: str,
+    delta_docs: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+) -> InvertedIndex:
+    """Apply a delta as a NEW GENERATION: O(|delta|) work, no corpus
+    shuffle. ``delta_docs`` rows upsert by ``key_col`` (a key already in
+    the live index tombstones its old doc id and gets a fresh one);
+    ``delete_keys`` is a one-column DataFrame of keys to drop.
+
+    Build parameters (analyzer chain, n_salts, block_size, positions) are
+    INHERITED from the base — a generation chain must be
+    kernel-compatible (same salt function domain, same analyzer).
+    """
+    meta = index.store.get_meta()
+    n_salts = int(meta.get("n_salts", index.n_salts))
+    block_size = int(meta.get("block_size", 128))
+    positions = bool(meta.get("positions", False))
+    chain = index.chain
+
+    if delta_docs is not None and delete_keys is not None:
+        # deletes WIN over same-batch upserts — the reference applies the
+        # .del file AFTER the import pass (MarcImporter.java:348-416 runs
+        # deleteRecords after importRecords), so a key in both never
+        # survives
+        delta_docs = delta_docs.join(
+            F.broadcast(delete_keys.select(
+                F.col(delete_keys.columns[0]).alias(key_col)).distinct()),
+            key_col, "left_anti",
+        )
+
+    store = IndexStore(out_path)
+    store.set_fingerprint(config_fingerprint({
+        "parent": index.store.path,
+        "chain": chain,
+        "n_salts": n_salts,
+        "block_size": block_size,
+        "positions": positions,
+        "key_col": key_col,
+        "version": 1,
+    }))
+
+    # ---- tombstones: old ids of deleted + upserted keys -----------------
+    live = index.docs  # chain union minus current deletes
+    _key_expr(live, key_col)
+    keys = None
+    if delete_keys is not None:
+        keys = delete_keys.select(F.col(delete_keys.columns[0])
+                                  .alias(key_col))
+    if delta_docs is not None:
+        dk = delta_docs.select(F.col(key_col))
+        keys = dk if keys is None else keys.union(dk)
+    tombstones = None
+    if keys is not None:
+        # the delta is driver-small relative to the corpus by definition
+        # of an increment; broadcast it against the docs table (compact
+        # columns only) — the Lucene analog resolves each delete term
+        # against the term dictionary, same O(|delta|) probe shape
+        tombstones = live.join(
+            F.broadcast(keys.distinct()), key_col
+        ).select("doc_id", "doc_len").persist()
+
+    n_rm, rm_tokens = 0, 0
+    if tombstones is not None:
+        row = tombstones.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("t")
+        ).collect()[0]
+        n_rm, rm_tokens = int(row["n"]), int(row["t"] or 0)
+
+    # cumulative deletes stage (ids-only; reclaimed by merge_generations)
+    old_dels = index.deletes_df()
+    new_dels = None
+    if tombstones is not None:
+        new_dels = tombstones.select("doc_id")
+        if old_dels is not None:
+            new_dels = old_dels.select("doc_id").union(new_dels).distinct()
+    elif old_dels is not None:
+        new_dels = old_dels.select("doc_id")
+    if new_dels is not None:
+        store.commit_stage("deletes", new_dels, partition_sort=["doc_id"])
+
+    # ---- delta ingest: fresh ids ABOVE every ancestor's max -------------
+    n_delta, delta_tokens = 0, 0
+    delta_tf = None
+    if delta_docs is not None:
+        # max over ALL docs stages (including tombstoned rows — their ids
+        # must never be reused, or block ranges across generations would
+        # overlap and the kernel invariant would break)
+        all_docs = None
+        for st in index.stores:
+            d = st.read_stage(spark, "docs").select("doc_id")
+            all_docs = d if all_docs is None else all_docs.union(d)
+        next_id = int(
+            all_docs.agg(F.max("doc_id")).collect()[0][0] or -1
+        ) + 1
+
+        cols = [key_col, text_col] + ([html_col] if html_col else [])
+        with_ids = assign_doc_ids(
+            delta_docs.select(*dict.fromkeys(cols)), key_col=key_col
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
+        delta_tf = tokenize_and_count_packed(
+            with_ids, key_col="doc_id", text_col=text_col, chain=chain,
+            html_col=html_col, positions=positions,
+        ).persist()
+        row = delta_tf.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("t")
+        ).collect()[0]
+        n_delta, delta_tokens = int(row["n"]), int(row["t"] or 0)
+        store.commit_stage("tf", delta_tf)
+        store.commit_stage(
+            "docs",
+            delta_tf.select("doc_id", "doc_len").join(
+                with_ids.select("doc_id", key_col), "doc_id"
+            ),
+            partition_sort=["doc_id"],
+        )
+    else:
+        # a pure-delete generation still needs (empty) tf/docs/segments
+        # stages so chain unions stay uniform
+        base_tf = index.store.read_stage(spark, "tf")
+        delta_tf = base_tf.limit(0)
+        store.commit_stage("tf", delta_tf)
+        store.commit_stage(
+            "docs", index.store.read_stage(spark, "docs").limit(0)
+        )
+
+    # ---- exactly-adjusted global stats ----------------------------------
+    old = index.store.read_stage(spark, "stats").collect()[0]
+    n_docs = int(old["n_docs"]) - n_rm + n_delta
+    total = int(old["total_tokens"]) - rm_tokens + delta_tokens
+    avgdl = (float(total) / n_docs) if n_docs else 0.0
+    store.commit_stage("stats", spark.createDataFrame(
+        [(n_docs, avgdl, total)],
+        "n_docs long, avgdl double, total_tokens long",
+    ))
+
+    # ---- delta segments (built tight at the NEW avgdl) ------------------
+    if not store.stage_complete("segments"):
+        segs = build_segments_packed(
+            store.read_stage(spark, "tf"), avgdl=avgdl, n_salts=n_salts,
+            block_size=block_size,
+            range_buckets=_resolve_range_buckets(
+                "auto", spark, n_salts, n_delta),
+        )
+        store.commit_stage("segments", segs)
+
+    # ---- exactly-adjusted dictionary ------------------------------------
+    # removed contributions: per-term (df, cf) of the tombstoned docs,
+    # read from the chain's COMPACT packed tf rows (doc_id + two pruned
+    # array columns; docs stages are doc_id-sorted so row-group min/max
+    # prunes most of the scan at scale) — never a re-tokenize
+    removed = None
+    if tombstones is not None and n_rm:
+        chain_tf = None
+        for st in index.stores:
+            t = st.read_stage(spark, "tf").select("doc_id", "terms", "tfs")
+            chain_tf = t if chain_tf is None else chain_tf.union(t)
+        removed = (
+            chain_tf.join(F.broadcast(tombstones.select("doc_id")), "doc_id")
+            .select(F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+            .select(F.col("z.terms").alias("term"),
+                    F.col("z.tfs").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df_rm"), F.sum("tf").alias("cf_rm"))
+        )
+    delta_dict = (
+        store.read_stage(spark, "segments").groupBy("term").agg(
+            F.sum("n_postings").alias("df_add"),
+            F.sum("tf_sum").alias("cf_add"),
+        )
+    )
+    d = index.dictionary.join(delta_dict, "term", "full_outer")
+    if removed is not None:
+        d = d.join(removed, "term", "full_outer")
+    else:
+        d = d.withColumn("df_rm", F.lit(0)).withColumn("cf_rm", F.lit(0))
+    adjusted = (
+        d.select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_add", F.lit(0))
+             - F.coalesce("df_rm", F.lit(0))).alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_add", F.lit(0))
+             - F.coalesce("cf_rm", F.lit(0))).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    store.commit_stage("dictionary", adjusted, partition_sort=["term"])
+
+    store.set_meta({
+        "parent": index.store.path,
+        "n_salts": n_salts, "chain": chain, "block_size": block_size,
+        "positions": positions, "built_avgdl": avgdl, "key_col": key_col,
+        "generation": len(index.stores),
+    })
+
+    if tombstones is not None:
+        tombstones.unpersist()
+    if delta_tf is not None and delta_docs is not None:
+        delta_tf.unpersist()
+    return InvertedIndex(store, spark, chain)
+
+
+def merge_generations(
+    spark: SparkSession,
+    index: InvertedIndex,
+    out_path: str,
+    keep: int = 1,
+    block_size: int | None = None,
+    range_buckets: int | str = "auto",
+) -> InvertedIndex:
+    """Tiered merge: re-segment the NEWEST ``len(chain) - keep``
+    generations into one, leaving the ``keep`` oldest untouched (Lucene's
+    TieredMergePolicy shape — small recent segments merge often, the big
+    base rarely). ``keep=0`` merges everything (== :func:`force_merge`).
+
+    Work is proportional to the MERGED generations' postings plus their
+    deletes: their compact tf rows are unioned, tombstones falling inside
+    them applied physically (and dropped from the carried delete set),
+    and one salted shuffle rebuilds their segments with caps tight at the
+    current avgdl. Stats/dictionary are copied — a merge does not change
+    the live corpus, so the adjusted values are already correct.
+    """
+    chain_len = len(index.stores)
+    if keep < 0 or keep >= chain_len:
+        raise ValueError(f"keep must be in [0, {chain_len - 1}]")
+    if keep == 0:
+        return force_merge(spark, index, out_path,
+                           block_size=block_size,
+                           range_buckets=range_buckets)
+    merged_stores = index.stores[: chain_len - keep]   # newest first
+    parent_store = index.stores[chain_len - keep]
+    meta = index.store.get_meta()
+    n_salts = int(meta.get("n_salts", index.n_salts))
+    bs = int(block_size or meta.get("block_size", 128))
+    positions = bool(meta.get("positions", False))
+
+    store = IndexStore(out_path)
+    store.set_fingerprint(config_fingerprint({
+        "merge_of": [s.path for s in merged_stores],
+        "parent": parent_store.path,
+        "block_size": bs, "version": 1,
+    }))
+
+    merged_tf = None
+    merged_docs = None
+    for st in merged_stores:
+        t = st.read_stage(spark, "tf")
+        d = st.read_stage(spark, "docs")
+        merged_tf = t if merged_tf is None else merged_tf.unionByName(t)
+        merged_docs = (d if merged_docs is None
+                       else merged_docs.unionByName(d,
+                                                    allowMissingColumns=True))
+
+    dels = index.deletes_df()
+    carried = None
+    if dels is not None:
+        # split tombstones: ids living in a MERGED generation get applied
+        # physically here; ids in a KEPT ancestor stay in the delete set
+        merged_ids = merged_docs.select("doc_id")
+        applied = dels.join(merged_ids, "doc_id", "left_semi")
+        carried = dels.join(merged_ids, "doc_id", "left_anti")
+        merged_tf = merged_tf.join(
+            F.broadcast(applied), "doc_id", "left_anti")
+        merged_docs = merged_docs.join(
+            F.broadcast(applied), "doc_id", "left_anti")
+        if carried.limit(1).count() == 0:
+            carried = None
+    if carried is not None:
+        store.commit_stage("deletes", carried, partition_sort=["doc_id"])
+
+    store.commit_stage("tf", merged_tf)
+    store.commit_stage("docs", merged_docs, partition_sort=["doc_id"])
+    # global stats/dictionary are unchanged by a merge — copy the already
+    # adjusted tables from the chain head
+    store.commit_stage("stats", index.store.read_stage(spark, "stats"))
+    store.commit_stage("dictionary", index.dictionary,
+                       partition_sort=["term"])
+
+    tf = store.read_stage(spark, "tf")
+    n_rows = int(store.lineage()["stages"]["tf"]["rows"])
+    segs = build_segments_packed(
+        tf, avgdl=index.avgdl, n_salts=n_salts, block_size=bs,
+        range_buckets=_resolve_range_buckets(
+            range_buckets, spark, n_salts, n_rows),
+    )
+    store.commit_stage("segments", segs)
+
+    store.set_meta({
+        "parent": parent_store.path,
+        "n_salts": n_salts, "chain": index.chain, "block_size": bs,
+        "positions": positions, "built_avgdl": index.avgdl,
+        "key_col": meta.get("key_col"),
+        "generation": keep,
+    })
+    return InvertedIndex(store, spark, index.chain)
+
+
+def force_merge(
+    spark: SparkSession,
+    index: InvertedIndex,
+    out_path: str,
+    block_size: int | None = None,
+    range_buckets: int | str = "auto",
+) -> InvertedIndex:
+    """Solr ``optimize`` (``MarcImporter.java:418-442``;
+    ``prof_config.properties:62-65`` warns about its 2x-disk cost — same
+    trade here: a full re-segment shuffle of the live tf): collapse the
+    whole chain into ONE delete-free generation with caps rebuilt tight.
+    Old docs are never re-tokenized — the committed packed tf rows are
+    the merge input, exactly like Lucene merging stored postings."""
+    meta = index.store.get_meta()
+    return incremental_update(
+        spark, index, out_path,
+        delta_docs=None, deleted_ids=None,
+        n_salts=int(meta.get("n_salts", index.n_salts)),
+        block_size=int(block_size or meta.get("block_size", 128)),
+        range_buckets=range_buckets,
+    )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index: InvertedIndex,
+    out_path: str,
+    max_generations: int = 4,
+    keep: int = 1,
+) -> InvertedIndex:
+    """Auto merge policy: when the chain exceeds ``max_generations``,
+    merge the delta tiers back into one (keeping the ``keep`` oldest
+    untouched). Returns the (possibly unchanged) index handle."""
+    if len(index.stores) <= max_generations:
+        return index
+    return merge_generations(spark, index, out_path, keep=keep)

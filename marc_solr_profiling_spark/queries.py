@@ -2060,6 +2060,57 @@ def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_gen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a THREE-GENERATION Lucene-style index chain
+    (plans/generations.py append_delta): base build on doc_id<300, then
+    two O(|delta|) generation appends — half the remaining docs plus
+    text UPSERTS of every (doc_id%50==7) base doc, then the other half
+    plus DELETES of every (doc_id%50==13) base doc. No corpus
+    re-segmentation ever happens (the scale contract the full-merge
+    incremental_update cannot give); tombstones mask inside the
+    block-max kernel, stats/df are exactly adjusted at append time.
+    The oracle is plain analytic BM25 over the LIVE corpus — proving
+    the chain is value-identical to a from-scratch rebuild."""
+    import hashlib
+
+    from .operators.wand import wand_topk
+    from .plans.build import build_index
+    from .plans.generations import append_delta
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "url", F.format_string("d%05d", F.col("doc_id"))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = docs.filter("doc_id < 300").select("url", "text")
+    mods = (
+        docs.filter("doc_id < 300 AND doc_id % 50 = 7")
+        .withColumn("text",
+                    F.concat(F.lit("refreshed segment data "),
+                             F.col("text")))
+        .select("url", "text")
+    )
+    new1 = docs.filter("doc_id >= 300 AND doc_id % 2 = 0").select(
+        "url", "text")
+    new2 = docs.filter("doc_id >= 300 AND doc_id % 2 = 1").select(
+        "url", "text")
+    dels = docs.filter("doc_id < 300 AND doc_id % 50 = 13").select("url")
+
+    idx = build_index(
+        spark, base, _scratch(f"msps_genbase_{tag}"), key_col="url",
+        chain="simple", n_salts=8, block_size=64,
+    )
+    idx = append_delta(
+        spark, idx, _scratch(f"msps_geng1_{tag}"),
+        delta_docs=new1.unionByName(mods), key_col="url",
+    )
+    idx = append_delta(
+        spark, idx, _scratch(f"msps_geng2_{tag}"),
+        delta_docs=new2, delete_keys=dels, key_col="url",
+    )
+    out = wand_topk(idx, FLAGSHIP_QUERY, k=10, with_url=True)
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -2413,6 +2464,35 @@ SELECT doc_id, text FROM mods WHERE doc_id NOT IN (SELECT doc_id FROM dels)
 """
 
 ORACLE_SQL: Dict[str, str] = {
+    # live corpus after the generational upserts/deletes of q_bm25_gen_topk;
+    # plain analytic BM25 over it — the chain must be value-identical to a
+    # from-scratch rebuild of exactly this doc set
+    "bm25_gen_topk": """
+WITH live AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 300 AND doc_id % 50 = 7
+              THEN 'refreshed segment data ' || text ELSE text END AS text
+  FROM documents
+  WHERE NOT (doc_id < 300 AND doc_id % 50 = 13)
+),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        '[a-z0-9]+')) AS term FROM live),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+       '[a-z0-9]+')) AS doc_len FROM live),
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark', 'merge', 'window', 'stream']) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1)
+SELECT printf('d%05d', doc_id) AS url,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4) AS score
+FROM tf JOIN q USING (term) JOIN dfq USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY doc_id
+ORDER BY score DESC, url ASC
+LIMIT 10
+""",
     "tf_top": f"""
 WITH {_TOK_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -4331,6 +4411,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stratified_sample, temperature_plan, pack_shards — all simple
     # exact-membership/numpy-twin ops, replica-gate-green at three SFs)
     # wait just past the window for round 5.
+    "bm25_gen_topk": q_bm25_gen_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,

@@ -1,0 +1,260 @@
+"""Generational (Lucene-segment-style) index maintenance: append_delta
+generations + delete masking + tiered merge produce query results
+value-identical to a from-scratch rebuild of the live corpus — with
+O(|delta|) work per append (plans/generations.py; the scale answer to
+incremental_update's full re-segment)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.corpus import generate_web_pages
+from marc_solr_profiling_spark.operators.phrase import phrase_topk
+from marc_solr_profiling_spark.operators.wand import wand_topk, wand_topk_batch
+from marc_solr_profiling_spark.plans.build import build_index
+from marc_solr_profiling_spark.plans.generations import (
+    append_delta,
+    force_merge,
+    maybe_compact,
+    merge_generations,
+)
+
+QUERIES = ["the of and", "fresh content", "voyage", "time new said",
+           "sea captain whale"]
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="gen_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = (
+        generate_web_pages(spark, 260, seed=11, partitions=4)
+        .select("url", "text")
+        .persist()
+    )
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _topk_urls(idx, q, k=10):
+    rows = wand_topk(idx, q, k=k, with_url=True).collect()
+    return [(r["url"], round(r["score"], 9)) for r in rows]
+
+
+def _assert_same_results(got_idx, ref_idx, queries=QUERIES, k=10):
+    for q in queries:
+        got = _topk_urls(got_idx, q, k)
+        want = _topk_urls(ref_idx, q, k)
+        # internal doc ids differ between the chains and the rebuild, so
+        # equal-score boundary ties may order differently; compare the
+        # score sequence exactly and membership as a set
+        assert [s for _, s in got] == [s for _, s in want], q
+        assert set(got) == set(want), q
+
+
+def _live(docs, dead_urls, mods=None):
+    out = docs.filter(~F.col("url").isin(list(dead_urls)))
+    if mods is not None:
+        out = out.join(mods.select("url"), "url", "left_anti").unionByName(mods)
+    return out
+
+
+def test_append_upsert_delete_rank_identity(spark, workdir, docs):
+    base = docs.filter(F.regexp_extract("url", r"/p/(\d+)$", 1) < 200)
+    rest = docs.filter(F.regexp_extract("url", r"/p/(\d+)$", 1) >= 200)
+    mods = base.filter(F.xxhash64("url") % 11 == 0).withColumn(
+        "text", F.concat(F.lit("fresh content entirely "), F.col("text"))
+    ).persist()
+    del_keys = base.filter(F.xxhash64("url") % 13 == 1).select("url").persist()
+
+    base_idx = build_index(
+        spark, base, f"{workdir}/a_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    gen1 = append_delta(
+        spark, base_idx, f"{workdir}/a_gen1",
+        delta_docs=rest.unionByName(mods), delete_keys=del_keys,
+        key_col="url",
+    )
+    assert len(gen1.stores) == 2
+    assert gen1.deleted_array() is not None
+
+    dead = {r["url"] for r in del_keys.collect()}
+    live = _live(docs, dead, mods.filter(~F.col("url").isin(list(dead))))
+    ref_idx = build_index(
+        spark, live, f"{workdir}/a_ref", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    # exact global stats
+    assert gen1.n_docs == ref_idx.n_docs
+    assert abs(gen1.avgdl - ref_idx.avgdl) < 1e-9
+    # exact dictionary (df AND cf per term)
+    got_d = {r["term"]: (r["df"], r["cf"])
+             for r in gen1.dictionary.collect()}
+    want_d = {r["term"]: (r["df"], r["cf"])
+              for r in ref_idx.dictionary.collect()}
+    assert got_d == want_d
+    _assert_same_results(gen1, ref_idx)
+    # tombstoned urls never surface
+    for q in QUERIES:
+        assert not {u for u, _ in _topk_urls(gen1, q, 20)} & dead
+    mods.unpersist()
+    del_keys.unpersist()
+
+
+def test_three_generation_chain_and_batch(spark, workdir, docs):
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = docs.filter(n < 150)
+    d1 = docs.filter((n >= 150) & (n < 200))
+    d2 = docs.filter(n >= 200)
+
+    idx0 = build_index(
+        spark, base, f"{workdir}/b_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    idx1 = append_delta(spark, idx0, f"{workdir}/b_g1", delta_docs=d1,
+                        key_col="url")
+    del2 = base.filter(F.xxhash64("url") % 7 == 2).select("url").persist()
+    idx2 = append_delta(spark, idx1, f"{workdir}/b_g2", delta_docs=d2,
+                        delete_keys=del2, key_col="url")
+    assert len(idx2.stores) == 3
+
+    dead = {r["url"] for r in del2.collect()}
+    ref = build_index(
+        spark, _live(docs, dead), f"{workdir}/b_ref", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    _assert_same_results(idx2, ref)
+
+    # the batch kernels (dense AND sparse) mask tombstones too
+    for mode in ("dense", "sparse"):
+        got = wand_topk_batch(idx2, QUERIES, k=10, mode=mode)
+        want = wand_topk_batch(ref, QUERIES, k=10, mode=mode)
+        g = {(r["qid"], r["rank"]): round(r["score"], 9)
+             for r in got.collect()}
+        w = {(r["qid"], r["rank"]): round(r["score"], 9)
+             for r in want.collect()}
+        assert g == w, mode
+    del2.unpersist()
+
+
+def test_pure_delete_generation(spark, workdir, docs):
+    base_idx = build_index(
+        spark, docs, f"{workdir}/c_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    del_keys = docs.filter(F.xxhash64("url") % 5 == 0).select("url")
+    gen = append_delta(spark, base_idx, f"{workdir}/c_del",
+                       delete_keys=del_keys, key_col="url")
+    dead = {r["url"] for r in del_keys.collect()}
+    ref = build_index(
+        spark, _live(docs, dead), f"{workdir}/c_ref", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    assert gen.n_docs == ref.n_docs
+    assert abs(gen.avgdl - ref.avgdl) < 1e-9
+    _assert_same_results(gen, ref)
+
+
+def test_merge_generations_keep_base(spark, workdir, docs):
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    idx0 = build_index(
+        spark, docs.filter(n < 150), f"{workdir}/d_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    idx1 = append_delta(spark, idx0, f"{workdir}/d_g1",
+                        delta_docs=docs.filter((n >= 150) & (n < 200)),
+                        key_col="url")
+    # delete one url from the BASE and one from GEN1 — after a keep=1
+    # merge the gen1 tombstone must be physically applied, the base one
+    # carried forward in the delete set
+    del_base = docs.filter(n == 3).select("url")
+    del_g1 = docs.filter(n == 160).select("url")
+    idx2 = append_delta(spark, idx1, f"{workdir}/d_g2",
+                        delta_docs=docs.filter(n >= 200),
+                        delete_keys=del_base.union(del_g1), key_col="url")
+    assert len(idx2.stores) == 3
+
+    merged = merge_generations(spark, idx2, f"{workdir}/d_merged", keep=1)
+    assert len(merged.stores) == 2
+    # only the base-generation tombstone survives in the delete set
+    dels = merged.deletes_df()
+    assert dels is not None and dels.count() == 1
+    _assert_same_results(merged, idx2)
+    assert merged.n_docs == idx2.n_docs
+    assert abs(merged.avgdl - idx2.avgdl) < 1e-12
+
+
+def test_force_merge_collapses_chain(spark, workdir, docs):
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    idx0 = build_index(
+        spark, docs.filter(n < 200), f"{workdir}/e_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    idx1 = append_delta(spark, idx0, f"{workdir}/e_g1",
+                        delta_docs=docs.filter(n >= 200),
+                        delete_keys=docs.filter(n % 9 == 4).select("url"),
+                        key_col="url")
+    merged = force_merge(spark, idx1, f"{workdir}/e_opt")
+    assert len(merged.stores) == 1
+    assert merged.deletes_df() is None  # deletes applied physically
+    _assert_same_results(merged, idx1)
+    assert merged.n_docs == idx1.n_docs
+
+
+def test_maybe_compact_policy(spark, workdir, docs):
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    idx = build_index(
+        spark, docs.filter(n < 100), f"{workdir}/f_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    for i, lo in enumerate([100, 150, 200]):
+        idx = append_delta(
+            spark, idx, f"{workdir}/f_g{i}",
+            delta_docs=docs.filter((n >= lo) & (n < lo + 50)),
+            key_col="url")
+    assert len(idx.stores) == 4
+    same = maybe_compact(spark, idx, f"{workdir}/f_c0", max_generations=4)
+    assert same is idx  # under threshold: no-op
+    compacted = maybe_compact(spark, idx, f"{workdir}/f_c1",
+                              max_generations=3, keep=1)
+    assert len(compacted.stores) == 2
+    _assert_same_results(compacted, idx)
+
+
+def test_positional_chain_phrase_masking(spark, workdir, docs):
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    idx0 = build_index(
+        spark, docs.filter(n < 200), f"{workdir}/g_base", key_col="url",
+        chain="text", n_salts=4, block_size=32, positions=True,
+    )
+    # find a phrase hit inside the base, then tombstone that very doc
+    hit = phrase_topk(idx0, "of the", k=1, with_url=True).collect()
+    assert hit, "corpus must contain the probe phrase"
+    victim_url = hit[0]["url"]
+    idx1 = append_delta(
+        spark, idx0, f"{workdir}/g_g1",
+        delta_docs=docs.filter(n >= 200),
+        delete_keys=spark.createDataFrame([(victim_url,)], "url string"),
+        key_col="url")
+    got = phrase_topk(idx1, "of the", k=20, with_url=True).collect()
+    assert victim_url not in {r["url"] for r in got}
+    # and the phrase path over the chain equals a rebuild of the live set
+    ref = build_index(
+        spark, _live(docs, {victim_url}), f"{workdir}/g_ref",
+        key_col="url", chain="text", n_salts=4, block_size=32,
+        positions=True,
+    )
+    want = phrase_topk(ref, "of the", k=20, with_url=True).collect()
+    assert ([round(r["score"], 9) for r in got]
+            == [round(r["score"], 9) for r in want])
+    assert ({(r["url"], round(r["score"], 9)) for r in got}
+            == {(r["url"], round(r["score"], 9)) for r in want})
