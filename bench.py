@@ -94,6 +94,7 @@ HEADLINE = [
     "pack_sequences",
     "snapshot_diff",
     "bm25_gen_topk",
+    "select_request",
 ]
 
 

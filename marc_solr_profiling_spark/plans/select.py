@@ -1,0 +1,197 @@
+"""The unified ``/select`` request — one call composing the component
+stack the reference's default handler actually runs per request
+(``profiling/solr/conf/solrconfig.xml:64-280``: edismax ``q`` with
+``mm``/``tie``, cached-filter ``fq`` intersections, ``rows=20`` paging,
+~150 ``facet.field``s at ``facet.limit=21&facet.mincount=1``,
+highlighting) — Solr's SearchHandler component chain
+(QueryComponent → FacetComponent → HighlightComponent) as ONE Spark plan
+family sharing ONE scored match set.
+
+The semantic Solr point this composition exists for: **facets count the
+q∩fq MATCH SET, not the corpus and not the page**. A standalone facet
+query over the table (operators/facets.py) answers the profiling
+workload's ``q=*:*`` battery; this plan answers the general case where
+``q`` restricts the domain first.
+
+Scale shape: the match set is computed ONCE (the same Catalyst-visible
+BM25 plan as ``bm25_topk_sql_plan(return_all_scored=True)``) and
+persisted; numFound is its count, the page is a bounded top-(start+rows)
+sort over it, the facet battery is ONE stack()+groupBy pass over the
+match-set semi-join (one shuffle for all fields), and highlighting is
+pure string expressions over the page join — the corpus text is scanned
+exactly once for scoring and once (pruned to the page keys) for
+snippets. Nothing is collected to the driver except numFound.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import ANALYZERS
+from ..operators.bm25 import bm25_topk_sql_plan
+from ..operators.facets import facet_multi
+
+
+@dataclass
+class SelectResponse:
+    """The sections of one /select response, each still a lazy plan
+    (materialize what the caller reads — Solr's response writer streams
+    sections the same way)."""
+
+    num_found: int
+    docs: DataFrame                      # (key, score, rank) — the page
+    facets: DataFrame | None = None      # (facet_field, facet_value, count, rank)
+    highlights: DataFrame | None = None  # (key, matched_term, match_pos, snippet)
+    params: dict = field(default_factory=dict)
+
+    def response_frame(self, key_col: str = "doc_id") -> DataFrame:
+        """Flatten every section into one narrow frame
+        ``(section, k, v, num, ord)`` — the oracle-comparable wire form
+        (Solr's JSON response as rows)."""
+        spark = self.docs.sparkSession
+        meta = spark.createDataFrame(
+            [("meta", "num_found", None, float(self.num_found), 0)],
+            "section string, k string, v string, num double, ord int",
+        )
+        out = meta
+        docs = self.docs.select(
+            F.lit("doc").alias("section"),
+            F.col(key_col).cast("string").alias("k"),
+            F.lit(None).cast("string").alias("v"),
+            F.col("score").cast("double").alias("num"),
+            F.col("rank").cast("int").alias("ord"),
+        )
+        out = out.unionByName(docs)
+        if self.facets is not None:
+            out = out.unionByName(self.facets.select(
+                F.lit("facet").alias("section"),
+                F.col("facet_field").alias("k"),
+                F.col("facet_value").alias("v"),
+                F.col("count").cast("double").alias("num"),
+                F.col("rank").cast("int").alias("ord"),
+            ))
+        return out
+
+
+def solr_select(
+    docs: DataFrame,
+    q: str | None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chain: str = "simple",
+    fq=None,
+    start: int = 0,
+    rows: int = 10,
+    min_match: int | str | None = None,
+    facet_fields: Sequence[str] = (),
+    facet_limit: int = 21,
+    facet_mincount: int = 1,
+    hl: bool = False,
+    hl_frag_chars: int = 60,
+    round_to: int = 4,
+) -> SelectResponse:
+    """Run one /select request over a docs table.
+
+    ``q=None`` (or ``"*:*"``) is MatchAllDocsQuery: every fq-surviving
+    doc matches at score 1.0 (Lucene's constant), ordered by key — the
+    shape of the reference's profiling requests, which facet the whole
+    collection. Otherwise ``q`` scores as BM25 (edismax ``mm`` via
+    ``min_match``) with collection-wide stats, and ``fq`` restricts
+    WITHOUT touching scores (Solr's cached-filter semantics, same
+    contract as ``bm25_topk_sql_plan(filter_query=...)``).
+
+    Facets (``facet.field`` list) count the q∩fq match set at
+    ``facet.limit``/``facet.mincount`` with Solr's count-desc,
+    index-asc ordering. ``hl=True`` adds first-fragment snippets for
+    the page rows (same semantics as ``operators/bm25.py
+    highlight_topk``).
+    """
+    match_all = q is None or q.strip() == "*:*"
+    if match_all:
+        base = docs
+        if fq is not None:
+            pred = F.expr(fq) if isinstance(fq, str) else fq
+            base = base.filter(pred)
+        matched = base.select(
+            key_col, F.lit(1.0).alias("score")
+        )
+    else:
+        matched = bm25_topk_sql_plan(
+            docs, q, key_col=key_col, chain=chain, round_to=round_to,
+            min_match=min_match, filter_query=fq, return_all_scored=True,
+        )
+    # one scored match set feeds numFound + page + facets: persist it
+    # (executor-resident; released when the handle is GC'd — the Solr
+    # queryResultCache analog for the duration of the request)
+    matched = matched.persist()
+    n_found = matched.count()
+
+    from pyspark.sql import Window
+
+    # Solr offset paging: bounded top-(start+rows) sort over the match
+    # set first (a TakeOrdered physical op — never a full sort), THEN the
+    # rank window runs over that <= start+rows-row frame only
+    page = (
+        matched.orderBy(F.desc("score"), F.asc(key_col))
+        .limit(start + rows)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc(key_col))
+            ),
+        )
+    )
+    if start:
+        page = page.filter(F.col("rank") > start)
+
+    facets = None
+    if facet_fields:
+        domain = docs.join(
+            matched.select(key_col), key_col, "left_semi"
+        ) if not (match_all and fq is None) else docs
+        facets = facet_multi(domain, list(facet_fields), limit=facet_limit)
+        if facet_mincount > 1:
+            facets = facets.filter(F.col("count") >= facet_mincount)
+
+    highlights = None
+    if hl and not match_all:
+        qterms: list[str] = []
+        for t in ANALYZERS[chain](q):
+            if t not in qterms:
+                qterms.append(t)
+        NOPOS = 1 << 30
+        lower = F.lower(F.col(text_col))
+        cands = F.array(*[
+            F.struct(
+                F.when(F.locate(t, lower) > 0, F.locate(t, lower))
+                .otherwise(F.lit(NOPOS)).cast("int").alias("pos"),
+                F.lit(t).alias("term"),
+            )
+            for t in sorted(qterms)
+        ])
+        best = F.array_min(cands)
+        found = best["pos"] < NOPOS
+        start_at = F.greatest(best["pos"] - 30, F.lit(1))
+        highlights = (
+            page.join(docs.select(key_col, text_col), key_col)
+            .select(
+                key_col,
+                F.when(found, best["term"]).alias("matched_term"),
+                F.when(found, best["pos"]).cast("int").alias("match_pos"),
+                F.when(found, F.substring(F.col(text_col), start_at,
+                                          hl_frag_chars)).alias("snippet"),
+            )
+        )
+
+    return SelectResponse(
+        num_found=n_found,
+        docs=page.select(key_col, "score", "rank"),
+        facets=facets,
+        highlights=highlights,
+        params={"q": q, "start": start, "rows": rows,
+                "facet_fields": list(facet_fields)},
+    )

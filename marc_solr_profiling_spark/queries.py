@@ -2111,6 +2111,25 @@ def q_bm25_gen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.round("score", 4).alias("score"))
 
 
+def q_select_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified /select request (plans/select.py solr_select —
+    Solr's SearchHandler component chain as one plan family): edismax
+    q + cached-filter fq (lang='en') + rows=10 page + a facet battery
+    (lang, source at facet.limit=21, facet.mincount=1) computed over
+    the q∩fq MATCH SET (the Solr semantic the standalone facet entries
+    don't exercise), flattened to the wire form (section, k, v, num,
+    ord). One scored match set feeds every section."""
+    from .plans.select import solr_select
+
+    docs = _load(spark, sf_dir, "documents")
+    resp = solr_select(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", chain="simple",
+        fq=F.col("lang") == "en", rows=10,
+        facet_fields=["lang", "source"], round_to=4,
+    )
+    return resp.response_frame(key_col="doc_id")
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -2492,6 +2511,54 @@ FROM tf JOIN q USING (term) JOIN dfq USING (term)
 GROUP BY doc_id
 ORDER BY score DESC, url ASC
 LIMIT 10
+""",
+    # one /select response: BM25 match set ∩ fq, paged docs, facet battery
+    # over the MATCH SET, flattened to (section, k, v, num, ord)
+    "select_request": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark', 'merge', 'window', 'stream']) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+           AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs
+  GROUP BY doc_id
+),
+m AS (SELECT s.doc_id, s.score FROM scored s
+      JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+page AS (
+  SELECT * FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM m) WHERE rnk <= 10
+),
+fraw AS (
+  SELECT 'lang' AS ff, d.lang AS fv, count(*) AS cnt
+  FROM m JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'source', d.source, count(*)
+  FROM m JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL GROUP BY 2
+),
+fc AS (
+  SELECT * FROM (
+    SELECT ff, fv, cnt,
+           row_number() OVER (PARTITION BY ff
+                              ORDER BY cnt DESC, fv ASC) AS rnk
+    FROM fraw WHERE cnt >= 1) WHERE rnk <= 21
+)
+SELECT 'meta' AS section, 'num_found' AS k, NULL AS v,
+       (SELECT count(*) FROM m)::DOUBLE AS num, 0 AS ord
+UNION ALL
+SELECT 'doc', cast(doc_id AS varchar), NULL, score, rnk FROM page
+UNION ALL
+SELECT 'facet', ff, fv, cnt::DOUBLE, rnk FROM fc
 """,
     "tf_top": f"""
 WITH {_TOK_CTE}
@@ -4412,6 +4479,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-membership/numpy-twin ops, replica-gate-green at three SFs)
     # wait just past the window for round 5.
     "bm25_gen_topk": q_bm25_gen_topk,
+    "select_request": q_select_request,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,

@@ -1,0 +1,99 @@
+"""Unified /select request (plans/select.py): the SearchHandler component
+chain — scored match set shared by numFound, page, facet battery and
+highlights; facets count the q∩fq MATCH SET (Solr semantics), paging is
+a bounded sort."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.operators.bm25 import (
+    bm25_topk_sql_plan,
+    highlight_topk,
+)
+from marc_solr_profiling_spark.operators.facets import facet_multi
+from marc_solr_profiling_spark.plans.select import solr_select
+
+from conftest import SF_DIR
+
+Q = "spark merge window stream"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_match_all_is_profiling_battery(spark, docs):
+    """q=*:* faceting equals the standalone whole-table battery — the
+    reference's profiling request shape."""
+    resp = solr_select(docs, None, facet_fields=["lang", "source"], rows=5)
+    assert resp.num_found == docs.count()
+    want = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+            for r in facet_multi(docs, ["lang", "source"]).collect()}
+    got = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+           for r in resp.facets.collect()}
+    assert got == want
+    page = resp.docs.collect()
+    assert len(page) == 5
+    assert [r["rank"] for r in page] == [1, 2, 3, 4, 5]
+    assert all(r["score"] == 1.0 for r in page)
+
+
+def test_facets_count_match_set_not_corpus(spark, docs):
+    """The Solr point: facet counts are over q∩fq, so every lang facet
+    row must equal the count of matching docs with that lang — and the
+    fq makes non-en lang rows impossible."""
+    resp = solr_select(
+        docs, Q, fq=F.col("lang") == "en",
+        facet_fields=["lang", "source"], rows=10,
+    )
+    matched = bm25_topk_sql_plan(
+        docs, Q, key_col="doc_id", chain="simple", round_to=4,
+        filter_query=F.col("lang") == "en", return_all_scored=True,
+    )
+    m = matched.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    assert resp.num_found == matched.count()
+    frows = resp.facets.collect()
+    langs = {r["facet_value"]: r["count"] for r in frows
+             if r["facet_field"] == "lang"}
+    assert set(langs) == {"en"}
+    assert langs["en"] == resp.num_found
+    srcs = {r["facet_value"]: r["count"] for r in frows
+            if r["facet_field"] == "source"}
+    want_srcs = {r["source"]: r["n"] for r in
+                 m.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert srcs == want_srcs
+
+
+def test_paging_offsets_are_consistent(spark, docs):
+    first20 = solr_select(docs, Q, rows=20).docs.collect()
+    page2 = solr_select(docs, Q, start=10, rows=10).docs.collect()
+    assert [r["rank"] for r in page2] == list(range(11, 21))
+    assert ([(r["doc_id"], r["score"]) for r in page2]
+            == [(r["doc_id"], r["score"]) for r in first20[10:20]])
+
+
+def test_highlights_match_component(spark, docs):
+    resp = solr_select(docs, Q, rows=10, hl=True)
+    got = {r["doc_id"]: (r["matched_term"], r["match_pos"], r["snippet"])
+           for r in resp.highlights.collect()}
+    want = {r["doc_id"]: (r["matched_term"], r["match_pos"], r["snippet"])
+            for r in highlight_topk(docs, Q, key_col="doc_id", k=10,
+                                    frag_chars=60, chain="simple",
+                                    round_to=4).collect()}
+    assert got == want
+
+
+def test_response_frame_sections(spark, docs):
+    resp = solr_select(docs, Q, fq=F.col("lang") == "en",
+                       facet_fields=["lang"], rows=3)
+    rows = resp.response_frame().collect()
+    secs = {}
+    for r in rows:
+        secs.setdefault(r["section"], []).append(r)
+    assert {s for s in secs} == {"meta", "doc", "facet"}
+    assert secs["meta"][0]["num"] == float(resp.num_found)
+    assert len(secs["doc"]) == 3
