@@ -257,6 +257,16 @@ class InvertedIndex:
         return cached
 
 
+def open_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """Re-open a committed index (or generation-chain head) from its
+    store directory — analyzer chain and build parameters come from the
+    manifest, so a restarted driver needs only the path (the embedded
+    ``SolrCoreProxy`` re-open analog, ``MarcImporter.java:456-491``)."""
+    store = IndexStore(path)
+    chain = store.get_meta().get("chain", "text")
+    return InvertedIndex(store, spark, chain)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,

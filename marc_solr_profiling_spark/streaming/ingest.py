@@ -198,3 +198,105 @@ def stream_fuzzy_dedup_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_index_generations(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    chain: str = "simple",
+    n_salts: int = 16,
+    block_size: int = 128,
+    delete_col: str | None = None,
+    max_generations: int = 4,
+    keep: int = 1,
+    schema=None,
+):
+    """The Solr autoCommit loop as Structured Streaming: each micro-batch
+    of pages becomes ONE index GENERATION (``plans/generations.py
+    append_delta`` — O(|batch|) ingest, upsert-by-key, optional
+    tombstones), and the chain is compacted by the tiered-merge policy
+    whenever it exceeds ``max_generations`` — exactly the
+    ``<autoCommit maxDocs=20000 openSearcher=false>`` + background-merge
+    lifecycle of the reference's Solr core
+    (``profiling/solr/conf/solrconfig.xml:30-33``).
+
+    Durability/restart: the live chain head is published in
+    ``<index_root>/CURRENT`` via atomic rename AFTER each batch commits
+    its stores — a crashed driver restarts from the checkpoint, the
+    un-published partial generation is abandoned on disk, and the next
+    drain re-appends that batch (each generation is itself a fresh
+    snapshot, so the base is never corrupted). ``delete_col``: name of a
+    boolean column marking tombstone rows (deletes win over same-batch
+    upserts, matching the reference's post-import .del application).
+
+    Blocks until the AvailableNow drain completes; returns the final
+    :class:`~..plans.build.InvertedIndex` handle (or None if nothing was
+    ever indexed).
+    """
+    import os
+
+    from ..plans.build import build_index, open_index
+    from ..plans.generations import append_delta, maybe_compact
+
+    current_ptr = os.path.join(index_root, "CURRENT")
+    os.makedirs(index_root, exist_ok=True)
+
+    def _publish(path: str) -> None:
+        tmp = current_ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(path)
+        os.replace(tmp, current_ptr)
+
+    def _current():
+        if os.path.exists(current_ptr):
+            with open(current_ptr) as f:
+                return open_index(spark, f.read().strip())
+        return None
+
+    stream = spark.readStream.schema(
+        schema or WEB_PAGES_SCHEMA).parquet(source_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dels = None
+        if delete_col and delete_col in batch_df.columns:
+            dels = batch_df.filter(F.col(delete_col)).select(key_col)
+            batch_df = batch_df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False)))
+        docs = batch_df.select(key_col, text_col)
+        idx = _current()
+        if idx is None:
+            idx = build_index(
+                spark, docs, os.path.join(index_root, f"gen_{batch_id}"),
+                key_col=key_col, text_col=text_col, chain=chain,
+                n_salts=n_salts, block_size=block_size,
+            )
+            if dels is not None and dels.limit(1).count():
+                idx = append_delta(
+                    spark, idx,
+                    os.path.join(index_root, f"gen_{batch_id}_d"),
+                    delete_keys=dels, key_col=key_col)
+        else:
+            idx = append_delta(
+                spark, idx, os.path.join(index_root, f"gen_{batch_id}"),
+                delta_docs=docs, delete_keys=dels, key_col=key_col,
+            )
+        idx = maybe_compact(
+            spark, idx, os.path.join(index_root, f"compact_{batch_id}"),
+            max_generations=max_generations, keep=keep,
+        )
+        _publish(idx.store.path)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _current()

@@ -1,0 +1,125 @@
+"""Streaming autoCommit loop (streaming/ingest.py
+stream_index_generations): each micro-batch drop becomes one index
+generation, restarts resume from the published CURRENT pointer, tiered
+compaction bounds the chain — and the result always equals a
+from-scratch rebuild of the live doc set."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marc_solr_profiling_spark.corpus import generate_web_pages
+from marc_solr_profiling_spark.operators.wand import wand_topk
+from marc_solr_profiling_spark.plans.build import build_index
+from marc_solr_profiling_spark.streaming.ingest import (
+    stream_index_generations,
+)
+
+SCHEMA = "url string, text string, is_delete boolean"
+QUERIES = ["the of and", "voyage", "time new said"]
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="sgen_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = (
+        generate_web_pages(spark, 200, seed=23, partitions=4)
+        .select("url", "text").persist()
+    )
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _land(df, src, name):
+    """Land one drop as a single file in the stream source dir (the file
+    source discovers top-level files)."""
+    import glob
+
+    tmp = os.path.join(src, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(src, exist_ok=True)
+    shutil.move(part, os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def _drop(df, src, name):
+    _land(df.withColumn("is_delete", F.lit(False)), src, name)
+
+
+def _same_results(spark, idx, live, workdir, tag):
+    ref = build_index(
+        spark, live, f"{workdir}/ref_{tag}", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    for q in QUERIES:
+        got = wand_topk(idx, q, k=10, with_url=True).collect()
+        want = wand_topk(ref, q, k=10, with_url=True).collect()
+        assert ([round(r["score"], 9) for r in got]
+                == [round(r["score"], 9) for r in want]), q
+        assert ({(r["url"], round(r["score"], 9)) for r in got}
+                == {(r["url"], round(r["score"], 9)) for r in want}), q
+
+
+def test_stream_generations_end_to_end(spark, workdir, docs):
+    src = f"{workdir}/src"
+    root = f"{workdir}/idx"
+    ckpt = f"{workdir}/ckpt"
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+
+    def run():
+        return stream_index_generations(
+            spark, src, root, ckpt, key_col="url", chain="text",
+            n_salts=4, block_size=32, delete_col="is_delete",
+            max_generations=3, keep=1, schema=SCHEMA,
+        )
+
+    # drop 1: first 120 docs -> base generation
+    _drop(docs.filter(n < 120), src, "d1")
+    idx = run()
+    assert idx is not None and len(idx.stores) == 1
+    _same_results(spark, idx, docs.filter(n < 120), workdir, "t1")
+
+    # drop 2 (separate invocation == driver restart; checkpoint skips d1):
+    # 40 new docs + 5 upserts + 3 tombstone rows
+    mods = docs.filter(n.isin(3, 17, 31, 44, 59)).withColumn(
+        "text", F.concat(F.lit("updated page body "), F.col("text")))
+    adds = docs.filter((n >= 120) & (n < 160)).unionByName(mods)\
+        .withColumn("is_delete", F.lit(False))
+    dels = docs.filter(n.isin(7, 21, 35)).select("url", "text")\
+        .withColumn("is_delete", F.lit(True))
+    _land(adds.unionByName(dels), src, "d2")
+    idx = run()
+    assert len(idx.stores) == 2
+    dead = {r["url"] for r in docs.filter(n.isin(7, 21, 35)).collect()}
+    live = (
+        docs.filter(n < 160).filter(~F.col("url").isin(list(dead)))
+        .join(mods.select("url"), "url", "left_anti")
+        .unionByName(mods.filter(~F.col("url").isin(list(dead))))
+    )
+    _same_results(spark, idx, live, workdir, "t2")
+
+    # drops 3+4 push the chain past max_generations=3 -> tiered compaction
+    _drop(docs.filter((n >= 160) & (n < 180)), src, "d3")
+    idx = run()
+    _drop(docs.filter(n >= 180), src, "d4")
+    idx = run()
+    assert len(idx.stores) <= 3, "compaction must bound the chain"
+    live_final = (
+        docs.filter(~F.col("url").isin(list(dead)))
+        .join(mods.select("url"), "url", "left_anti")
+        .unionByName(mods.filter(~F.col("url").isin(list(dead))))
+    )
+    _same_results(spark, idx, live_final, workdir, "t4")
+    # the CURRENT pointer survives and reopens
+    assert os.path.exists(os.path.join(root, "CURRENT"))
