@@ -154,11 +154,13 @@ def append_delta(
             new_dels = old_dels.select("doc_id").union(new_dels).distinct()
     elif old_dels is not None:
         new_dels = old_dels.select("doc_id")
-    if new_dels is not None:
+    if new_dels is not None and not store.stage_complete("deletes"):
         store.commit_stage("deletes", new_dels, partition_sort=["doc_id"])
 
     # ---- delta ingest: fresh ids ABOVE every ancestor's max -------------
-    n_delta, delta_tokens = 0, 0
+    # every stage commit below is manifest-gated (stage_complete), so a
+    # killed append resumes from its last committed stage without
+    # re-tokenizing — same resume contract as build_index
     delta_tf = None
     if delta_docs is not None:
         # max over ALL docs stages (including tombstoned rows — their ids
@@ -176,41 +178,47 @@ def append_delta(
         with_ids = assign_doc_ids(
             delta_docs.select(*dict.fromkeys(cols)), key_col=key_col
         ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
-        delta_tf = tokenize_and_count_packed(
-            with_ids, key_col="doc_id", text_col=text_col, chain=chain,
-            html_col=html_col, positions=positions,
-        ).persist()
-        row = delta_tf.agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("t")
-        ).collect()[0]
-        n_delta, delta_tokens = int(row["n"]), int(row["t"] or 0)
-        store.commit_stage("tf", delta_tf)
-        store.commit_stage(
-            "docs",
-            delta_tf.select("doc_id", "doc_len").join(
-                with_ids.select("doc_id", key_col), "doc_id"
-            ),
-            partition_sort=["doc_id"],
-        )
+        if not store.stage_complete("tf"):
+            delta_tf = tokenize_and_count_packed(
+                with_ids, key_col="doc_id", text_col=text_col, chain=chain,
+                html_col=html_col, positions=positions,
+            ).persist()
+            store.commit_stage("tf", delta_tf)
+        tf_stage = store.read_stage(spark, "tf")
+        if not store.stage_complete("docs"):
+            store.commit_stage(
+                "docs",
+                tf_stage.select("doc_id", "doc_len").join(
+                    with_ids.select("doc_id", key_col), "doc_id"
+                ),
+                partition_sort=["doc_id"],
+            )
+        n_delta = int(store.lineage()["stages"]["tf"]["rows"])
+        delta_tokens = int(
+            tf_stage.agg(F.sum("doc_len")).collect()[0][0] or 0)
     else:
         # a pure-delete generation still needs (empty) tf/docs/segments
         # stages so chain unions stay uniform
-        base_tf = index.store.read_stage(spark, "tf")
-        delta_tf = base_tf.limit(0)
-        store.commit_stage("tf", delta_tf)
-        store.commit_stage(
-            "docs", index.store.read_stage(spark, "docs").limit(0)
-        )
+        if not store.stage_complete("tf"):
+            store.commit_stage(
+                "tf", index.store.read_stage(spark, "tf").limit(0))
+        if not store.stage_complete("docs"):
+            store.commit_stage(
+                "docs", index.store.read_stage(spark, "docs").limit(0)
+            )
+        n_delta, delta_tokens = 0, 0
 
     # ---- exactly-adjusted global stats ----------------------------------
-    old = index.store.read_stage(spark, "stats").collect()[0]
-    n_docs = int(old["n_docs"]) - n_rm + n_delta
-    total = int(old["total_tokens"]) - rm_tokens + delta_tokens
-    avgdl = (float(total) / n_docs) if n_docs else 0.0
-    store.commit_stage("stats", spark.createDataFrame(
-        [(n_docs, avgdl, total)],
-        "n_docs long, avgdl double, total_tokens long",
-    ))
+    if not store.stage_complete("stats"):
+        old = index.store.read_stage(spark, "stats").collect()[0]
+        n_docs = int(old["n_docs"]) - n_rm + n_delta
+        total = int(old["total_tokens"]) - rm_tokens + delta_tokens
+        avgdl = (float(total) / n_docs) if n_docs else 0.0
+        store.commit_stage("stats", spark.createDataFrame(
+            [(n_docs, avgdl, total)],
+            "n_docs long, avgdl double, total_tokens long",
+        ))
+    avgdl = float(store.read_stage(spark, "stats").collect()[0]["avgdl"])
 
     # ---- delta segments (built tight at the NEW avgdl) ------------------
     if not store.stage_complete("segments"):
@@ -228,7 +236,8 @@ def append_delta(
     # array columns; docs stages are doc_id-sorted so row-group min/max
     # prunes most of the scan at scale) — never a re-tokenize
     removed = None
-    if tombstones is not None and n_rm:
+    if not store.stage_complete("dictionary") and (
+            tombstones is not None and n_rm):
         chain_tf = None
         for st in index.stores:
             t = st.read_stage(spark, "tf").select("doc_id", "terms", "tfs")
@@ -241,28 +250,30 @@ def append_delta(
             .groupBy("term")
             .agg(F.count("*").alias("df_rm"), F.sum("tf").alias("cf_rm"))
         )
-    delta_dict = (
-        store.read_stage(spark, "segments").groupBy("term").agg(
-            F.sum("n_postings").alias("df_add"),
-            F.sum("tf_sum").alias("cf_add"),
+    if not store.stage_complete("dictionary"):
+        delta_dict = (
+            store.read_stage(spark, "segments").groupBy("term").agg(
+                F.sum("n_postings").alias("df_add"),
+                F.sum("tf_sum").alias("cf_add"),
+            )
         )
-    )
-    d = index.dictionary.join(delta_dict, "term", "full_outer")
-    if removed is not None:
-        d = d.join(removed, "term", "full_outer")
-    else:
-        d = d.withColumn("df_rm", F.lit(0)).withColumn("cf_rm", F.lit(0))
-    adjusted = (
-        d.select(
-            "term",
-            (F.coalesce("df", F.lit(0)) + F.coalesce("df_add", F.lit(0))
-             - F.coalesce("df_rm", F.lit(0))).alias("df"),
-            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_add", F.lit(0))
-             - F.coalesce("cf_rm", F.lit(0))).alias("cf"),
+        d = index.dictionary.join(delta_dict, "term", "full_outer")
+        if removed is not None:
+            d = d.join(removed, "term", "full_outer")
+        else:
+            d = d.withColumn("df_rm", F.lit(0)).withColumn(
+                "cf_rm", F.lit(0))
+        adjusted = (
+            d.select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("df_add", F.lit(0))
+                 - F.coalesce("df_rm", F.lit(0))).alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_add", F.lit(0))
+                 - F.coalesce("cf_rm", F.lit(0))).alias("cf"),
+            )
+            .filter(F.col("df") > 0)
         )
-        .filter(F.col("df") > 0)
-    )
-    store.commit_stage("dictionary", adjusted, partition_sort=["term"])
+        store.commit_stage("dictionary", adjusted, partition_sort=["term"])
 
     store.set_meta({
         "parent": index.store.path,

@@ -258,3 +258,52 @@ def test_positional_chain_phrase_masking(spark, workdir, docs):
             == [round(r["score"], 9) for r in want])
     assert ({(r["url"], round(r["score"], 9)) for r in got}
             == {(r["url"], round(r["score"], 9)) for r in want})
+
+
+def test_kill_mid_append_resumes_without_recompute(spark, workdir, docs,
+                                                   monkeypatch):
+    """Kill-mid-APPEND resume (the north-rule resumability criterion for
+    the generational path): abort append_delta after its tf stage commits
+    but before the delta segments commit, re-run, and assert via lineage
+    timestamps that the delta is NOT re-tokenized and the resumed chain
+    equals an uninterrupted append."""
+    from marc_solr_profiling_spark.plans import lineage as lin
+
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = docs.filter(n < 200)
+    delta = docs.filter(n >= 200)
+    kw = dict(key_col="url", chain="text", n_salts=4, block_size=32)
+    idx0 = build_index(spark, base, f"{workdir}/h_base", **kw)
+
+    ref = append_delta(spark, idx0, f"{workdir}/h_ref", delta_docs=delta,
+                       key_col="url")
+
+    out = f"{workdir}/h_resume"
+    real_commit = lin.IndexStore.commit_stage
+
+    def failing_commit(self, stage, df, **kwargs):
+        if stage == "segments" and self.path == out:
+            raise RuntimeError("simulated kill mid-append")
+        return real_commit(self, stage, df, **kwargs)
+
+    monkeypatch.setattr(lin.IndexStore, "commit_stage", failing_commit)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        append_delta(spark, idx0, out, delta_docs=delta, key_col="url")
+    monkeypatch.setattr(lin.IndexStore, "commit_stage", real_commit)
+
+    m_aborted = lin.IndexStore(out)._read_manifest()
+    assert "tf" in m_aborted["stages"]
+    assert "segments" not in m_aborted["stages"]
+    pre = {st: m_aborted["stages"][st]["committed_at"]
+           for st in m_aborted["stages"]}
+
+    idx = append_delta(spark, idx0, out, delta_docs=delta, key_col="url")
+    m_resumed = idx.store._read_manifest()
+    for st, ts in pre.items():
+        assert m_resumed["stages"][st]["committed_at"] == ts, (
+            f"stage {st} recomputed on append resume")
+    for st in ["docs", "stats", "dictionary", "segments"]:
+        got = sorted(map(tuple, idx.store.read_stage(spark, st).collect()))
+        want = sorted(map(tuple, ref.store.read_stage(spark, st).collect()))
+        assert got == want, f"stage {st} differs after append resume"
+    _assert_same_results(idx, ref)
