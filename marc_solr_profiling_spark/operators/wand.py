@@ -178,6 +178,7 @@ def _score_blocks_bmw(
     decode_cache: dict | None = None,
     exclude_ids: np.ndarray | None = None,
     bonus_sets: "list[np.ndarray] | None" = None,
+    include_sets: "list[np.ndarray] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, int, float]:
     """Score ONE SALT's matched blocks with block-max pruning.
 
@@ -227,6 +228,13 @@ def _score_blocks_bmw(
     exact, it just prunes less when constant clauses are present.
     Bonus-ONLY docs (matching no scored term) never enter this kernel;
     the caller emits them separately.
+
+    ``include_sets``: SORTED doc-id arrays, one per Solr ``fq`` filter
+    clause of this salt (decoded from unscored FILTER postings — the
+    filterCache-bitset intersection done per salt). A doc must be in
+    EVERY set to qualify; filtered-out docs never raise theta (theta
+    understates the filtered k-th — pruning stays exact) and scores are
+    untouched (fq never scores, Solr's cached-filter contract).
 
     Returns (doc_ids, scores) of the salt's top-k among docs matching at
     least ``min_match`` distinct query terms, the number of blocks skipped
@@ -329,6 +337,15 @@ def _score_blocks_bmw(
         t_parts.append(int(ti))
 
     def _drop_excluded(uniq, totals, counts):
+        if include_sets is not None and uniq.size:
+            keep = np.ones(uniq.size, dtype=bool)
+            for inc in include_sets:
+                if inc.size == 0:
+                    keep[:] = False
+                    break
+                pos = np.clip(np.searchsorted(inc, uniq), 0, inc.size - 1)
+                keep &= inc[pos] == uniq
+            uniq, totals, counts = uniq[keep], totals[keep], counts[keep]
         if exclude_ids is None or exclude_ids.size == 0 or uniq.size == 0:
             return uniq, totals, counts
         pos = np.clip(
@@ -477,8 +494,18 @@ def wand_topk(
     term_boosts: "dict[str, float] | None" = None,
     wildcard: "str | list[str] | None" = None,
     term_range: "tuple[str, str] | None" = None,
+    filter_queries: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
+
+    ``filter_queries``: Solr ``fq`` clauses answered FROM THE INDEX's
+    unscored filter postings (``build_index(filter_cols=...)`` — the
+    ``col:value`` terms of the ``filters`` stage). Each clause's postings
+    ride the same salted scan, decode to per-salt sorted id sets, and the
+    kernel keeps only docs present in EVERY set — the per-shard
+    filterCache-bitset intersection (``solrconfig.xml:36-46``), with
+    scores untouched (fq never scores) and pruning exact (exclusion-style
+    masking before theta).
 
     ``min_match``: minimum distinct matched query terms per doc — 1 = OR
     (edismax default field behavior), len(terms) = AND (``q.op=AND``),
@@ -554,6 +581,14 @@ def wand_topk(
     # the MUST_NOT exclusion path — masked before theta/heap, pruning
     # stays exact
     dels = getattr(index, "deleted_array", lambda: None)()
+    fq_terms = list(filter_queries or [])
+    filters_tbl = None
+    if fq_terms:
+        filters_tbl = getattr(index, "filters", None)
+        if filters_tbl is None:
+            raise ValueError(
+                "filter_queries need an index built with filter_cols "
+                "(no 'filters' stage present)")
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -580,6 +615,16 @@ def wand_topk(
                     ))
             if dels is not None:
                 excl = dels if excl is None else np.union1d(excl, dels)
+            incs = None
+            if fq_terms:
+                incs = []
+                for ft in fq_terms:
+                    frows = sub[sub["term"] == ft]
+                    incs.append(
+                        np.unique(np.concatenate(
+                            [delta_decode(g).astype(np.int64)
+                             for g in frows["doc_gaps"]]))
+                        if len(frows) else np.empty(0, dtype=np.int64))
             bsets = None
             if has_mt:
                 terms = sub["term"]
@@ -603,6 +648,16 @@ def wand_topk(
                                       excl.size - 1)
                         keep = excl[pos] != wu
                         wu, wc = wu[keep], wc[keep]
+                    if incs is not None and wu.size:
+                        keep = np.ones(wu.size, dtype=bool)
+                        for inc in incs:
+                            if inc.size == 0:
+                                keep[:] = False
+                                break
+                            pos = np.clip(np.searchsorted(inc, wu), 0,
+                                          inc.size - 1)
+                            keep &= inc[pos] == wu
+                        wu, wc = wu[keep], wc[keep]
                     # docs matching only constant clauses: emitted at
                     # their bonus value, max-merged with kernel rows
                     id_parts.append(wu)
@@ -612,7 +667,7 @@ def wand_topk(
                 continue
             ids, scores, nsk, theta = _score_blocks_bmw(
                 srows, idf_by_term, kk, avgdl, min_match=mm, theta0=theta,
-                exclude_ids=excl, bonus_sets=bsets,
+                exclude_ids=excl, bonus_sets=bsets, include_sets=incs,
             )
             id_parts.append(ids)
             score_parts.append(scores)
@@ -640,6 +695,11 @@ def wand_topk(
     for lo, hi in ranges:
         seg_pred = seg_pred | F.col("term").between(lo, hi)
     matched = index.segments.filter(seg_pred)
+    if fq_terms:
+        # fq clause postings ride the same salted scan (same block schema,
+        # zero caps — they never score, only gate)
+        matched = matched.unionByName(
+            filters_tbl.filter(F.col("term").isin(fq_terms)))
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )

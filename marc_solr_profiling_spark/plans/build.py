@@ -212,6 +212,24 @@ class InvertedIndex:
             out = out.join(F.broadcast(dels), "doc_id", "left_anti")
         return out
 
+    @property
+    def filters(self) -> DataFrame | None:
+        """Unscored FILTER postings (``build_index(filter_cols=...)`` —
+        ``col:value`` terms in segment-block format, zero score caps):
+        the per-salt filterCache bitsets the kernels intersect for Solr
+        ``fq`` clauses. None when absent; for a generation chain, every
+        generation must carry the stage (else None — the fq caller then
+        fails loudly instead of silently missing newer docs)."""
+        parts = []
+        for st in self.stores:
+            if not st.stage_complete("filters"):
+                return None
+            parts.append(st.read_stage(self.spark, "filters"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def deletes_df(self) -> DataFrame | None:
         """Cumulative tombstoned doc ids (newest generation's ``deletes``
         stage carries the whole set), or None for a delete-free index."""
@@ -257,6 +275,30 @@ class InvertedIndex:
         return cached
 
 
+def _filter_packed(with_ids: DataFrame, filter_cols) -> DataFrame:
+    """Synthetic packed-tf rows for METADATA filter postings: one
+    ``col:value`` term per non-null filter column per doc, tf=1 — fed to
+    the ordinary segment builder so fq bitsets share the salt layout,
+    block format and scan path of the scored postings (their caps are
+    never read; filter terms never enter the scoring dictionaries)."""
+    terms_arr = F.filter(
+        F.array(*[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit(str(c) + ":"), F.col(c).cast("string")),
+            )
+            for c in filter_cols
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return with_ids.select(
+        F.col("doc_id"),
+        F.lit(1).alias("doc_len"),
+        terms_arr.alias("terms"),
+        F.transform(terms_arr, lambda x: F.lit(1)).alias("tfs"),
+    )
+
+
 def open_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Re-open a committed index (or generation-chain head) from its
     store directory — analyzer chain and build parameters come from the
@@ -282,8 +324,15 @@ def build_index(
     positions: bool = False,
     range_buckets: int | str = "auto",
     overlap_tf_write: bool = False,
+    filter_cols=None,
 ) -> InvertedIndex:
     """Build (or resume building) the physical index at ``path``.
+
+    ``filter_cols``: metadata columns (e.g. ``["lang", "source"]``) to
+    index as UNSCORED filter postings (``col:value`` terms, ``filters``
+    stage) — the Solr ``fq`` / filterCache analog; query kernels
+    intersect their per-salt id sets without touching scores
+    (``wand_topk(filter_queries=["lang:en"])``).
 
     ``html_col``: raw-page input — HTML→text extraction fuses into the
     tokenize kernel (one Python worker per task, html crosses the Arrow
@@ -341,18 +390,21 @@ def build_index(
                 "key_col": key_col,
                 "id_col": id_col,
                 "positions": positions,
+                "filter_cols": list(filter_cols or []),
                 "version": 3,  # v3: packed per-doc tf stage
             }
         )
     )
     store.set_meta({"n_salts": n_salts, "chain": chain,
-                    "block_size": block_size, "positions": positions})
+                    "block_size": block_size, "positions": positions,
+                    "filter_cols": list(filter_cols or [])})
 
     need_tf = not store.stage_complete("tf")
     need_docs = not store.stage_complete("docs")
+    need_filters = bool(filter_cols) and not store.stage_complete("filters")
     persisted: list = []
     with_ids = None
-    if need_tf or (need_docs and key_col != "doc_id"):
+    if need_tf or need_filters or (need_docs and key_col != "doc_id"):
         # ONE id assignment shared by the tf and docs stages (the range-
         # partition + sort + count pass runs once; round 1 ran it twice and
         # leaked its persist)
@@ -508,6 +560,19 @@ def build_index(
         raise docs_err[0]
     if tf_err:
         raise tf_err[0]
+
+    if need_filters:
+        # metadata filter postings (fq bitsets) — same salt layout and
+        # block format as the scored segments, committed as their own
+        # stage so the scoring dictionary/stats never see them; runs
+        # before the id-assignment cache is released
+        store.commit_stage(
+            "filters",
+            build_segments_packed(
+                _filter_packed(with_ids, filter_cols), avgdl=1.0,
+                n_salts=n_salts, block_size=block_size,
+            ),
+        )
 
     for cached in persisted:
         cached.unpersist()

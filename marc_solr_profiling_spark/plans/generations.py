@@ -94,7 +94,15 @@ def append_delta(
     n_salts = int(meta.get("n_salts", index.n_salts))
     block_size = int(meta.get("block_size", 128))
     positions = bool(meta.get("positions", False))
+    filter_cols = list(meta.get("filter_cols", []) or [])
     chain = index.chain
+    if filter_cols and delta_docs is not None:
+        missing = [c for c in filter_cols if c not in delta_docs.columns]
+        if missing:
+            raise ValueError(
+                f"base index carries filter postings for {filter_cols}; "
+                f"delta_docs lacks column(s) {missing} — fq over the "
+                "chain would silently miss the new generation")
 
     if delta_docs is not None and delete_keys is not None:
         # deletes WIN over same-batch upserts — the reference applies the
@@ -174,7 +182,8 @@ def append_delta(
             all_docs.agg(F.max("doc_id")).collect()[0][0] or -1
         ) + 1
 
-        cols = [key_col, text_col] + ([html_col] if html_col else [])
+        cols = ([key_col, text_col] + ([html_col] if html_col else [])
+                + filter_cols)
         with_ids = assign_doc_ids(
             delta_docs.select(*dict.fromkeys(cols)), key_col=key_col
         ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
@@ -207,6 +216,20 @@ def append_delta(
                 "docs", index.store.read_stage(spark, "docs").limit(0)
             )
         n_delta, delta_tokens = 0, 0
+
+    if filter_cols and not store.stage_complete("filters"):
+        # fq bitsets for the delta generation (chain fq needs every
+        # generation's stage; a pure-delete gen commits an empty one)
+        from .build import _filter_packed
+
+        if delta_docs is not None:
+            fsegs = build_segments_packed(
+                _filter_packed(with_ids, filter_cols), avgdl=1.0,
+                n_salts=n_salts, block_size=block_size,
+            )
+        else:
+            fsegs = index.store.read_stage(spark, "filters").limit(0)
+        store.commit_stage("filters", fsegs)
 
     # ---- exactly-adjusted global stats ----------------------------------
     if not store.stage_complete("stats"):
@@ -279,6 +302,7 @@ def append_delta(
         "parent": index.store.path,
         "n_salts": n_salts, "chain": chain, "block_size": block_size,
         "positions": positions, "built_avgdl": avgdl, "key_col": key_col,
+        "filter_cols": filter_cols,
         "generation": len(index.stores),
     })
 
@@ -364,6 +388,15 @@ def merge_generations(
     store.commit_stage("stats", index.store.read_stage(spark, "stats"))
     store.commit_stage("dictionary", index.dictionary,
                        partition_sort=["term"])
+    if all(st.stage_complete("filters") for st in merged_stores):
+        # fq bitsets of the merged tiers travel as-is (block re-layout is
+        # unnecessary: includes decode wholesale; rows of tombstoned docs
+        # are inert — filter terms gate, they never emit docs)
+        fparts = [st.read_stage(spark, "filters") for st in merged_stores]
+        fout = fparts[0]
+        for p in fparts[1:]:
+            fout = fout.unionByName(p, allowMissingColumns=True)
+        store.commit_stage("filters", fout)
 
     tf = store.read_stage(spark, "tf")
     n_rows = int(store.lineage()["stages"]["tf"]["rows"])
@@ -379,6 +412,7 @@ def merge_generations(
         "n_salts": n_salts, "chain": index.chain, "block_size": bs,
         "positions": positions, "built_avgdl": index.avgdl,
         "key_col": meta.get("key_col"),
+        "filter_cols": list(meta.get("filter_cols", []) or []),
         "generation": keep,
     })
     return InvertedIndex(store, spark, index.chain)
@@ -398,13 +432,22 @@ def force_merge(
     Old docs are never re-tokenized — the committed packed tf rows are
     the merge input, exactly like Lucene merging stored postings."""
     meta = index.store.get_meta()
-    return incremental_update(
+    out = incremental_update(
         spark, index, out_path,
         delta_docs=None, deleted_ids=None,
         n_salts=int(meta.get("n_salts", index.n_salts)),
         block_size=int(block_size or meta.get("block_size", 128)),
         range_buckets=range_buckets,
     )
+    fcols = list(meta.get("filter_cols", []) or [])
+    filt = index.filters if fcols else None
+    if filt is not None and not out.store.stage_complete("filters"):
+        # fq bitsets survive optimize; rows of now-gone docs are inert
+        # (filter terms gate, they never emit docs)
+        out.store.commit_stage("filters", filt)
+        out.store.set_meta({"filter_cols": fcols})
+        out = InvertedIndex(out.store, spark, out.chain)
+    return out
 
 
 def maybe_compact(

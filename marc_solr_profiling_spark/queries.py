@@ -2060,6 +2060,30 @@ def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_fq_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fq through the PHYSICAL index: the index carries UNSCORED
+    metadata filter postings (build_index(filter_cols=['lang','source'])
+    — col:value terms in segment-block format with zero caps), and the
+    block-max kernel intersects their per-salt id sets (the per-shard
+    filterCache bitset, solrconfig.xml:36-46) without touching scores.
+    Twin: the logical fq entry's SQL (same cached-filter contract)."""
+    import hashlib
+
+    from .operators.wand import wand_topk
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    out = wand_topk(idx, FLAGSHIP_QUERY, k=10, with_url=False,
+                    filter_queries=["lang:en"])
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_gen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a THREE-GENERATION Lucene-style index chain
     (plans/generations.py append_delta): base build on doc_id<300, then
@@ -3797,6 +3821,8 @@ FROM scored GROUP BY doc_id
 
 ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
+ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
+
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
 
 ORACLE_SQL["bm25_not_phys_topk"] = _bm25_sql(exclude=["window"])
@@ -4480,6 +4506,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # wait just past the window for round 5.
     "bm25_gen_topk": q_bm25_gen_topk,
     "select_request": q_select_request,
+    "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
