@@ -95,6 +95,7 @@ HEADLINE = [
     "snapshot_diff",
     "bm25_gen_topk",
     "select_request",
+    "bm25_fq_phys_topk",
 ]
 
 
