@@ -96,6 +96,7 @@ HEADLINE = [
     "bm25_gen_topk",
     "select_request",
     "bm25_fq_phys_topk",
+    "select_phys_request",
 ]
 
 

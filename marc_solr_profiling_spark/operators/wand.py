@@ -1120,3 +1120,84 @@ def wand_query_string_topk(
         wildcard=(list(pq.wildcards) if pq.wildcards else None),
         term_range=pq.term_range,
     )
+
+
+def matching_doc_ids(
+    index,
+    query: str,
+    min_match: int | str = 1,
+    filter_queries: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """The MATCH SET of a query — every live doc id matching at least
+    ``min_match`` distinct query terms (∩ every ``fq`` filter set) — as a
+    one-column DataFrame, decoded straight from the postings with NO
+    scoring: Solr's QueryComponent bitset, which numFound and the facet
+    domain are computed from. One salted scan; per salt the kernel is a
+    concat + np.unique over the matched terms' id arrays (blocks of a
+    term are disjoint within a salt, so distinct-term counts are exact),
+    an include-set intersection for fq, and the tombstone mask."""
+    spark = index.spark
+    qterms = _analyze_query(query, index.chain)
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long")
+    mm = parse_mm_spec(min_match, len(qterms))
+    dels = getattr(index, "deleted_array", lambda: None)()
+    fq_terms = list(filter_queries or [])
+    filters_tbl = None
+    if fq_terms:
+        filters_tbl = getattr(index, "filters", None)
+        if filters_tbl is None:
+            raise ValueError(
+                "filter_queries need an index built with filter_cols "
+                "(no 'filters' stage present)")
+    qset = set(qterms)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        out = []
+        for _, sub in pdf.groupby("salt", sort=False):
+            parts = []
+            for t, rows in sub.groupby("term", sort=False):
+                if t not in qset:
+                    continue
+                parts.append(np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in rows["doc_gaps"]]))
+            if not parts:
+                continue
+            uniq, counts = np.unique(np.concatenate(parts),
+                                     return_counts=True)
+            keep = counts >= mm
+            uniq = uniq[keep]
+            for ft in fq_terms:
+                if uniq.size == 0:
+                    break
+                frows = sub[sub["term"] == ft]
+                if not len(frows):
+                    uniq = uniq[:0]
+                    break
+                inc = np.unique(np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in frows["doc_gaps"]]))
+                pos = np.clip(np.searchsorted(inc, uniq), 0, inc.size - 1)
+                uniq = uniq[inc[pos] == uniq]
+            if dels is not None and uniq.size:
+                pos = np.clip(np.searchsorted(dels, uniq), 0,
+                              dels.size - 1)
+                uniq = uniq[dels[pos] != uniq]
+            if uniq.size:
+                out.append(uniq)
+        if out:
+            yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+    matched = index.segments.filter(F.col("term").isin(qterms))
+    if fq_terms:
+        matched = matched.unionByName(
+            filters_tbl.filter(F.col("term").isin(fq_terms)),
+            allowMissingColumns=True)
+    return _by_salt(matched, index).mapInPandas(emit, schema="doc_id long")

@@ -195,3 +195,72 @@ def solr_select(
         params={"q": q, "start": start, "rows": rows,
                 "facet_fields": list(facet_fields)},
     )
+
+
+def solr_select_physical(
+    index,
+    meta_docs: DataFrame,
+    q: str,
+    key_col: str = "doc_id",
+    fq: Sequence[str] = (),
+    start: int = 0,
+    rows: int = 10,
+    min_match: int | str = 1,
+    facet_fields: Sequence[str] = (),
+    facet_limit: int = 21,
+    facet_mincount: int = 1,
+    round_to: int | None = 4,
+) -> SelectResponse:
+    """The /select request answered FROM THE PHYSICAL INDEX — how Solr
+    actually executes it: the QueryComponent's match bitset comes from
+    the postings (``operators/wand.matching_doc_ids`` — no scoring, no
+    text scan), ``fq`` clauses are indexed filter postings
+    (``build_index(filter_cols=...)``), the page is block-max WAND
+    top-(start+rows), and the facet battery counts the match set by
+    semi-joining the metadata table (the docvalues analog) against the
+    match ids. The corpus TEXT is never touched at query time.
+
+    ``meta_docs``: table carrying ``key_col`` + the facet columns,
+    aligned with the index's doc ids (build the index with
+    ``id_col=key_col``)."""
+    from pyspark.sql import Window
+
+    from ..operators.wand import matching_doc_ids, wand_topk
+
+    fqs = list(fq) or None
+    match = matching_doc_ids(
+        index, q, min_match=min_match, filter_queries=fqs
+    ).persist()
+    n_found = match.count()
+
+    page = wand_topk(index, q, k=start + rows, with_url=False,
+                     min_match=min_match, filter_queries=fqs)
+    if round_to is not None:
+        page = page.select(
+            "doc_id", F.round("score", round_to).alias("score"))
+    page = page.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.asc("doc_id"))),
+    )
+    if start:
+        page = page.filter(F.col("rank") > start)
+    if key_col != "doc_id":
+        page = page.withColumnRenamed("doc_id", key_col)
+
+    facets = None
+    if facet_fields:
+        domain = meta_docs.join(
+            match.withColumnRenamed("doc_id", key_col), key_col,
+            "left_semi")
+        facets = facet_multi(domain, list(facet_fields), limit=facet_limit)
+        if facet_mincount > 1:
+            facets = facets.filter(F.col("count") >= facet_mincount)
+
+    return SelectResponse(
+        num_found=n_found,
+        docs=page.select(key_col, "score", "rank"),
+        facets=facets,
+        params={"q": q, "fq": list(fq), "start": start, "rows": rows,
+                "facet_fields": list(facet_fields), "physical": True},
+    )

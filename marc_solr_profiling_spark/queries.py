@@ -2060,6 +2060,34 @@ def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /select request answered FROM THE PHYSICAL INDEX
+    (plans/select.py solr_select_physical — how Solr executes it): match
+    bitset decoded straight from the postings (matching_doc_ids, no
+    scoring), fq from indexed filter postings, page via block-max WAND,
+    facet battery by semi-joining the metadata table against the match
+    ids. Corpus text untouched at query time. Twin: same SQL as the
+    logical select_request (identical request, identical response)."""
+    import hashlib
+
+    from .plans.build import build_index
+    from .plans.select import solr_select_physical
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    resp = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "source"), FLAGSHIP_QUERY,
+        key_col="doc_id", fq=["lang:en"], rows=10,
+        facet_fields=["lang", "source"], round_to=4,
+    )
+    return resp.response_frame(key_col="doc_id")
+
+
 def q_bm25_fq_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr fq through the PHYSICAL index: the index carries UNSCORED
     metadata filter postings (build_index(filter_cols=['lang','source'])
@@ -3823,6 +3851,9 @@ ORACLE_SQL["bm25_fq_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
 ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
+# identical request through the physical index -> identical response
+ORACLE_SQL["select_phys_request"] = ORACLE_SQL["select_request"]
+
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
 
 ORACLE_SQL["bm25_not_phys_topk"] = _bm25_sql(exclude=["window"])
@@ -4507,6 +4538,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_gen_topk": q_bm25_gen_topk,
     "select_request": q_select_request,
     "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
+    "select_phys_request": q_select_phys_request,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,

@@ -97,3 +97,52 @@ def test_response_frame_sections(spark, docs):
     assert {s for s in secs} == {"meta", "doc", "facet"}
     assert secs["meta"][0]["num"] == float(resp.num_found)
     assert len(secs["doc"]) == 3
+
+
+def test_physical_select_matches_logical(spark, docs, tmp_path):
+    """The same /select request answered from the physical index
+    (postings match-bitset + indexed fq + WAND page + metadata facet
+    join) must produce the identical response to the logical plan."""
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "selidx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+        filter_cols=["lang", "source"],
+    )
+    phys = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "source"), Q,
+        fq=["lang:en"], rows=10, facet_fields=["lang", "source"],
+    )
+    logi = solr_select(
+        docs, Q, fq=F.col("lang") == "en", rows=10,
+        facet_fields=["lang", "source"],
+    )
+    assert phys.num_found == logi.num_found
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in phys.docs.collect()]
+    want = [(r["doc_id"], r["score"], r["rank"])
+            for r in logi.docs.collect()]
+    assert got == want
+    gf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+          for r in phys.facets.collect()}
+    wf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+          for r in logi.facets.collect()}
+    assert gf == wf
+
+
+def test_physical_select_paging(spark, docs, tmp_path):
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "selidx2"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+    )
+    full = solr_select_physical(idx, docs, Q, rows=20).docs.collect()
+    page2 = solr_select_physical(idx, docs, Q, start=10,
+                                 rows=10).docs.collect()
+    assert [r["rank"] for r in page2] == list(range(11, 21))
+    assert ([(r["doc_id"], r["score"]) for r in page2]
+            == [(r["doc_id"], r["score"]) for r in full[10:20]])
