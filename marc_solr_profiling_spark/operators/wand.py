@@ -723,6 +723,7 @@ def dismax_topk(
     round_to: int | None = None,
     with_url: bool = False,
     skip_acc=None,
+    filter_queries: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Edismax multi-field top-k over a MULTI-FIELD physical index
     (plans/multifield.py) — the reference's actual default handler shape
@@ -774,6 +775,15 @@ def dismax_topk(
     n_groups = len(qterms)
     tie_f = float(tie)
     dels = getattr(index, "deleted_array", lambda: None)()
+    fq_terms = list(filter_queries or [])
+    filters_tbl = None
+    if fq_terms:
+        filters_tbl = getattr(index, "filters", None)
+        if filters_tbl is None:
+            raise ValueError(
+                "filter_queries need an index built with filter_cols "
+                "(no 'filters' stage present)")
+    fq_set = set(fq_terms)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -786,11 +796,24 @@ def dismax_topk(
         id_parts, score_parts = [], []
         n_skipped = 0
         for _, sub in pdf.groupby("salt", sort=False):
+            incs = None
+            if fq_terms:
+                incs = []
+                for ft in fq_terms:
+                    frows = sub[sub["term"] == ft]
+                    incs.append(
+                        np.unique(np.concatenate(
+                            [delta_decode(g).astype(np.int64)
+                             for g in frows["doc_gaps"]]))
+                        if len(frows) else np.empty(0, dtype=np.int64))
+                sub = sub[~sub["term"].isin(fq_set)]
+                if not len(sub):
+                    continue
             ids, scores, nsk, theta = _score_blocks_bmw(
                 sub, idf_by_term, kk, 0.0, min_match=mm, theta0=theta,
                 group_of=group_of, n_groups=n_groups, tie=tie_f,
                 avgdl_by_term=avgdl_by_term, round_to=round_to,
-                exclude_ids=dels,
+                exclude_ids=dels, include_sets=incs,
             )
             id_parts.append(ids)
             score_parts.append(scores)
@@ -805,6 +828,10 @@ def dismax_topk(
         )
 
     matched = index.segments.filter(F.col("term").isin(keys))
+    if fq_terms:
+        matched = matched.unionByName(
+            filters_tbl.filter(F.col("term").isin(fq_terms)),
+            allowMissingColumns=True)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )

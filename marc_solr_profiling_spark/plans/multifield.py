@@ -66,6 +66,14 @@ class MultiFieldIndex:
         return self.store.read_stage(self.spark, "docs")
 
     @property
+    def filters(self) -> DataFrame | None:
+        """Unscored fq filter postings (``filter_cols`` build option) —
+        same contract as the single-field index's ``filters`` stage."""
+        if self.store.stage_complete("filters"):
+            return self.store.read_stage(self.spark, "filters")
+        return None
+
+    @property
     def dictionary(self) -> DataFrame:
         return self.store.read_stage(self.spark, "dictionary")
 
@@ -90,6 +98,7 @@ def build_multifield_index(
     partitions: int | None = None,
     id_col: str | None = None,
     range_buckets: int | str = "auto",
+    filter_cols=None,
 ) -> MultiFieldIndex:
     """Build (or resume) a multi-field physical index at ``path``.
 
@@ -115,6 +124,7 @@ def build_multifield_index(
                 "key_col": key_col,
                 "id_col": id_col,
                 "fields": field_list,
+                "filter_cols": list(filter_cols or []),
                 "version": 1,  # multifield v1
             }
         )
@@ -127,7 +137,8 @@ def build_multifield_index(
 
     persisted: list = []
     with_ids = None
-    if not store.stage_complete("tf"):
+    need_filters = bool(filter_cols) and not store.stage_complete("filters")
+    if not store.stage_complete("tf") or need_filters:
         if id_col is not None:
             with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
         else:
@@ -135,11 +146,26 @@ def build_multifield_index(
                 docs, key_col=key_col, partitions=partitions,
                 _persist_handle=persisted,
             )
+    if not store.stage_complete("tf"):
         tf = tokenize_and_count_packed_fields(
             with_ids, field_list, key_col="doc_id", text_col=text_col,
             chain=chain, sep=FIELD_SEP,
         )
         store.commit_stage("tf", tf)
+
+    if need_filters:
+        # metadata fq bitsets — same stage contract as the single-field
+        # build (plans/build.py); the edismax handler's fq clauses
+        # intersect these inside the dismax kernel
+        from .build import _filter_packed
+
+        store.commit_stage(
+            "filters",
+            build_segments_packed(
+                _filter_packed(with_ids, filter_cols), avgdl=1.0,
+                n_salts=n_salts, block_size=block_size,
+            ),
+        )
 
     tf = store.read_stage(spark, "tf")
 

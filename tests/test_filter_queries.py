@@ -126,3 +126,35 @@ def test_fq_across_generations_and_merge(spark, workdir, docs):
     got_m = urls(merged)
     assert [s for _, s in got_m] == [s for _, s in want]
     assert set(got_m) == set(want)
+
+
+def test_dismax_fq_through_multifield_index(spark, workdir, docs):
+    """Edismax + fq — the reference's actual default request combo
+    (edismax qf/tie + cached filter): fq gates the dismax result without
+    touching scores, verified against the unfiltered dismax scores."""
+    from marc_solr_profiling_spark.operators.wand import dismax_topk
+    from marc_solr_profiling_spark.plans.multifield import (
+        build_multifield_index,
+    )
+
+    idx = build_multifield_index(
+        spark, docs, f"{workdir}/mf", fields=[("title", 8), ("body", None)],
+        key_col="doc_id", id_col="doc_id", chain="simple",
+        n_salts=4, block_size=32, filter_cols=["lang"],
+    )
+    qf = {"title": 2.0, "body": 1.0}
+    n = docs.count()
+    all_scored = dismax_topk(idx, Q, qf=qf, tie=0.1, k=n, round_to=6)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in all_scored.join(
+            docs.filter(F.col("lang") == "fr").select("doc_id"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in dismax_topk(idx, Q, qf=qf, tie=0.1, k=10, round_to=6,
+                             filter_queries=["lang:fr"]).collect()
+    ]
+    assert got == want
+    assert got, "fr filter must match something"
