@@ -97,6 +97,7 @@ HEADLINE = [
     "select_request",
     "bm25_fq_phys_topk",
     "select_phys_request",
+    "mlt_phys_topk",
 ]
 
 

@@ -495,6 +495,7 @@ def wand_topk(
     wildcard: "str | list[str] | None" = None,
     term_range: "tuple[str, str] | None" = None,
     filter_queries: "Sequence[str] | None" = None,
+    pre_analyzed: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
@@ -544,7 +545,11 @@ def wand_topk(
     ``query`` terms here (wildcard-only strings use the logical plan).
     """
     spark = index.spark
-    qterms = _analyze_query(query, index.chain)
+    # pre_analyzed: the caller passes whitespace-joined INDEX TERMS (e.g.
+    # MoreLikeThis interesting terms read back from the index) — do not
+    # push them through the analyzer again (stemming is not idempotent)
+    qterms = (list(dict.fromkeys(query.split())) if pre_analyzed
+              else _analyze_query(query, index.chain))
     ex_terms = (_analyze_query(exclude_query, index.chain)
                 if exclude_query else [])
     ex_set = set(ex_terms)
@@ -1228,3 +1233,59 @@ def matching_doc_ids(
             filters_tbl.filter(F.col("term").isin(fq_terms)),
             allowMissingColumns=True)
     return _by_salt(matched, index).mapInPandas(emit, schema="doc_id long")
+
+
+def mlt_topk_phys(
+    index,
+    doc_key: int,
+    max_query_terms: int = 10,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+    k: int = 10,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Solr MoreLikeThis FROM THE PHYSICAL INDEX — how the /mlt handler
+    actually works (Lucene MoreLikeThis reads the source doc's term
+    vector from the index, never re-analyzes text): the source document's
+    packed tf row is point-read from the committed ``tf`` stage
+    (doc_id-sorted parquet → row-group pruned), its ``max_query_terms``
+    most interesting terms (``tf * ln(N/df)``, df from the index
+    dictionary, Lucene's interestingTerms ranking with the
+    ``min_term_freq``/``min_doc_freq`` floors) form the similarity
+    query, and block-max WAND answers it with the source doc excluded.
+
+    The interesting-term selection is the ONE driver-side step — a
+    single document's term profile, request-metadata-sized, exactly the
+    in-memory step the Solr handler performs. Corpus text is never read.
+    """
+    spark = index.spark
+    live_tf = (index.live_tf() if hasattr(index, "live_tf")
+               else index.store.read_stage(spark, "tf"))
+    rows = (
+        live_tf.filter(F.col("doc_id") == int(doc_key))
+        .select(F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+        .select(F.col("z.terms").alias("term"), F.col("z.tfs").alias("tf"))
+        .filter(F.col("tf") >= int(min_term_freq))
+        .join(index.cached_dictionary().select("term", "df"), "term")
+        .filter(F.col("df") >= int(min_doc_freq))
+        .collect()
+    )
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not rows:
+        return empty
+    n = index.n_docs
+    ranked = sorted(
+        rows, key=lambda r: (-(r["tf"] * math.log(n / r["df"])), r["term"])
+    )[: int(max_query_terms)]
+    terms = [r["term"] for r in ranked]
+    out = (
+        wand_topk(index, " ".join(terms), k=int(k) + 1, with_url=False,
+                  pre_analyzed=True)
+        .filter(F.col("doc_id") != int(doc_key))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+    if round_to is not None:
+        out = out.select(
+            "doc_id", F.round("score", int(round_to)).alias("score"))
+    return out

@@ -2060,6 +2060,32 @@ def q_bm25_qstring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis FROM THE PHYSICAL INDEX (wand.py:mlt_topk_phys):
+    the source doc's term vector is point-read from the committed
+    packed-tf stage (Lucene MLT reads the index term vector, never
+    re-analyzes text), interesting terms rank by tf*ln(N/df) with df
+    from the index dictionary, and block-max WAND answers the
+    similarity query with the source excluded. Twin: same SQL as the
+    logical mlt_topk — identical request, identical response."""
+    import hashlib
+
+    from .operators.wand import mlt_topk_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return mlt_topk_phys(
+        idx, 42, max_query_terms=10, min_term_freq=1, min_doc_freq=2,
+        k=10, round_to=4,
+    )
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -3854,6 +3880,7 @@ ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 # identical request through the physical index -> identical response
 ORACLE_SQL["select_phys_request"] = ORACLE_SQL["select_request"]
 
+
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
 
 ORACLE_SQL["bm25_not_phys_topk"] = _bm25_sql(exclude=["window"])
@@ -4387,6 +4414,9 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
 
+# identical MLT request through the physical index -> identical response
+ORACLE_SQL["mlt_phys_topk"] = ORACLE_SQL["mlt_topk"]
+
 ORACLE_SQL["bpe_train_step"] = r"""
 WITH pieces AS (
   SELECT unnest(regexp_extract_all(text,
@@ -4539,6 +4569,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_request": q_select_request,
     "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
     "select_phys_request": q_select_phys_request,
+    "mlt_phys_topk": q_mlt_phys_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,

@@ -158,3 +158,20 @@ def test_dismax_fq_through_multifield_index(spark, workdir, docs):
     ]
     assert got == want
     assert got, "fr filter must match something"
+
+
+def test_mlt_phys_equals_logical(spark, docs, idx):
+    """MoreLikeThis through the physical index (term vector point-read
+    from the packed tf stage, df from the dictionary, WAND scoring)
+    equals the logical table-scan MLT."""
+    from marc_solr_profiling_spark.operators.bm25 import more_like_this
+    from marc_solr_profiling_spark.operators.wand import mlt_topk_phys
+
+    got = [(r["doc_id"], r["score"])
+           for r in mlt_topk_phys(idx, 42, k=10, round_to=6).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in more_like_this(docs, 42, key_col="doc_id",
+                                    chain="simple", k=10,
+                                    round_to=6).collect()]
+    assert got == want
+    assert got
