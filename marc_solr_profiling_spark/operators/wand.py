@@ -1289,3 +1289,146 @@ def mlt_topk_phys(
         out = out.select(
             "doc_id", F.round("score", int(round_to)).alias("score"))
     return out
+
+
+def facet_match_counts(
+    index,
+    query: str | None = None,
+    facet_fields: "Sequence[str]" = (),
+    filter_queries: "Sequence[str] | None" = None,
+    min_match: int | str = 1,
+) -> DataFrame:
+    """FacetComponent executed entirely FROM THE INDEX: one salted kernel
+    pass emits, per salt, the q∩fq match-set size AND the per-value
+    facet counts — ``|facet_bitset ∩ match_bitset|`` over the unscored
+    filter postings (``build_index(filter_cols=...)``), exactly Lucene's
+    per-segment docvalues/bitset facet counting. No metadata table, no
+    corpus text, no scoring at query time.
+
+    Returns rows ``(facet_field, facet_value, count)`` plus one
+    ``('__num_found__', NULL, n)`` row. ``query=None`` is the
+    MatchAllDocsQuery battery (the reference's profiling request):
+    counts are live posting sizes per value and ``__num_found__`` is the
+    live doc count — still one metadata-only pass."""
+    spark = index.spark
+    filters_tbl = getattr(index, "filters", None)
+    if filters_tbl is None:
+        raise ValueError(
+            "facet_match_counts needs an index built with filter_cols")
+    prefixes = [f + ":" for f in facet_fields]
+    fq_terms = list(filter_queries or [])
+    dels = getattr(index, "deleted_array", lambda: None)()
+    match_all = query is None or query.strip() == "*:*"
+    qterms = [] if match_all else _analyze_query(query, index.chain)
+    mm = 0 if match_all else parse_mm_spec(min_match, len(qterms))
+    qset = set(qterms)
+    fq_set = set(fq_terms)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        out_t, out_c = [], []
+        for _, sub in pdf.groupby("salt", sort=False):
+            # the salt's match set
+            match = None
+            if not match_all:
+                parts = [
+                    np.concatenate([delta_decode(g).astype(np.int64)
+                                    for g in rows["doc_gaps"]])
+                    for t, rows in sub.groupby("term", sort=False)
+                    if t in qset
+                ]
+                if not parts:
+                    continue
+                uniq, counts = np.unique(np.concatenate(parts),
+                                         return_counts=True)
+                match = uniq[counts >= mm]
+            for ft in fq_terms:
+                frows = sub[sub["term"] == ft]
+                inc = (np.unique(np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in frows["doc_gaps"]]))
+                    if len(frows) else np.empty(0, dtype=np.int64))
+                if match is None:  # match-all: first fq set IS the match
+                    match = inc
+                elif match.size:
+                    pos = np.clip(np.searchsorted(inc, match), 0,
+                                  max(inc.size - 1, 0))
+                    match = (match[inc[pos] == match] if inc.size
+                             else match[:0])
+            if dels is not None and match is not None and match.size:
+                pos = np.clip(np.searchsorted(dels, match), 0,
+                              dels.size - 1)
+                match = match[dels[pos] != match]
+            if match is not None:
+                out_t.append("__num_found__")
+                out_c.append(int(match.size))
+                if match.size == 0:
+                    continue
+            # facet terms of this salt
+            is_facet = sub["term"].str.startswith(tuple(prefixes)) \
+                if prefixes else None
+            if is_facet is None:
+                continue
+            for t, rows in sub[is_facet].groupby("term", sort=False):
+                if t in fq_set and match is not None:
+                    # its intersection with match is match itself
+                    out_t.append(t)
+                    out_c.append(int(match.size))
+                    continue
+                ids = np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in rows["doc_gaps"]])
+                if match is not None:
+                    ids = np.unique(ids)
+                    pos = np.clip(np.searchsorted(match, ids), 0,
+                                  match.size - 1)
+                    n = int((match[pos] == ids).sum())
+                elif dels is not None:
+                    pos = np.clip(np.searchsorted(dels, ids), 0,
+                                  dels.size - 1)
+                    n = int((dels[pos] != ids).sum())
+                else:
+                    n = int(ids.size)
+                if n:
+                    out_t.append(t)
+                    out_c.append(n)
+        if out_t:
+            yield pd.DataFrame({"fterm": out_t, "count": out_c})
+
+    pred = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pred = c if pred is None else (pred | c)
+    for ft in fq_terms:
+        c = F.col("term") == ft
+        pred = c if pred is None else (pred | c)
+    matched = filters_tbl.filter(pred) if pred is not None \
+        else filters_tbl.limit(0)
+    if not match_all:
+        matched = index.segments.filter(
+            F.col("term").isin(qterms)
+        ).unionByName(matched, allowMissingColumns=True)
+    per_salt = _by_salt(matched, index).mapInPandas(
+        emit, schema="fterm string, count long")
+    agg = per_salt.groupBy("fterm").agg(F.sum("count").alias("count"))
+    split = F.split(F.col("fterm"), ":", 2)
+    out = agg.select(
+        F.when(F.col("fterm") == "__num_found__", F.lit("__num_found__"))
+        .otherwise(split.getItem(0)).alias("facet_field"),
+        F.when(F.col("fterm") == "__num_found__", F.lit(None))
+        .otherwise(split.getItem(1)).alias("facet_value"),
+        "count",
+    )
+    if match_all and not fq_terms:
+        # every live doc matches; __num_found__ comes from the stats
+        # stage (no salt emitted it — the kernel saw only facet terms)
+        nf = spark.createDataFrame(
+            [("__num_found__", None, int(index.n_docs))],
+            "facet_field string, facet_value string, count long")
+        out = out.unionByName(nf)
+    return out

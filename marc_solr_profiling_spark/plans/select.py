@@ -199,7 +199,7 @@ def solr_select(
 
 def solr_select_physical(
     index,
-    meta_docs: DataFrame,
+    meta_docs: DataFrame | None,
     q: str,
     key_col: str = "doc_id",
     fq: Sequence[str] = (),
@@ -222,16 +222,49 @@ def solr_select_physical(
 
     ``meta_docs``: table carrying ``key_col`` + the facet columns,
     aligned with the index's doc ids (build the index with
-    ``id_col=key_col``)."""
+    ``id_col=key_col``). When every facet field is covered by the
+    index's ``filter_cols`` stage, numFound AND the facet battery come
+    from ONE index-only kernel pass (``wand.facet_match_counts`` —
+    Lucene's per-segment bitset facet counting) and ``meta_docs`` may be
+    None: the whole request is answered from the index alone."""
     from pyspark.sql import Window
 
-    from ..operators.wand import matching_doc_ids, wand_topk
+    from ..operators.wand import (
+        facet_match_counts,
+        matching_doc_ids,
+        wand_topk,
+    )
 
     fqs = list(fq) or None
-    match = matching_doc_ids(
-        index, q, min_match=min_match, filter_queries=fqs
-    ).persist()
-    n_found = match.count()
+    fcols = set(index.store.get_meta().get("filter_cols", []) or [])
+    index_only = bool(facet_fields) and set(facet_fields) <= fcols
+
+    facets = None
+    if index_only:
+        # one pass: match-set size + per-value intersection counts,
+        # straight from the postings
+        fm = facet_match_counts(
+            index, q, facet_fields=list(facet_fields),
+            filter_queries=fqs, min_match=min_match,
+        ).persist()
+        n_found = int(
+            fm.filter(F.col("facet_field") == "__num_found__")
+            .agg(F.sum("count")).collect()[0][0] or 0
+        )
+        w = Window.partitionBy("facet_field").orderBy(
+            F.desc("count"), F.asc("facet_value"))
+        facets = (
+            fm.filter(F.col("facet_field") != "__num_found__")
+            .filter(F.col("count") >= facet_mincount)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= facet_limit)
+            .orderBy("facet_field", "rank")
+        )
+    else:
+        match = matching_doc_ids(
+            index, q, min_match=min_match, filter_queries=fqs
+        ).persist()
+        n_found = match.count()
 
     page = wand_topk(index, q, k=start + rows, with_url=False,
                      min_match=min_match, filter_queries=fqs)
@@ -248,8 +281,7 @@ def solr_select_physical(
     if key_col != "doc_id":
         page = page.withColumnRenamed("doc_id", key_col)
 
-    facets = None
-    if facet_fields:
+    if facet_fields and not index_only:
         domain = meta_docs.join(
             match.withColumnRenamed("doc_id", key_col), key_col,
             "left_semi")

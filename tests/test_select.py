@@ -146,3 +146,52 @@ def test_physical_select_paging(spark, docs, tmp_path):
     assert [r["rank"] for r in page2] == list(range(11, 21))
     assert ([(r["doc_id"], r["score"]) for r in page2]
             == [(r["doc_id"], r["score"]) for r in full[10:20]])
+
+
+def test_index_only_facets_match_metadata_join(spark, docs, tmp_path):
+    """facet_match_counts (bitset intersection in the kernel) equals the
+    metadata-join battery for q, q+fq, and the match-all battery — and
+    the match-all case never touches the docs table at all."""
+    from marc_solr_profiling_spark.operators.wand import facet_match_counts
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "fidx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+        filter_cols=["lang", "source"],
+    )
+
+    def via_metadata(q, fq):
+        # force the metadata path by asking for a field outside
+        # filter_cols?  simpler: call the logical select
+        pred = None
+        if fq:
+            pred = F.col("lang") == fq[0].split(":", 1)[1]
+        return solr_select(docs, q, fq=pred, rows=5,
+                           facet_fields=["lang", "source"])
+
+    for q, fq in [(Q, None), (Q, ["lang:en"]), (None, ["lang:de"])]:
+        phys = solr_select_physical(
+            idx, None, q, fq=fq or (), rows=5,
+            facet_fields=["lang", "source"])
+        logi = via_metadata(q, fq)
+        assert phys.num_found == logi.num_found, (q, fq)
+        gf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+              for r in phys.facets.collect()}
+        wf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+              for r in logi.facets.collect()}
+        assert gf == wf, (q, fq)
+
+    # pure match-all battery: counts == whole-table facet battery
+    fm = facet_match_counts(idx, None, facet_fields=["lang", "source"])
+    got = {(r["facet_field"], r["facet_value"]): r["count"]
+           for r in fm.filter(
+               F.col("facet_field") != "__num_found__").collect()}
+    want = {(r["facet_field"], r["facet_value"]): r["count"]
+            for r in facet_multi(docs, ["lang", "source"],
+                                 limit=10**6).collect()}
+    assert got == want
+    nf = {r["count"] for r in fm.filter(
+        F.col("facet_field") == "__num_found__").collect()}
+    assert nf == {docs.count()}
