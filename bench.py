@@ -98,6 +98,9 @@ HEADLINE = [
     "bm25_fq_phys_topk",
     "select_phys_request",
     "mlt_phys_topk",
+    "terms_component_phys",
+    "spellcheck_phys",
+    "suggest_prefix_phys",
 ]
 
 

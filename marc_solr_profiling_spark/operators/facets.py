@@ -250,3 +250,39 @@ def facet_queries(df: DataFrame, preds: "dict[str, object]") -> DataFrame:
         f"'{n}', `{n}`" for n in preds)  # labels are code-supplied
     return one.select(
         F.expr(f"stack({len(preds)}, {stack_args}) AS (facet, count)"))
+
+
+def terms_component_phys(index, *, lower: str | None = None,
+                         lower_incl: bool = True,
+                         upper: str | None = None, upper_incl: bool = False,
+                         prefix: str | None = None, regex: str | None = None,
+                         mincount: int = 1, maxcount: int | None = None,
+                         sort: str = "count", limit: int = 10) -> DataFrame:
+    """:func:`terms_component` answered FROM THE PHYSICAL INDEX — how the
+    Solr component actually runs (a range scan of the sorted term
+    dictionary, never a corpus pass): the same parameter surface becomes
+    pure predicates on the committed ``dictionary`` stage, whose parquet
+    is term-sorted (``plans/build.py`` commits it ``partition_sort=
+    ['term']``), so lower/upper/prefix prune to the browsed row groups
+    and df is read, not recomputed. The dictionary is delete-adjusted for
+    generation chains, so chain df values match a rebuild."""
+    t = F.col("term")
+    out = index.dictionary.select("term", "df")
+    if lower is not None:
+        out = out.filter(t >= lower if lower_incl else t > lower)
+    if upper is not None:
+        out = out.filter(t <= upper if upper_incl else t < upper)
+    if prefix is not None:
+        out = out.filter(t.startswith(prefix))
+    if regex is not None:
+        out = out.filter(t.rlike(regex))
+    out = out.filter(F.col("df") >= mincount)
+    if maxcount is not None:
+        out = out.filter(F.col("df") <= maxcount)
+    if sort == "count":
+        out = out.orderBy(F.desc("df"), F.asc("term"))
+    elif sort == "index":
+        out = out.orderBy(F.asc("term"))
+    else:
+        raise ValueError("terms.sort must be 'count' or 'index'")
+    return out.limit(int(limit))

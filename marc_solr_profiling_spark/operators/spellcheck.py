@@ -131,3 +131,74 @@ def suggest_prefix(
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(count)
     )
+
+
+def _rank_spell_candidates(dictionary: DataFrame, q: str, max_edits: int,
+                           min_prefix: int, accuracy: float, count: int,
+                           round_to: int) -> DataFrame:
+    """Shared DirectSolrSpellChecker candidate ranking over a (term, df)
+    dictionary frame (logical tf-derived or the physical index's
+    committed dictionary stage)."""
+    qlen = len(q)
+    sim = (
+        F.lit(1.0)
+        - F.col("distance") / F.greatest(F.length("term"), F.lit(qlen))
+    )
+    cand = (
+        dictionary
+        .filter(F.col("term") != q)
+        .filter(F.length("term").between(qlen - max_edits, qlen + max_edits))
+        .filter(F.substring("term", 1, min_prefix) == q[:min_prefix])
+        .withColumn(
+            "distance", F.levenshtein(F.col("term"), F.lit(q)).cast("int"))
+        .filter(F.col("distance") <= max_edits)
+        .withColumn("similarity", F.round(sim, round_to))
+        .filter(sim >= accuracy)
+    )
+    return (
+        cand.orderBy(
+            F.desc("similarity"), F.desc("df"), F.asc("term"))
+        .limit(count)
+        .select("term", "distance", F.col("df").cast("long").alias("df"),
+                "similarity")
+    )
+
+
+def spellcheck_suggest_phys(
+    index,
+    query_word: str,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    min_query_length: int = 4,
+    accuracy: float = 0.5,
+    count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`spellcheck_suggest` FROM THE PHYSICAL INDEX — the way
+    DirectSolrSpellChecker actually works (it walks the index term
+    dictionary directly, no corpus pass): candidates come from the
+    committed ``dictionary`` stage's (term, df) rows; the min_prefix
+    predicate is a range scan of the term-sorted parquet. df values are
+    delete-adjusted on generation chains, so ranking matches a rebuild."""
+    analyzed = ANALYZERS[index.chain](query_word)
+    q = analyzed[0] if analyzed else ""
+    if len(q) < min_query_length:
+        return index.spark.createDataFrame(
+            [], "term string, distance int, df long, similarity double")
+    return _rank_spell_candidates(
+        index.dictionary.select("term", "df"), q, max_edits, min_prefix,
+        accuracy, count, round_to)
+
+
+def suggest_prefix_phys(index, prefix: str, count: int = 5) -> DataFrame:
+    """:func:`suggest_prefix` FROM THE PHYSICAL INDEX: weight is the
+    collection frequency (cf) the dictionary stage already carries —
+    the prefix predicate prunes the term-sorted parquet row groups; no
+    corpus pass, no aggregation at query time."""
+    return (
+        index.dictionary
+        .filter(F.col("term").startswith(prefix))
+        .select("term", F.col("cf").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(count)
+    )

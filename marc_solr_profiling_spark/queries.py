@@ -2086,6 +2086,70 @@ def q_mlt_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_component_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent FROM THE PHYSICAL INDEX (facets.py:
+    terms_component_phys): the same parameter surface as a range scan of
+    the committed term-sorted dictionary stage — df read, not recomputed;
+    no corpus pass. Twin: same SQL as the logical terms_component."""
+    import hashlib
+
+    from .operators.facets import terms_component_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    out = terms_component_phys(
+        idx, prefix="s", lower="s", upper="t", mincount=2,
+        sort="count", limit=20,
+    )
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_spellcheck_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellCheckComponent FROM THE PHYSICAL INDEX (spellcheck.py:
+    spellcheck_suggest_phys — DirectSolrSpellChecker walks the index
+    term dictionary): same parameters, candidates from the committed
+    dictionary stage. Twin: same SQL as the logical spellcheck."""
+    import hashlib
+
+    from .operators.spellcheck import spellcheck_suggest_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return spellcheck_suggest_phys(idx, "sprk")
+
+
+def q_suggest_prefix_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuggestComponent FROM THE PHYSICAL INDEX (spellcheck.py:
+    suggest_prefix_phys): weight = the dictionary stage's collection
+    frequency, prefix as a sorted-dictionary range scan. Twin: same SQL
+    as the logical suggest_prefix."""
+    import hashlib
+
+    from .operators.spellcheck import suggest_prefix_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return suggest_prefix_phys(idx, "s", count=5)
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -3268,6 +3332,9 @@ ORDER BY df DESC, term ASC
 LIMIT 20
 """
 
+# same browse through the physical dictionary -> identical rows
+ORACLE_SQL["terms_component_phys"] = ORACLE_SQL["terms_component"]
+
 ORACLE_SQL["repetition_signals"] = """
 WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents WHERE doc_id < 500),
@@ -3879,6 +3946,7 @@ ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
 # identical request through the physical index -> identical response
 ORACLE_SQL["select_phys_request"] = ORACLE_SQL["select_request"]
+
 
 
 ORACLE_SQL["bm25_not_topk"] = _bm25_sql(exclude=["window"])
@@ -4570,6 +4638,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
     "select_phys_request": q_select_phys_request,
     "mlt_phys_topk": q_mlt_phys_topk,
+    "terms_component_phys": q_terms_component_phys,
+    "spellcheck_phys": q_spellcheck_phys,
+    "suggest_prefix_phys": q_suggest_prefix_phys,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4684,3 +4755,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "format_facet": q_format_facet,
 }
+
+# physical dictionary twins: identical request -> identical rows
+ORACLE_SQL["spellcheck_phys"] = ORACLE_SQL["spellcheck"]
+ORACLE_SQL["suggest_prefix_phys"] = ORACLE_SQL["suggest_prefix"]
