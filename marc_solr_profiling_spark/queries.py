@@ -4633,6 +4633,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stratified_sample, temperature_plan, pack_shards — all simple
     # exact-membership/numpy-twin ops, replica-gate-green at three SFs)
     # wait just past the window for round 5.
+    # Round-4d audit: every one of the current FIRST-50 entries is
+    # never-driver-green (verified against CORRECTNESS_r01-03 keys), so
+    # the window wastes zero slots; 12 never-green entries sit past it
+    # (bm25_dismax_pf_topk .. pack_shards, all replica-gate-green at
+    # three SFs) — ROUND 5: move those 12 to the front.
     "bm25_gen_topk": q_bm25_gen_topk,
     "select_request": q_select_request,
     "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
