@@ -101,6 +101,7 @@ HEADLINE = [
     "terms_component_phys",
     "spellcheck_phys",
     "suggest_prefix_phys",
+    "bm25_grouped_phys_topk",
 ]
 
 

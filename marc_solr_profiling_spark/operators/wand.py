@@ -1432,3 +1432,154 @@ def facet_match_counts(
             "facet_field string, facet_value string, count long")
         out = out.unionByName(nf)
     return out
+
+
+def grouped_topk_phys(
+    index,
+    query: str,
+    group_field: str,
+    k_groups: int = 10,
+    k_per_group: int = 2,
+    min_match: int | str = 1,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Solr result grouping / field collapse FROM THE PHYSICAL INDEX
+    (``group=true&group.field=X`` — Lucene's two-pass grouping collector
+    run per salt): the group of a doc comes from the indexed filter
+    postings (``filter_cols`` must cover ``group_field``), each salt
+    scores its matched docs once (decode-all accumulate — per-group
+    top-k cannot use a single global theta, so block-max pruning is
+    deliberately off; this is the dense-batch kernel's trade) and emits
+    its per-group match count plus its per-group top ``k_per_group``
+    candidates; the global pass sums counts, keeps each group's true
+    top docs (every salt's bests are present), ranks groups by best-doc
+    score and returns one row per kept (group, doc):
+    ``(group, group_found, rank, doc_id, score)`` — value-identical to
+    the logical :func:`..bm25.bm25_grouped_topk`."""
+    spark = index.spark
+    filters_tbl = getattr(index, "filters", None)
+    if filters_tbl is None:
+        raise ValueError(
+            "grouped_topk_phys needs an index built with filter_cols "
+            f"covering {group_field!r}")
+    qterms = _analyze_query(query, index.chain)
+    empty = spark.createDataFrame(
+        [], f"{group_field} string, group_found long, rank long, "
+            "doc_id long, score double")
+    if not qterms:
+        return empty
+    drows = index.cached_dictionary().filter(
+        F.col("term").isin(qterms)).collect()
+    if not drows:
+        return empty
+    idf_by_term = {r["term"]: bm25_idf(index.n_docs, int(r["df"]))
+                   for r in drows}
+    avgdl = index.avgdl
+    mm = parse_mm_spec(min_match, len(qterms))
+    dels = getattr(index, "deleted_array", lambda: None)()
+    prefix = group_field + ":"
+    kpg = int(k_per_group)
+    qset = set(idf_by_term)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        g_out, d_out, s_out, c_out = [], [], [], []
+        for _, sub in pdf.groupby("salt", sort=False):
+            id_parts, w_parts = [], []
+            for t, rows in sub.groupby("term", sort=False):
+                if t not in qset:
+                    continue
+                ids = np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in rows["doc_gaps"]])
+                tfs = np.concatenate(
+                    [varbyte_decode(b).astype(np.float64)
+                     for b in rows["tfs"]])
+                dls = np.concatenate(
+                    [varbyte_decode(b).astype(np.float64)
+                     for b in rows["dls"]])
+                id_parts.append(ids)
+                w_parts.append(
+                    idf_by_term[t] * tfs * (K1 + 1.0)
+                    / (tfs + K1 * (1.0 - B + B * dls / avgdl)))
+            if not id_parts:
+                continue
+            all_ids = np.concatenate(id_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            totals = np.zeros(uniq.size)
+            np.add.at(totals, inv, np.concatenate(w_parts))
+            counts = np.bincount(inv, minlength=uniq.size)
+            keep = counts >= mm
+            uniq, totals = uniq[keep], totals[keep]
+            if dels is not None and uniq.size:
+                pos = np.clip(np.searchsorted(dels, uniq), 0,
+                              dels.size - 1)
+                m = dels[pos] != uniq
+                uniq, totals = uniq[m], totals[m]
+            if uniq.size == 0:
+                continue
+            if round_to is not None:
+                scale = 10.0 ** round_to
+                totals = np.floor(totals * scale + 0.5) / scale
+            grows = sub[sub["term"].str.startswith(prefix)]
+            for gt, rows in grows.groupby("term", sort=False):
+                inc = np.concatenate(
+                    [delta_decode(g).astype(np.int64)
+                     for g in rows["doc_gaps"]])
+                inc = np.unique(inc)
+                pos = np.clip(np.searchsorted(inc, uniq), 0,
+                              max(inc.size - 1, 0))
+                member = (inc[pos] == uniq) if inc.size else \
+                    np.zeros(uniq.size, dtype=bool)
+                n_mem = int(member.sum())
+                if not n_mem:
+                    continue
+                gval = gt.split(":", 1)[1]
+                g_out.append(gval)
+                d_out.append(-1)
+                s_out.append(0.0)
+                c_out.append(n_mem)
+                gu, gtot = uniq[member], totals[member]
+                sel = _topk_exact(gu, gtot, kpg)
+                for i in sel:
+                    g_out.append(gval)
+                    d_out.append(int(gu[i]))
+                    s_out.append(float(gtot[i]))
+                    c_out.append(-1)
+        if g_out:
+            yield pd.DataFrame({"gval": g_out, "doc_id": d_out,
+                                "score": s_out, "n": c_out})
+
+    matched = index.segments.filter(
+        F.col("term").isin(list(qset))
+    ).unionByName(
+        filters_tbl.filter(F.col("term").startswith(prefix)),
+        allowMissingColumns=True)
+    raw = _by_salt(matched, index).mapInPandas(
+        emit, schema="gval string, doc_id long, score double, n long")
+    raw = raw.persist()
+    counts = (
+        raw.filter(F.col("n") >= 0)
+        .groupBy("gval").agg(F.sum("n").cast("long").alias("group_found"))
+    )
+    from pyspark.sql import Window
+
+    cands = raw.filter(F.col("n") < 0)
+    w = Window.partitionBy("gval").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = cands.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= kpg)
+    groups = (
+        cands.groupBy("gval").agg(F.max("score").alias("_top"))
+        .orderBy(F.desc("_top"), F.asc("gval")).limit(int(k_groups))
+    )
+    return (
+        ranked.join(groups, "gval").join(counts, "gval")
+        .select(F.col("gval").alias(group_field), "group_found",
+                F.col("rank").cast("long").alias("rank"),
+                "doc_id", "score")
+    )

@@ -2150,6 +2150,34 @@ def q_suggest_prefix_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_prefix_phys(idx, "s", count=5)
 
 
+def q_bm25_grouped_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result grouping / field collapse FROM THE PHYSICAL INDEX
+    (wand.py:grouped_topk_phys): group membership from the indexed
+    filter postings, per-salt two-pass grouping collector (per-group
+    match counts + per-group top docs), groups ranked by best-doc
+    score. Twin: same SQL as the logical bm25_grouped_topk."""
+    import hashlib
+
+    from .operators.wand import grouped_topk_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    out = grouped_topk_phys(
+        idx, FLAGSHIP_QUERY, "lang", k_groups=3, k_per_group=2,
+        round_to=4,
+    )
+    return out.select(
+        "lang", F.col("group_found").cast("long").alias("group_found"),
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score",
+    )
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4646,6 +4674,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terms_component_phys": q_terms_component_phys,
     "spellcheck_phys": q_spellcheck_phys,
     "suggest_prefix_phys": q_suggest_prefix_phys,
+    "bm25_grouped_phys_topk": q_bm25_grouped_phys_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4764,3 +4793,4 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # physical dictionary twins: identical request -> identical rows
 ORACLE_SQL["spellcheck_phys"] = ORACLE_SQL["spellcheck"]
 ORACLE_SQL["suggest_prefix_phys"] = ORACLE_SQL["suggest_prefix"]
+ORACLE_SQL["bm25_grouped_phys_topk"] = ORACLE_SQL["bm25_grouped_topk"]

@@ -175,3 +175,23 @@ def test_mlt_phys_equals_logical(spark, docs, idx):
                                     round_to=6).collect()]
     assert got == want
     assert got
+
+
+def test_grouped_phys_equals_logical(spark, docs, idx):
+    """Field collapse through the physical index (group membership from
+    filter postings, per-salt grouping collector) equals the logical
+    grouped plan — group ranks, per-group numFound, member docs."""
+    from marc_solr_profiling_spark.operators.bm25 import bm25_grouped_topk
+    from marc_solr_profiling_spark.operators.wand import grouped_topk_phys
+
+    got = {(r["lang"], r["rank"]): (r["group_found"], r["doc_id"],
+                                    r["score"])
+           for r in grouped_topk_phys(idx, Q, "lang", k_groups=4,
+                                      k_per_group=3).collect()}
+    want = {(r["lang"], r["rank"]): (r["group_found"], r["doc_id"],
+                                     r["score"])
+            for r in bm25_grouped_topk(docs, Q, "lang", key_col="doc_id",
+                                       k_groups=4, k_per_group=3,
+                                       chain="simple").collect()}
+    assert got == want
+    assert got
