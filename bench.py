@@ -102,6 +102,7 @@ HEADLINE = [
     "spellcheck_phys",
     "suggest_prefix_phys",
     "bm25_grouped_phys_topk",
+    "training_pipeline",
 ]
 
 

@@ -2178,6 +2178,44 @@ def q_bm25_grouped_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as one resumable plan
+    (plans/pipeline.py:build_training_data — the RefinedWeb/FineWeb
+    production shape): exact dedup -> Gopher quality gate -> benchmark
+    5-gram decontamination -> token-budget shard packing, every stage a
+    manifest-committed snapshot. The returned artifact is the final
+    packed corpus (doc, weight, shard); its membership encodes every
+    upstream gate, so the twin replays the WHOLE cascade in SQL —
+    dedup winners, the full Gopher rule battery, the shingle
+    anti-join, and the serial prefix-sum packing."""
+    import hashlib
+
+    from .plans.pipeline import build_training_data
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    td = build_training_data(
+        spark, docs, _scratch(f"msps_pipe_{tag}"),
+        key_col="doc_id", text_col="text", weight_col="n_chars",
+        stopwords=["the", "a"],
+        gopher_thresholds=dict(
+            min_tokens=30, max_tokens=80,
+            min_mean_word_len=4.4, max_mean_word_len=10.0,
+            min_distinct_stopwords=2, max_punct_ratio=0.25,
+            max_top2_frac=0.04, max_dup5_frac=0.0,
+        ),
+        fuzzy=None, benchmark=bench, decontam_n=5, decontam_max_hits=0,
+        tokens_per_shard=50_000,
+    )
+    out = td.packed()
+    wcol = out.columns[1]
+    return out.select(
+        "doc_id", F.col(wcol).cast("long").alias("n_chars"),
+        F.col("shard_id").cast("long").alias("shard_id"))
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4675,6 +4713,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spellcheck_phys": q_spellcheck_phys,
     "suggest_prefix_phys": q_suggest_prefix_phys,
     "bm25_grouped_phys_topk": q_bm25_grouped_phys_topk,
+    "training_pipeline": q_training_pipeline,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4794,3 +4833,89 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL["spellcheck_phys"] = ORACLE_SQL["spellcheck"]
 ORACLE_SQL["suggest_prefix_phys"] = ORACLE_SQL["suggest_prefix"]
 ORACLE_SQL["bm25_grouped_phys_topk"] = ORACLE_SQL["bm25_grouped_topk"]
+
+# the whole pipeline replayed in one SQL cascade: dedup winners -> Gopher
+# battery -> benchmark shingle anti-join -> serial prefix-sum packing
+ORACLE_SQL["training_pipeline"] = r'''
+WITH winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+docs1 AS (SELECT d.doc_id, d.text, d.n_chars
+          FROM documents d JOIN winners USING (doc_id)),
+tks AS (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM docs1),
+meas AS (
+  SELECT doc_id,
+    len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS mwl,
+    len(list_intersect(list_distinct(tk), ['the', 'a'])) AS dsw,
+    CASE WHEN length(text) > 0
+         THEN (length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+              ::DOUBLE / length(text)
+         ELSE 0.0 END AS punct
+  FROM tks),
+g2 AS (SELECT doc_id, 2 AS k,
+              array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+             FROM tks WHERE len(tk) >= 2)),
+g5 AS (SELECT doc_id, 5 AS k,
+              array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             FROM tks WHERE len(tk) >= 5)),
+counted AS (SELECT doc_id, k, gram, count(*) AS c
+            FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5)
+            GROUP BY 1, 2, 3),
+rep AS (SELECT doc_id,
+               round(coalesce(max(CASE WHEN k = 2 THEN mx / total END), 0.0),
+                     6) AS top2,
+               round(coalesce(max(CASE WHEN k = 5 THEN dup / total END), 0.0),
+                     6) AS dup5
+        FROM (SELECT doc_id, k, sum(c)::DOUBLE AS total, max(c) AS mx,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM counted GROUP BY 1, 2)
+        GROUP BY doc_id),
+q AS (
+  SELECT m.doc_id
+  FROM meas m LEFT JOIN rep USING (doc_id)
+  WHERE NOT ((n_tok < 30) OR (n_tok > 80)
+             OR (mwl < 4.4 OR mwl > 10.0) OR (dsw < 2) OR (punct > 0.25)
+             OR coalesce(top2 > 0.04, false)
+             OR coalesce(dup5 > 0.0, false))),
+docs2 AS (SELECT d.doc_id, d.n_chars, d.text
+          FROM docs1 d JOIN q USING (doc_id)),
+btoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                 AS toks
+          FROM documents WHERE doc_id % 41 = 0),
+bsh AS (SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(range(0, len(toks) - 4),
+        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5])
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE [] END)) AS s
+  FROM btoks),
+dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                 AS toks
+          FROM docs2),
+dsh AS (SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(range(0, len(toks) - 4),
+        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5])
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE [] END)) AS s
+  FROM dtoks),
+bad AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (s)),
+final AS (SELECT d.doc_id, d.n_chars FROM docs2 d
+          ANTI JOIN bad USING (doc_id)),
+w AS (SELECT doc_id, n_chars,
+             (sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_chars) AS s
+      FROM final)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       (s // 50000)::BIGINT AS shard_id
+FROM w
+'''
