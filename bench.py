@@ -103,6 +103,7 @@ HEADLINE = [
     "suggest_prefix_phys",
     "bm25_grouped_phys_topk",
     "training_pipeline",
+    "select_facets_request",
 ]
 
 

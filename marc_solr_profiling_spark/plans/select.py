@@ -46,6 +46,8 @@ class SelectResponse:
     docs: DataFrame                      # (key, score, rank) — the page
     facets: DataFrame | None = None      # (facet_field, facet_value, count, rank)
     highlights: DataFrame | None = None  # (key, matched_term, match_pos, snippet)
+    facet_ranges: DataFrame | None = None  # (facet_field, bucket_start, count)
+    facet_pivots: DataFrame | None = None  # (pivot, outer_value, outer_count, inner_value, count)
     params: dict = field(default_factory=dict)
 
     def response_frame(self, key_col: str = "doc_id") -> DataFrame:
@@ -90,6 +92,8 @@ def solr_select(
     facet_fields: Sequence[str] = (),
     facet_limit: int = 21,
     facet_mincount: int = 1,
+    facet_ranges: "Sequence[tuple] | None" = None,
+    facet_pivots: "Sequence[tuple] | None" = None,
     hl: bool = False,
     hl_frag_chars: int = 60,
     round_to: int = 4,
@@ -106,9 +110,13 @@ def solr_select(
 
     Facets (``facet.field`` list) count the q∩fq match set at
     ``facet.limit``/``facet.mincount`` with Solr's count-desc,
-    index-asc ordering. ``hl=True`` adds first-fragment snippets for
-    the page rows (same semantics as ``operators/bm25.py
-    highlight_topk``).
+    index-asc ordering. ``facet_ranges``: ``(field, start, end, gap)``
+    tuples (``facet.range``); ``facet_pivots``: ``(outer, inner[,
+    limit])`` tuples (``facet.pivot``) — both computed over the SAME
+    match-set domain as the field facets (the response's
+    facet_ranges/facet_pivots sections). ``hl=True`` adds
+    first-fragment snippets for the page rows (same semantics as
+    ``operators/bm25.py highlight_topk``).
     """
     match_all = q is None or q.strip() == "*:*"
     if match_all:
@@ -149,13 +157,43 @@ def solr_select(
         page = page.filter(F.col("rank") > start)
 
     facets = None
-    if facet_fields:
+    ranges_out = None
+    pivots_out = None
+    if facet_fields or facet_ranges or facet_pivots:
         domain = docs.join(
             matched.select(key_col), key_col, "left_semi"
         ) if not (match_all and fq is None) else docs
+    if facet_fields:
         facets = facet_multi(domain, list(facet_fields), limit=facet_limit)
         if facet_mincount > 1:
             facets = facets.filter(F.col("count") >= facet_mincount)
+    if facet_ranges:
+        from ..operators.facets import range_facet
+
+        parts = []
+        for fld, lo, hi, gap in facet_ranges:
+            parts.append(
+                range_facet(domain, fld, lo, hi, gap).select(
+                    F.lit(fld).alias("facet_field"), "bucket_start",
+                    "count"))
+        ranges_out = parts[0]
+        for p in parts[1:]:
+            ranges_out = ranges_out.unionByName(p)
+    if facet_pivots:
+        from ..operators.facets import pivot_facet
+
+        pparts = []
+        for spec in facet_pivots:
+            outer, inner = spec[0], spec[1]
+            lim = spec[2] if len(spec) > 2 else 50
+            pparts.append(
+                pivot_facet(domain, outer, inner, limit=lim).select(
+                    F.lit(f"{outer},{inner}").alias("pivot"),
+                    F.col(outer).alias("outer_value"), "outer_count",
+                    F.col(inner).alias("inner_value"), "count"))
+        pivots_out = pparts[0]
+        for p in pparts[1:]:
+            pivots_out = pivots_out.unionByName(p)
 
     highlights = None
     if hl and not match_all:
@@ -192,6 +230,8 @@ def solr_select(
         docs=page.select(key_col, "score", "rank"),
         facets=facets,
         highlights=highlights,
+        facet_ranges=ranges_out,
+        facet_pivots=pivots_out,
         params={"q": q, "start": start, "rows": rows,
                 "facet_fields": list(facet_fields)},
     )

@@ -2216,6 +2216,38 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_id").cast("long").alias("shard_id"))
 
 
+def q_select_facets_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select with the FULL facet surface over the q∩fq match set:
+    facet.range (n_chars buckets) + facet.pivot (lang,source) + numFound
+    in one request (plans/select.py solr_select facet_ranges/
+    facet_pivots). Twin recomputes the match set and both facet shapes
+    in SQL; flattened wire form (section, k, v, num, ord)."""
+    from .plans.select import solr_select
+
+    docs = _load(spark, sf_dir, "documents")
+    resp = solr_select(
+        docs, FLAGSHIP_QUERY, fq=F.col("lang") == "en", rows=5,
+        facet_ranges=[("n_chars", 0.0, 2000.0, 250.0)],
+        facet_pivots=[("lang", "source", 10)], round_to=4,
+    )
+    meta = spark.createDataFrame(
+        [("meta", "num_found", None, float(resp.num_found), 0)],
+        "section string, k string, v string, num double, ord int")
+    fr = resp.facet_ranges.select(
+        F.lit("frange").alias("section"),
+        F.col("facet_field").alias("k"),
+        F.col("bucket_start").cast("long").cast("string").alias("v"),
+        F.col("count").cast("double").alias("num"),
+        F.lit(0).alias("ord"))
+    fp = resp.facet_pivots.select(
+        F.lit("fpivot").alias("section"),
+        F.col("pivot").alias("k"),
+        F.concat_ws("|", "outer_value", "inner_value").alias("v"),
+        F.col("count").cast("double").alias("num"),
+        F.col("outer_count").cast("int").alias("ord"))
+    return meta.unionByName(fr).unionByName(fp)
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4714,6 +4746,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_prefix_phys": q_suggest_prefix_phys,
     "bm25_grouped_phys_topk": q_bm25_grouped_phys_topk,
     "training_pipeline": q_training_pipeline,
+    "select_facets_request": q_select_facets_request,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4919,3 +4952,39 @@ SELECT doc_id, n_chars::BIGINT AS n_chars,
        (s // 50000)::BIGINT AS shard_id
 FROM w
 '''
+
+ORACLE_SQL["select_facets_request"] = """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        '[a-z0-9]+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+       '[a-z0-9]+')) AS doc_len FROM documents),
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark', 'merge', 'window', 'stream']) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT doc_id FROM tf JOIN q USING (term) GROUP BY doc_id),
+m AS (SELECT s.doc_id, d.lang, d.source, d.n_chars
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en'),
+fr AS (
+  SELECT (floor(n_chars / 250.0) * 250)::BIGINT AS b, count(*) AS c
+  FROM m WHERE n_chars >= 0 AND n_chars < 2000 GROUP BY 1),
+pairs AS (
+  SELECT lang, source, count(*) AS c FROM m
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+otot AS (SELECT lang, sum(c) AS oc FROM pairs GROUP BY lang),
+pv AS (
+  SELECT * FROM (
+    SELECT p.lang, p.source, p.c, o.oc,
+           row_number() OVER (ORDER BY o.oc DESC, p.lang ASC,
+                              p.c DESC, p.source ASC) AS rn
+    FROM pairs p JOIN otot o USING (lang)) WHERE rn <= 10)
+SELECT 'meta' AS section, 'num_found' AS k, NULL AS v,
+       (SELECT count(*) FROM m)::DOUBLE AS num, 0 AS ord
+UNION ALL
+SELECT 'frange', 'n_chars', b::VARCHAR, c::DOUBLE, 0 FROM fr
+UNION ALL
+SELECT 'fpivot', 'lang,source', lang || '|' || source, c::DOUBLE,
+       oc::INT FROM pv
+"""

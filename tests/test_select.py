@@ -195,3 +195,35 @@ def test_index_only_facets_match_metadata_join(spark, docs, tmp_path):
     nf = {r["count"] for r in fm.filter(
         F.col("facet_field") == "__num_found__").collect()}
     assert nf == {docs.count()}
+
+
+def test_range_and_pivot_facets_on_match_set(spark, docs):
+    """facet.range and facet.pivot sections compute over the SAME q∩fq
+    match-set domain as the field facets."""
+    from marc_solr_profiling_spark.operators.facets import (
+        pivot_facet,
+        range_facet,
+    )
+
+    resp = solr_select(
+        docs, Q, fq=F.col("lang") == "en", rows=5,
+        facet_ranges=[("n_chars", 0.0, 2000.0, 250.0)],
+        facet_pivots=[("lang", "source", 10)],
+    )
+    matched = bm25_topk_sql_plan(
+        docs, Q, key_col="doc_id", chain="simple", round_to=4,
+        filter_query=F.col("lang") == "en", return_all_scored=True,
+    )
+    dom = docs.join(matched.select("doc_id"), "doc_id", "left_semi")
+    want_r = {(r["bucket_start"], r["count"])
+              for r in range_facet(dom, "n_chars", 0.0, 2000.0,
+                                   250.0).collect()}
+    got_r = {(r["bucket_start"], r["count"])
+             for r in resp.facet_ranges.collect()}
+    assert got_r == want_r and got_r
+    want_p = {(r["lang"], r["source"], r["outer_count"], r["count"])
+              for r in pivot_facet(dom, "lang", "source", 10).collect()}
+    got_p = {(r["outer_value"], r["inner_value"], r["outer_count"],
+              r["count"])
+             for r in resp.facet_pivots.collect()}
+    assert got_p == want_p and got_p
