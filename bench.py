@@ -104,6 +104,7 @@ HEADLINE = [
     "bm25_grouped_phys_topk",
     "training_pipeline",
     "select_facets_request",
+    "bm25_elevate_phys_topk",
 ]
 
 

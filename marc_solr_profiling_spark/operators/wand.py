@@ -496,6 +496,7 @@ def wand_topk(
     term_range: "tuple[str, str] | None" = None,
     filter_queries: "Sequence[str] | None" = None,
     pre_analyzed: bool = False,
+    restrict_ids: "Sequence[int] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score[, url]) for one query over a built index.
 
@@ -594,6 +595,10 @@ def wand_topk(
             raise ValueError(
                 "filter_queries need an index built with filter_cols "
                 "(no 'filters' stage present)")
+    # restrict_ids: a request-sized explicit id set (QueryElevation's
+    # score fetch) — one more include-set for the kernel
+    restrict = (np.unique(np.asarray(list(restrict_ids), dtype=np.int64))
+                if restrict_ids is not None else None)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -630,6 +635,8 @@ def wand_topk(
                             [delta_decode(g).astype(np.int64)
                              for g in frows["doc_gaps"]]))
                         if len(frows) else np.empty(0, dtype=np.int64))
+            if restrict is not None:
+                incs = (incs or []) + [restrict]
             bsets = None
             if has_mt:
                 terms = sub["term"]
@@ -1582,4 +1589,57 @@ def grouped_topk_phys(
         .select(F.col("gval").alias(group_field), "group_found",
                 F.col("rank").cast("long").alias("rank"),
                 "doc_id", "score")
+    )
+
+
+def elevate_topk_phys(
+    index,
+    query: str,
+    elevate_ids: "Sequence[int]",
+    k: int = 10,
+    force: bool = True,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """QueryElevationComponent FROM THE PHYSICAL INDEX (the /elevate
+    handler + elevate.xml, solrconfig-vanilla.xml:1522-1537): the
+    configured docs pin to the top in elevate.xml order; the remainder
+    follows in BM25 order. ``force=True`` (forceElevation) shows an
+    elevated doc even when it does not match — with a NULL score, since
+    it was never scored.
+
+    Execution: the elevated ids' true scores come from ONE restricted
+    kernel pass (``wand_topk(restrict_ids=...)`` — the ids ride the
+    matched-postings scan as an include-set; request-metadata-sized),
+    the remainder from the ordinary block-max top-(k+|elevated|). The
+    component is a post-scoring sort-key rewrite, exactly like the
+    logical :func:`..bm25.elevate_topk`."""
+    spark = index.spark
+    ids = [int(x) for x in elevate_ids]
+    edf = spark.createDataFrame(
+        [(i, p) for p, i in enumerate(ids)], "doc_id long, elev_pos int")
+    es = wand_topk(index, query, k=max(len(ids), 1), with_url=False,
+                   restrict_ids=ids)
+    rest = wand_topk(index, query, k=int(k) + len(ids), with_url=False)
+    if round_to is not None:
+        es = es.select("doc_id",
+                       F.round("score", int(round_to)).alias("score"))
+        rest = rest.select("doc_id",
+                           F.round("score", int(round_to)).alias("score"))
+    elev = edf.join(es, "doc_id", "left" if force else "inner")
+    rest = rest.join(F.broadcast(edf.select("doc_id")), "doc_id",
+                     "left_anti").withColumn(
+        "elev_pos", F.lit(None).cast("int"))
+    allr = elev.select("doc_id", "score", "elev_pos").unionByName(
+        rest.select("doc_id", "score", "elev_pos"))
+    return (
+        allr.orderBy(
+            F.when(F.col("elev_pos").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1)),
+            F.asc_nulls_last("elev_pos"),
+            F.desc_nulls_last("score"),
+            F.asc("doc_id"),
+        )
+        .limit(int(k))
+        .select("doc_id", "score",
+                F.col("elev_pos").isNotNull().alias("elevated"))
     )

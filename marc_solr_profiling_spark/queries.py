@@ -2248,6 +2248,27 @@ def q_select_facets_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.unionByName(fr).unionByName(fp)
 
 
+def q_bm25_elevate_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent through the PHYSICAL index
+    (wand.py:elevate_topk_phys): pinned docs scored by one restricted
+    kernel pass, remainder by block-max WAND, forceElevation NULL-score
+    semantics. Twin: same SQL as the logical bm25_elevate_topk."""
+    import hashlib
+
+    from .operators.wand import elevate_topk_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return elevate_topk_phys(idx, FLAGSHIP_QUERY, ELEVATE_IDS, k=10,
+                             force=True, round_to=4)
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4747,6 +4768,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_grouped_phys_topk": q_bm25_grouped_phys_topk,
     "training_pipeline": q_training_pipeline,
     "select_facets_request": q_select_facets_request,
+    "bm25_elevate_phys_topk": q_bm25_elevate_phys_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -4988,3 +5010,5 @@ UNION ALL
 SELECT 'fpivot', 'lang,source', lang || '|' || source, c::DOUBLE,
        oc::INT FROM pv
 """
+
+ORACLE_SQL["bm25_elevate_phys_topk"] = ORACLE_SQL["bm25_elevate_topk"]
