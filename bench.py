@@ -105,6 +105,7 @@ HEADLINE = [
     "training_pipeline",
     "select_facets_request",
     "bm25_elevate_phys_topk",
+    "bm25_explain_phys_topk",
 ]
 
 

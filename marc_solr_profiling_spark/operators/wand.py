@@ -1643,3 +1643,94 @@ def elevate_topk_phys(
         .select("doc_id", "score",
                 F.col("elev_pos").isNotNull().alias("elevated"))
     )
+
+
+def explain_topk_phys(
+    index,
+    query: str,
+    k: int = 10,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """DebugComponent score explanation FROM THE PHYSICAL INDEX
+    (``debug=true`` — Lucene's explain walks the index structures for
+    the requested docs, never the stored text): block-max WAND picks the
+    top-``k``, their ids (request-sized) ride a second restricted pass
+    over the same matched postings that emits one (doc, term, tf,
+    doc_len) row per matched query term, and the BM25 quantities
+    (df from the dictionary, collection stats) reassemble Lucene's
+    'sum of:' tree rows — ``(doc_id, score, term, tf, df, doc_len,
+    term_score)``, value-identical to the logical
+    :func:`..bm25.explain_topk`."""
+    spark = index.spark
+    qterms = _analyze_query(query, index.chain)
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double, term string, tf long, df long, "
+            "doc_len long, term_score double")
+    if not qterms:
+        return empty
+    top = wand_topk(index, query, k=k, with_url=False)
+    if round_to is not None:
+        top = top.select("doc_id",
+                         F.round("score", int(round_to)).alias("score"))
+    ids = np.asarray(sorted(r["doc_id"] for r in top.collect()),
+                     dtype=np.int64)
+    if ids.size == 0:
+        return empty
+    qset = set(qterms)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lst = list(batches)
+        if not lst:
+            return
+        pdf = pd.concat(lst, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        d_out, t_out, tf_out, dl_out = [], [], [], []
+        for t, rows in pdf.groupby("term", sort=False):
+            if t not in qset:
+                continue
+            dids = np.concatenate(
+                [delta_decode(g).astype(np.int64)
+                 for g in rows["doc_gaps"]])
+            tfs = np.concatenate(
+                [varbyte_decode(b).astype(np.int64) for b in rows["tfs"]])
+            dls = np.concatenate(
+                [varbyte_decode(b).astype(np.int64) for b in rows["dls"]])
+            pos = np.clip(np.searchsorted(ids, dids), 0, ids.size - 1)
+            m = ids[pos] == dids
+            if m.any():
+                d_out.append(dids[m])
+                t_out.extend([t] * int(m.sum()))
+                tf_out.append(tfs[m])
+                dl_out.append(dls[m])
+        if d_out:
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(d_out), "term": t_out,
+                "tf": np.concatenate(tf_out),
+                "doc_len": np.concatenate(dl_out)})
+
+    matched = index.segments.filter(F.col("term").isin(qterms))
+    rows = _by_salt(matched, index).mapInPandas(
+        emit, schema="doc_id long, term string, tf long, doc_len long")
+    d = index.cached_dictionary().select("term", "df")
+    n_docs, avgdl = float(index.n_docs), float(index.avgdl)
+    term_score = (
+        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+              + 1.0)
+        * F.col("tf") * F.lit(K1 + 1.0)
+        / (F.col("tf") + F.lit(K1)
+           * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(avgdl)))
+    )
+    out = (
+        rows.join(F.broadcast(d), "term")
+        .join(F.broadcast(top), "doc_id")
+        .withColumn("term_score", term_score)
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "term_score", F.round("term_score", int(round_to)))
+    return out.select(
+        "doc_id", "score", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("doc_len").cast("long").alias("doc_len"), "term_score")

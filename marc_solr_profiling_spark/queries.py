@@ -2269,6 +2269,27 @@ def q_bm25_elevate_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              force=True, round_to=4)
 
 
+def q_bm25_explain_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DebugComponent explain through the PHYSICAL index
+    (wand.py:explain_topk_phys): top-k via WAND, then the winners' ids
+    ride a restricted pass over the same matched postings emitting the
+    per-term tf/doc_len rows; df/stats from the dictionary. Twin: same
+    SQL as the logical bm25_explain_topk."""
+    import hashlib
+
+    from .operators.wand import explain_topk_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return explain_topk_phys(idx, FLAGSHIP_QUERY, k=10, round_to=4)
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4769,6 +4790,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": q_training_pipeline,
     "select_facets_request": q_select_facets_request,
     "bm25_elevate_phys_topk": q_bm25_elevate_phys_topk,
+    "bm25_explain_phys_topk": q_bm25_explain_phys_topk,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -5012,3 +5034,4 @@ SELECT 'fpivot', 'lang,source', lang || '|' || source, c::DOUBLE,
 """
 
 ORACLE_SQL["bm25_elevate_phys_topk"] = ORACLE_SQL["bm25_elevate_topk"]
+ORACLE_SQL["bm25_explain_phys_topk"] = ORACLE_SQL["bm25_explain_topk"]
