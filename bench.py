@@ -106,6 +106,7 @@ HEADLINE = [
     "select_facets_request",
     "bm25_elevate_phys_topk",
     "bm25_explain_phys_topk",
+    "result_clusters_phys",
 ]
 
 

@@ -1734,3 +1734,48 @@ def explain_topk_phys(
         F.col("tf").cast("long").alias("tf"),
         F.col("df").cast("long").alias("df"),
         F.col("doc_len").cast("long").alias("doc_len"), "term_score")
+
+
+def cluster_topk_phys(
+    index,
+    query: str,
+    k: int = 10,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Carrot2-style result clustering FROM THE PHYSICAL INDEX (the
+    ``clustering`` searchComponent — Carrot2 reads the hit documents'
+    term vectors and index stats, never re-analyzes text): the WAND
+    top-``k`` winners' packed tf rows are point-read from the
+    doc_id-sorted tf stage, each doc is labeled by its most salient
+    non-query term (``tf * ln(N/df)``, df from the dictionary, ties by
+    term asc). Returns ``(doc_id, label, salience)`` — value-identical
+    to the logical :func:`..bm25.cluster_topk`."""
+    from pyspark.sql import Window
+
+    spark = index.spark
+    qterms = set(_analyze_query(query, index.chain))
+    top = wand_topk(index, query, k=k, with_url=False).select("doc_id")
+    live_tf = (index.live_tf() if hasattr(index, "live_tf")
+               else index.store.read_stage(spark, "tf"))
+    cand = (
+        live_tf.join(F.broadcast(top), "doc_id")
+        .select("doc_id",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+        .select("doc_id", F.col("z.terms").alias("term"),
+                F.col("z.tfs").alias("tf"))
+        .filter(~F.col("term").isin(*sorted(qterms)))
+        .join(index.cached_dictionary().select("term", "df"), "term")
+        .withColumn(
+            "salience",
+            F.col("tf") * F.log(F.lit(float(index.n_docs)) / F.col("df")))
+    )
+    if round_to is not None:
+        cand = cand.withColumn(
+            "salience", F.round("salience", int(round_to)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("term"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("term").alias("label"), "salience")
+    )

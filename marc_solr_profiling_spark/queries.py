@@ -2290,6 +2290,26 @@ def q_bm25_explain_phys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explain_topk_phys(idx, FLAGSHIP_QUERY, k=10, round_to=4)
 
 
+def q_result_clusters_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result clustering through the PHYSICAL index
+    (wand.py:cluster_topk_phys): the hit docs' term vectors point-read
+    from the packed tf stage, salience from dictionary df — Carrot2
+    reads the index the same way. Twin: same SQL as result_clusters."""
+    import hashlib
+
+    from .operators.wand import cluster_topk_phys
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    return cluster_topk_phys(idx, FLAGSHIP_QUERY, k=10, round_to=4)
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4791,6 +4811,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_facets_request": q_select_facets_request,
     "bm25_elevate_phys_topk": q_bm25_elevate_phys_topk,
     "bm25_explain_phys_topk": q_bm25_explain_phys_topk,
+    "result_clusters_phys": q_result_clusters_phys,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -5035,3 +5056,4 @@ SELECT 'fpivot', 'lang,source', lang || '|' || source, c::DOUBLE,
 
 ORACLE_SQL["bm25_elevate_phys_topk"] = ORACLE_SQL["bm25_elevate_topk"]
 ORACLE_SQL["bm25_explain_phys_topk"] = ORACLE_SQL["bm25_explain_topk"]
+ORACLE_SQL["result_clusters_phys"] = ORACLE_SQL["result_clusters"]
