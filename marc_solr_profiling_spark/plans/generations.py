@@ -463,3 +463,212 @@ def maybe_compact(
     if len(index.stores) <= max_generations:
         return index
     return merge_generations(spark, index, out_path, keep=keep)
+
+
+def append_delta_multifield(
+    spark: SparkSession,
+    index,
+    out_path: str,
+    delta_docs: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> "object":
+    """:func:`append_delta` for the MULTI-FIELD (edismax) index
+    (``plans/multifield.py``) — the reference's default handler queries
+    this index, so its nightly updates get the same O(|delta|)
+    generation model: fresh ids above every ancestor, cumulative
+    tombstones masked inside the dismax kernel, per-FIELD stats and the
+    field-scoped dictionary exactly adjusted, and per-field block-max
+    cap rescaling under avgdl drift (``MultiFieldIndex.segments``).
+
+    Fields, analyzer chain, salts and block size are inherited from the
+    base; delete-wins-over-upsert and stage-gated resume match the
+    single-field path.
+    """
+    from ..operators.postings import tokenize_and_count_packed_fields
+    from .multifield import FIELD_SEP, MultiFieldIndex
+
+    meta = index.store.get_meta()
+    n_salts = int(meta.get("n_salts", index.n_salts))
+    block_size = int(meta.get("block_size", 128))
+    sep = meta.get("field_sep", FIELD_SEP)
+    chain = index.chain
+    # rebuild the (name, token_limit) list from the base fingerprint is
+    # not possible (meta keeps names only) — the builder stores limits in
+    # meta under "field_limits" when present; default None (whole stream)
+    names = list(meta.get("fields", []))
+    limits = meta.get("field_limits") or {}
+    field_list = [(n, limits.get(n)) for n in names]
+
+    if delta_docs is not None and delete_keys is not None:
+        delta_docs = delta_docs.join(
+            F.broadcast(delete_keys.select(
+                F.col(delete_keys.columns[0]).alias(key_col)).distinct()),
+            key_col, "left_anti",
+        )
+
+    store = IndexStore(out_path)
+    store.set_fingerprint(config_fingerprint({
+        "parent": index.store.path, "chain": chain, "n_salts": n_salts,
+        "block_size": block_size, "key_col": key_col, "fields": names,
+        "version": 1, "multifield": True,
+    }))
+
+    live = index.docs
+    if key_col not in live.columns:
+        raise ValueError(
+            f"base multifield docs stage lacks key column {key_col!r} "
+            "(build with build_multifield_index(key_col=...))")
+    keys = None
+    if delete_keys is not None:
+        keys = delete_keys.select(
+            F.col(delete_keys.columns[0]).alias(key_col))
+    if delta_docs is not None:
+        dk = delta_docs.select(F.col(key_col))
+        keys = dk if keys is None else keys.union(dk)
+    tombstones = None
+    if keys is not None:
+        tombstones = live.join(
+            F.broadcast(keys.distinct()), key_col
+        ).select("doc_id").persist()
+
+    old_dels = index.deletes_df()
+    new_dels = None
+    if tombstones is not None:
+        new_dels = tombstones.select("doc_id")
+        if old_dels is not None:
+            new_dels = old_dels.select("doc_id").union(new_dels).distinct()
+    elif old_dels is not None:
+        new_dels = old_dels.select("doc_id")
+    if new_dels is not None and not store.stage_complete("deletes"):
+        store.commit_stage("deletes", new_dels, partition_sort=["doc_id"])
+
+    # removed per-field contributions need the tombstoned docs' tf rows
+    removed_tf = None
+    if tombstones is not None:
+        chain_tf = None
+        for st in index.stores:
+            t = st.read_stage(spark, "tf")
+            chain_tf = t if chain_tf is None else chain_tf.unionByName(t)
+        removed_tf = chain_tf.join(
+            F.broadcast(tombstones), "doc_id").persist()
+
+    if delta_docs is not None:
+        all_docs = None
+        for st in index.stores:
+            d = st.read_stage(spark, "docs").select("doc_id")
+            all_docs = d if all_docs is None else all_docs.union(d)
+        next_id = int(
+            all_docs.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+        with_ids = assign_doc_ids(
+            delta_docs.select(*dict.fromkeys([key_col, text_col])),
+            key_col=key_col,
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
+        if not store.stage_complete("tf"):
+            store.commit_stage("tf", tokenize_and_count_packed_fields(
+                with_ids, field_list, key_col="doc_id", text_col=text_col,
+                chain=chain, sep=sep))
+        tf_stage = store.read_stage(spark, "tf")
+        if not store.stage_complete("docs"):
+            f0 = names[0]
+            doc_tbl = tf_stage.filter(F.col("field") == f0).select("doc_id")
+            if key_col != "doc_id":
+                doc_tbl = doc_tbl.join(
+                    with_ids.select("doc_id", key_col), "doc_id")
+            store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
+    else:
+        if not store.stage_complete("tf"):
+            store.commit_stage(
+                "tf", index.store.read_stage(spark, "tf").limit(0))
+        if not store.stage_complete("docs"):
+            store.commit_stage(
+                "docs", index.store.read_stage(spark, "docs").limit(0))
+        tf_stage = store.read_stage(spark, "tf")
+
+    # ---- per-field stats adjustment -------------------------------------
+    if not store.stage_complete("stats"):
+        old_stats = index.store.read_stage(spark, "stats")
+        delta_agg = tf_stage.groupBy("field").agg(
+            F.count("*").alias("d_n"), F.sum("doc_len").alias("d_t"))
+        adj = old_stats.join(delta_agg, "field", "left")
+        if removed_tf is not None:
+            rm_agg = removed_tf.groupBy("field").agg(
+                F.count("*").alias("r_n"), F.sum("doc_len").alias("r_t"))
+            adj = adj.join(rm_agg, "field", "left")
+        else:
+            adj = adj.withColumn("r_n", F.lit(0)).withColumn(
+                "r_t", F.lit(0))
+        adj = adj.select(
+            "field",
+            (F.col("n_docs") + F.coalesce("d_n", F.lit(0))
+             - F.coalesce("r_n", F.lit(0))).alias("n_docs"),
+            (F.col("total_tokens") + F.coalesce("d_t", F.lit(0))
+             - F.coalesce("r_t", F.lit(0))).alias("total_tokens"),
+        ).withColumn(
+            "avgdl",
+            F.when(F.col("n_docs") > 0,
+                   F.col("total_tokens").cast("double")
+                   / F.col("n_docs")).otherwise(F.lit(0.0)),
+        ).select("field", "n_docs", "avgdl", "total_tokens")
+        store.commit_stage("stats", adj)
+    new_favg = {r["field"]: float(r["avgdl"])
+                for r in store.read_stage(spark, "stats").collect()}
+
+    # ---- delta segments (per-field avgdl, built tight) ------------------
+    if not store.stage_complete("segments"):
+        favg = spark.createDataFrame(
+            [(f, a) for f, a in new_favg.items()],
+            "field string, _favgdl double")
+        n_rows = int(store.lineage()["stages"]["tf"]["rows"])
+        store.commit_stage("segments", build_segments_packed(
+            tf_stage.join(F.broadcast(favg), "field"), avgdl=0.0,
+            n_salts=n_salts, block_size=block_size,
+            range_buckets=_resolve_range_buckets(
+                "auto", spark, n_salts, max(n_rows // max(len(names), 1),
+                                            1)),
+            avgdl_col="_favgdl",
+        ))
+
+    # ---- adjusted field-scoped dictionary -------------------------------
+    if not store.stage_complete("dictionary"):
+        removed = None
+        if removed_tf is not None:
+            removed = (
+                removed_tf
+                .select(F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+                .select(F.col("z.terms").alias("term"),
+                        F.col("z.tfs").alias("tf"))
+                .groupBy("term")
+                .agg(F.count("*").alias("df_rm"),
+                     F.sum("tf").alias("cf_rm"))
+            )
+        delta_dict = store.read_stage(spark, "segments").groupBy(
+            "term").agg(F.sum("n_postings").alias("df_add"),
+                        F.sum("tf_sum").alias("cf_add"))
+        d = index.dictionary.join(delta_dict, "term", "full_outer")
+        if removed is not None:
+            d = d.join(removed, "term", "full_outer")
+        else:
+            d = d.withColumn("df_rm", F.lit(0)).withColumn(
+                "cf_rm", F.lit(0))
+        store.commit_stage("dictionary", d.select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_add", F.lit(0))
+             - F.coalesce("df_rm", F.lit(0))).alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_add", F.lit(0))
+             - F.coalesce("cf_rm", F.lit(0))).alias("cf"),
+        ).filter(F.col("df") > 0), partition_sort=["term"])
+
+    store.set_meta({
+        "parent": index.store.path, "n_salts": n_salts, "chain": chain,
+        "block_size": block_size, "fields": names, "field_sep": sep,
+        "field_limits": limits, "multifield": True, "key_col": key_col,
+        "built_field_avgdl": new_favg,
+        "generation": len(index.stores),
+    })
+    if tombstones is not None:
+        tombstones.unpersist()
+    if removed_tf is not None:
+        removed_tf.unpersist()
+    return MultiFieldIndex(store, spark, chain)

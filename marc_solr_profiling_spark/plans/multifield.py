@@ -56,22 +56,120 @@ class MultiFieldIndex:
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for r in store.read_stage(spark, "stats").collect()
         }
+        # generation chain, newest first (append_delta_multifield) —
+        # same model as plans/build.py InvertedIndex
+        self.stores = [self.store]
+        seen = {self.store.path}
+        parent = meta.get("parent")
+        while parent:
+            if parent in seen:
+                raise ValueError(f"generation chain cycle at {parent}")
+            seen.add(parent)
+            ps = IndexStore(parent)
+            self.stores.append(ps)
+            parent = ps.get_meta().get("parent")
+
+    def _gen_field_avgdl(self, store: IndexStore) -> dict:
+        """Per-field avgdl a generation's caps were built with."""
+        v = store.get_meta().get("built_field_avgdl")
+        if v:
+            return {str(k): float(x) for k, x in v.items()}
+        return {r["field"]: float(r["avgdl"])
+                for r in store.read_stage(self.spark, "stats").collect()}
 
     @property
     def segments(self) -> DataFrame:
-        return self.store.read_stage(self.spark, "segments")
+        if len(self.stores) == 1:
+            return self.store.read_stage(self.spark, "segments")
+        # per-FIELD cap rescaling under corpus drift (the single-field
+        # chain's avgdl argument, applied per field since each field has
+        # its own avgdl): scale_f = max(1, avgdl_now_f / avgdl_built_f),
+        # selected by the term-key's field prefix
+        parts = []
+        for st in self.stores:
+            seg = st.read_stage(self.spark, "segments")
+            built = self._gen_field_avgdl(st)
+            scale_expr = None
+            needs = False
+            fld = F.substring_index(F.col("term"), self.sep, 1)
+            for fname, (_, avgdl_now) in self.field_stats.items():
+                s = avgdl_now / max(built.get(fname, avgdl_now), 1e-12)
+                if s > 1.0:
+                    needs = True
+                cond = F.when(fld == fname, F.lit(float(max(1.0, s))))
+                scale_expr = (cond if scale_expr is None
+                              else scale_expr.when(
+                                  fld == fname, F.lit(float(max(1.0, s)))))
+            if needs and scale_expr is not None:
+                seg = seg.withColumn(
+                    "max_wnorm",
+                    F.col("max_wnorm") * scale_expr.otherwise(F.lit(1.0)))
+            parts.append(seg)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     @property
     def docs(self) -> DataFrame:
-        return self.store.read_stage(self.spark, "docs")
+        if len(self.stores) == 1:
+            return self.store.read_stage(self.spark, "docs")
+        out = None
+        for st in self.stores:
+            d = st.read_stage(self.spark, "docs")
+            out = d if out is None else out.unionByName(
+                d, allowMissingColumns=True)
+        dels = self.deletes_df()
+        if dels is not None:
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        return out
+
+    def live_tf(self) -> DataFrame:
+        out = None
+        for st in self.stores:
+            t = st.read_stage(self.spark, "tf")
+            out = t if out is None else out.unionByName(t)
+        dels = self.deletes_df()
+        if dels is not None:
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        return out
+
+    def deletes_df(self) -> DataFrame | None:
+        if self.store.stage_complete("deletes"):
+            return self.store.read_stage(self.spark, "deletes")
+        return None
+
+    def deleted_array(self):
+        """Sorted tombstone ids for kernel masking (see
+        plans/build.py InvertedIndex.deleted_array)."""
+        if hasattr(self, "_del_arr"):
+            return self._del_arr
+        import numpy as np
+
+        dels = self.deletes_df()
+        if dels is None:
+            self._del_arr = None
+        else:
+            arr = np.sort(np.asarray(
+                [r["doc_id"] for r in dels.select("doc_id").collect()],
+                dtype=np.int64))
+            self._del_arr = arr if arr.size else None
+        return self._del_arr
 
     @property
     def filters(self) -> DataFrame | None:
         """Unscored fq filter postings (``filter_cols`` build option) —
-        same contract as the single-field index's ``filters`` stage."""
-        if self.store.stage_complete("filters"):
-            return self.store.read_stage(self.spark, "filters")
-        return None
+        same contract as the single-field index's ``filters`` stage
+        (chain: every generation must carry it, else None)."""
+        parts = []
+        for st in self.stores:
+            if not st.stage_complete("filters"):
+                return None
+            parts.append(st.read_stage(self.spark, "filters"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     @property
     def dictionary(self) -> DataFrame:
@@ -132,13 +230,15 @@ def build_multifield_index(
     store.set_meta({
         "n_salts": n_salts, "chain": chain, "block_size": block_size,
         "fields": [n for n, _ in field_list], "field_sep": FIELD_SEP,
+        "field_limits": {n: lim for n, lim in field_list},
         "multifield": True,
     })
 
     persisted: list = []
     with_ids = None
     need_filters = bool(filter_cols) and not store.stage_complete("filters")
-    if not store.stage_complete("tf") or need_filters:
+    if not store.stage_complete("tf") or need_filters or (
+            key_col != "doc_id" and not store.stage_complete("docs")):
         if id_col is not None:
             with_ids = docs.withColumn("doc_id", F.col(id_col).cast("long"))
         else:
@@ -184,13 +284,15 @@ def build_multifield_index(
 
     if not store.stage_complete("docs"):
         # one packed row per doc within any single field — field 0's rows
-        # give (doc_id) with no dedup shuffle
+        # give (doc_id) with no dedup shuffle; the external key column
+        # rides along when distinct from doc_id (generational appends
+        # upsert by it)
         f0 = field_list[0][0]
-        store.commit_stage(
-            "docs",
-            tf.filter(F.col("field") == f0).select("doc_id"),
-            partition_sort=["doc_id"],
-        )
+        doc_tbl = tf.filter(F.col("field") == f0).select("doc_id")
+        if key_col != "doc_id" and with_ids is not None:
+            doc_tbl = doc_tbl.join(
+                with_ids.select("doc_id", key_col), "doc_id")
+        store.commit_stage("docs", doc_tbl, partition_sort=["doc_id"])
 
     if not store.stage_complete("segments"):
         favg = store.read_stage(spark, "stats").select(
@@ -221,5 +323,15 @@ def build_multifield_index(
             ),
             partition_sort=["term"],
         )
+
+    if "built_field_avgdl" not in store.get_meta():
+        store.set_meta({
+            "built_field_avgdl": {
+                r["field"]: float(r["avgdl"])
+                for r in store.read_stage(spark, "stats").collect()
+            },
+            "key_col": key_col,
+            "filter_cols": list(filter_cols or []),
+        })
 
     return MultiFieldIndex(store, spark, chain)

@@ -307,3 +307,64 @@ def test_kill_mid_append_resumes_without_recompute(spark, workdir, docs,
         want = sorted(map(tuple, ref.store.read_stage(spark, st).collect()))
         assert got == want, f"stage {st} differs after append resume"
     _assert_same_results(idx, ref)
+
+
+def test_multifield_generation_chain(spark, workdir, docs):
+    """Generational appends for the MULTI-FIELD (edismax) index: a
+    2-generation chain with upserts+deletes is dismax-value-identical to
+    a from-scratch rebuild of the live corpus (per-field stats and the
+    field-scoped dictionary exactly adjusted; tombstones masked in the
+    dismax kernel; per-field cap rescaling)."""
+    from marc_solr_profiling_spark.operators.wand import dismax_topk
+    from marc_solr_profiling_spark.plans.generations import (
+        append_delta_multifield,
+    )
+    from marc_solr_profiling_spark.plans.multifield import (
+        build_multifield_index,
+    )
+
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = docs.filter(n < 200)
+    mods = base.filter(F.xxhash64("url") % 9 == 0).withColumn(
+        "text", F.concat(F.lit("revised heading material "),
+                         F.col("text")))
+    dels = base.filter(F.xxhash64("url") % 11 == 3).select("url")
+    fields = [("title", 8), ("body", None)]
+
+    idx0 = build_multifield_index(
+        spark, base, f"{workdir}/mf_base", fields=fields, key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    idx1 = append_delta_multifield(
+        spark, idx0, f"{workdir}/mf_g1",
+        delta_docs=docs.filter(n >= 200).unionByName(mods),
+        delete_keys=dels, key_col="url",
+    )
+    assert len(idx1.stores) == 2
+    dead = {r["url"] for r in dels.collect()}
+    live = _live(docs, dead, mods.filter(~F.col("url").isin(list(dead))))
+    ref = build_multifield_index(
+        spark, live, f"{workdir}/mf_ref", fields=fields, key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    assert idx1.field_stats == ref.field_stats
+    got_d = {r["term"]: (r["df"], r["cf"])
+             for r in idx1.dictionary.collect()}
+    want_d = {r["term"]: (r["df"], r["cf"])
+              for r in ref.dictionary.collect()}
+    assert got_d == want_d
+
+    qf = {"title": 2.0, "body": 1.0}
+    for q in QUERIES:
+        def urls(ix):
+            out = dismax_topk(ix, q, qf=qf, tie=0.1, k=10, round_to=6)
+            rows = out.join(ix.docs.select("doc_id", "url"),
+                            "doc_id").collect()
+            return {(r["url"], r["score"]) for r in rows}, \
+                sorted((r["score"] for r in rows), reverse=True)
+
+        g_set, g_sc = urls(idx1)
+        w_set, w_sc = urls(ref)
+        assert g_sc == w_sc, q
+        assert g_set == w_set, q
+        assert not {u for u, _ in g_set} & dead, q
