@@ -672,3 +672,98 @@ def append_delta_multifield(
     if removed_tf is not None:
         removed_tf.unpersist()
     return MultiFieldIndex(store, spark, chain)
+
+
+def merge_generations_multifield(
+    spark: SparkSession,
+    index,
+    out_path: str,
+    keep: int = 1,
+    block_size: int | None = None,
+) -> "object":
+    """:func:`merge_generations` for the multi-field index: re-segment
+    the newest ``len(chain) - keep`` generations' per-(doc, field)
+    packed tf rows with caps rebuilt tight at the CURRENT per-field
+    avgdl, apply their tombstones physically, carry the rest.
+    ``keep=0`` collapses the whole chain (the optimize analog)."""
+    from .multifield import FIELD_SEP, MultiFieldIndex
+
+    chain_len = len(index.stores)
+    if keep < 0 or keep >= max(chain_len, 1) and keep != 0:
+        raise ValueError(f"keep must be in [0, {chain_len - 1}]")
+    meta = index.store.get_meta()
+    n_salts = int(meta.get("n_salts", index.n_salts))
+    bs = int(block_size or meta.get("block_size", 128))
+    names = list(meta.get("fields", []))
+    sep = meta.get("field_sep", FIELD_SEP)
+
+    merged_stores = (index.stores if keep == 0
+                     else index.stores[: chain_len - keep])
+    parent_store = None if keep == 0 else index.stores[chain_len - keep]
+
+    store = IndexStore(out_path)
+    store.set_fingerprint(config_fingerprint({
+        "merge_of": [s.path for s in merged_stores],
+        "parent": parent_store.path if parent_store else None,
+        "block_size": bs, "multifield": True, "version": 1,
+    }))
+
+    merged_tf = None
+    merged_docs = None
+    for st in merged_stores:
+        t = st.read_stage(spark, "tf")
+        d = st.read_stage(spark, "docs")
+        merged_tf = t if merged_tf is None else merged_tf.unionByName(t)
+        merged_docs = (d if merged_docs is None else
+                       merged_docs.unionByName(d,
+                                               allowMissingColumns=True))
+
+    dels = index.deletes_df()
+    carried = None
+    if dels is not None:
+        merged_ids = merged_docs.select("doc_id")
+        applied = dels.join(merged_ids, "doc_id", "left_semi")
+        carried = dels.join(merged_ids, "doc_id", "left_anti")
+        merged_tf = merged_tf.join(
+            F.broadcast(applied), "doc_id", "left_anti")
+        merged_docs = merged_docs.join(
+            F.broadcast(applied), "doc_id", "left_anti")
+        if keep == 0 or carried.limit(1).count() == 0:
+            carried = None
+    if carried is not None:
+        store.commit_stage("deletes", carried, partition_sort=["doc_id"])
+
+    store.commit_stage("tf", merged_tf)
+    store.commit_stage("docs", merged_docs, partition_sort=["doc_id"])
+    store.commit_stage("stats", index.store.read_stage(spark, "stats"))
+    store.commit_stage("dictionary", index.dictionary,
+                       partition_sort=["term"])
+    filt = index.filters
+    if filt is not None:
+        store.commit_stage("filters", filt)
+
+    favg_map = {f: a for f, (_, a) in index.field_stats.items()}
+    favg = spark.createDataFrame(
+        [(f, float(a)) for f, a in favg_map.items()],
+        "field string, _favgdl double")
+    tf = store.read_stage(spark, "tf")
+    n_rows = int(store.lineage()["stages"]["tf"]["rows"])
+    store.commit_stage("segments", build_segments_packed(
+        tf.join(F.broadcast(favg), "field"), avgdl=0.0,
+        n_salts=n_salts, block_size=bs,
+        range_buckets=_resolve_range_buckets(
+            "auto", spark, n_salts,
+            max(n_rows // max(len(names), 1), 1)),
+        avgdl_col="_favgdl",
+    ))
+
+    store.set_meta({
+        "parent": parent_store.path if parent_store else None,
+        "n_salts": n_salts, "chain": index.chain, "block_size": bs,
+        "fields": names, "field_sep": sep,
+        "field_limits": meta.get("field_limits") or {},
+        "multifield": True, "key_col": meta.get("key_col"),
+        "built_field_avgdl": favg_map,
+        "generation": keep,
+    })
+    return MultiFieldIndex(store, spark, index.chain)

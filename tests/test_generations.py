@@ -368,3 +368,47 @@ def test_multifield_generation_chain(spark, workdir, docs):
         assert g_sc == w_sc, q
         assert g_set == w_set, q
         assert not {u for u, _ in g_set} & dead, q
+
+
+def test_multifield_force_merge(spark, workdir, docs):
+    """Collapsing a multifield chain (merge keep=0 — the optimize
+    analog) keeps dismax results identical and drops the delete set."""
+    from marc_solr_profiling_spark.operators.wand import dismax_topk
+    from marc_solr_profiling_spark.plans.generations import (
+        append_delta_multifield,
+        merge_generations_multifield,
+    )
+    from marc_solr_profiling_spark.plans.multifield import (
+        build_multifield_index,
+    )
+
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    fields = [("title", 8), ("body", None)]
+    idx0 = build_multifield_index(
+        spark, docs.filter(n < 200), f"{workdir}/mfm_base",
+        fields=fields, key_col="url", chain="text", n_salts=4,
+        block_size=32,
+    )
+    idx1 = append_delta_multifield(
+        spark, idx0, f"{workdir}/mfm_g1",
+        delta_docs=docs.filter(n >= 200),
+        delete_keys=docs.filter(n % 13 == 5).select("url"),
+        key_col="url",
+    )
+    merged = merge_generations_multifield(
+        spark, idx1, f"{workdir}/mfm_opt", keep=0)
+    assert len(merged.stores) == 1
+    assert merged.deletes_df() is None
+    qf = {"title": 2.0, "body": 1.0}
+    for q in QUERIES[:3]:
+        def res(ix):
+            out = dismax_topk(ix, q, qf=qf, tie=0.1, k=10, round_to=6)
+            rows = out.join(ix.docs.select("doc_id", "url"),
+                            "doc_id").collect()
+            return ({(r["url"], r["score"]) for r in rows},
+                    sorted((r["score"] for r in rows), reverse=True))
+
+        g, gs = res(merged)
+        w, ws = res(idx1)
+        assert gs == ws, q
+        assert g == w, q
