@@ -107,6 +107,7 @@ HEADLINE = [
     "bm25_elevate_phys_topk",
     "bm25_explain_phys_topk",
     "result_clusters_phys",
+    "cached_page2",
 ]
 
 

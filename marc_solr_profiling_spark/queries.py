@@ -2310,6 +2310,34 @@ def q_result_clusters_phys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_topk_phys(idx, FLAGSHIP_QUERY, k=10, round_to=4)
 
 
+def q_cached_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queryResultCache serving path (operators/resultcache.py —
+    solrconfig.xml:36-46 FastLRU + window 80): page 2 (start=10 rows=10)
+    of the flagship query served FROM THE CACHED WINDOW of one bounded
+    kernel run (the first page primes it; the second request is a cache
+    hit, asserted). Twin: analytic BM25 rows 11-20."""
+    import hashlib
+
+    from .operators.resultcache import CachedSearcher
+    from .plans.build import build_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    s = CachedSearcher(idx, size=16, window=80)
+    s.search(FLAGSHIP_QUERY, 0, 10)          # primes the window
+    page2 = s.search(FLAGSHIP_QUERY, 10, 10)  # served from cache
+    assert s.stats.hits == 1 and s.stats.misses == 1
+    return spark.createDataFrame(
+        [(int(d), float(round(sc, 4))) for d, sc in page2],
+        "doc_id long, score double",
+    )
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4812,6 +4840,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_elevate_phys_topk": q_bm25_elevate_phys_topk,
     "bm25_explain_phys_topk": q_bm25_explain_phys_topk,
     "result_clusters_phys": q_result_clusters_phys,
+    "cached_page2": q_cached_page2,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -5057,3 +5086,25 @@ SELECT 'fpivot', 'lang,source', lang || '|' || source, c::DOUBLE,
 ORACLE_SQL["bm25_elevate_phys_topk"] = ORACLE_SQL["bm25_elevate_topk"]
 ORACLE_SQL["bm25_explain_phys_topk"] = ORACLE_SQL["bm25_explain_topk"]
 ORACLE_SQL["result_clusters_phys"] = ORACLE_SQL["result_clusters"]
+
+ORACLE_SQL["cached_page2"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+{_DL_CTE},
+cs AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+ranked AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))), 4)
+           AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cs
+  GROUP BY doc_id)
+SELECT doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM ranked) WHERE rn BETWEEN 11 AND 20
+"""
