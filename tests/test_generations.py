@@ -412,3 +412,67 @@ def test_multifield_force_merge(spark, workdir, docs):
         w, ws = res(idx1)
         assert gs == ws, q
         assert g == w, q
+
+
+def test_cap_rescaling_under_strong_avgdl_drift(spark, workdir):
+    """Adversarial pruning-exactness check: the base is built on SHORT
+    docs (small avgdl), the delta appends LONG docs that multiply the
+    global avgdl — the regime where stale base-generation block caps
+    UNDERSTATE true BM25 weights and unsound pruning would silently drop
+    true top-k docs. The chain must stay value-identical to a rebuild."""
+    short = generate_web_pages(spark, 150, seed=31, partitions=4) \
+        .select("url", F.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')").alias("text"))
+    long_ = generate_web_pages(spark, 150, seed=32, partitions=4) \
+        .select(F.concat(F.lit("L"), "url").alias("url"),
+                F.concat_ws(" ", "text", "text", "text").alias("text"))
+    idx0 = build_index(
+        spark, short, f"{workdir}/drift_base", key_col="url",
+        chain="text", n_salts=4, block_size=16,
+    )
+    chain = append_delta(spark, idx0, f"{workdir}/drift_g1",
+                         delta_docs=long_, key_col="url")
+    # the drift is real: appended avgdl must dwarf the built one
+    built = idx0.avgdl
+    assert chain.avgdl > 3 * built
+    ref = build_index(
+        spark, short.unionByName(long_), f"{workdir}/drift_ref",
+        key_col="url", chain="text", n_salts=4, block_size=16,
+    )
+    _assert_same_results(chain, ref, k=15)
+
+
+def test_grouped_phys_over_generation_chain(spark, workdir, docs):
+    """grouped_topk_phys (per-salt grouping collector) over a 2-gen
+    chain with deletes equals the rebuild — group counts included."""
+    from marc_solr_profiling_spark.operators.wand import grouped_topk_phys
+
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    aug = docs.withColumn(
+        "grp", F.concat(F.lit("g"), (n % 4).cast("string")))
+    base = aug.filter(n < 200).select("url", "text", "grp")
+    rest = aug.filter(n >= 200).select("url", "text", "grp")
+    dels = aug.filter(n % 17 == 2).select("url")
+    idx0 = build_index(
+        spark, base, f"{workdir}/gg_base", key_col="url", chain="text",
+        n_salts=4, block_size=32, filter_cols=["grp"],
+    )
+    chain = append_delta(spark, idx0, f"{workdir}/gg_g1",
+                         delta_docs=rest, delete_keys=dels,
+                         key_col="url")
+    dead = {r["url"] for r in dels.collect()}
+    ref = build_index(
+        spark, _live(aug.select("url", "text", "grp"), dead),
+        f"{workdir}/gg_ref", key_col="url", chain="text",
+        n_salts=4, block_size=32, filter_cols=["grp"],
+    )
+
+    def res(ix):
+        out = grouped_topk_phys(ix, "the of and", "grp", k_groups=4,
+                                k_per_group=2, round_to=6)
+        rows = out.join(ix.docs.select("doc_id", "url"),
+                        "doc_id").collect()
+        return {(r["grp"], r["group_found"], r["rank"], r["url"],
+                 r["score"]) for r in rows}
+
+    assert res(chain) == res(ref)
