@@ -249,6 +249,9 @@ def solr_select_physical(
     facet_fields: Sequence[str] = (),
     facet_limit: int = 21,
     facet_mincount: int = 1,
+    hl: bool = False,
+    text_col: str = "text",
+    hl_frag_chars: int = 60,
     round_to: int | None = 4,
 ) -> SelectResponse:
     """The /select request answered FROM THE PHYSICAL INDEX — how Solr
@@ -329,10 +332,50 @@ def solr_select_physical(
         if facet_mincount > 1:
             facets = facets.filter(F.col("count") >= facet_mincount)
 
+    highlights = None
+    if hl:
+        # highlighting needs the STORED text — Solr reads stored fields
+        # for the page docs only; here that is the meta_docs table joined
+        # on the page keys (page-sized join, pure string expressions)
+        if meta_docs is None or text_col not in meta_docs.columns:
+            raise ValueError(
+                f"hl=True needs meta_docs with a {text_col!r} column "
+                "(the stored-field table)")
+        from ..functions.analyzer import ANALYZERS
+
+        qterms: list[str] = []
+        for t in ANALYZERS[index.chain](q):
+            if t not in qterms:
+                qterms.append(t)
+        NOPOS = 1 << 30
+        lower = F.lower(F.col(text_col))
+        cands = F.array(*[
+            F.struct(
+                F.when(F.locate(t, lower) > 0, F.locate(t, lower))
+                .otherwise(F.lit(NOPOS)).cast("int").alias("pos"),
+                F.lit(t).alias("term"),
+            )
+            for t in sorted(qterms)
+        ])
+        best = F.array_min(cands)
+        found = best["pos"] < NOPOS
+        start_at = F.greatest(best["pos"] - 30, F.lit(1))
+        highlights = (
+            page.join(meta_docs.select(key_col, text_col), key_col)
+            .select(
+                key_col,
+                F.when(found, best["term"]).alias("matched_term"),
+                F.when(found, best["pos"]).cast("int").alias("match_pos"),
+                F.when(found, F.substring(F.col(text_col), start_at,
+                                          hl_frag_chars)).alias("snippet"),
+            )
+        )
+
     return SelectResponse(
         num_found=n_found,
         docs=page.select(key_col, "score", "rank"),
         facets=facets,
+        highlights=highlights,
         params={"q": q, "fq": list(fq), "start": start, "rows": rows,
                 "facet_fields": list(facet_fields), "physical": True},
     )

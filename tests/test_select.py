@@ -227,3 +227,23 @@ def test_range_and_pivot_facets_on_match_set(spark, docs):
               r["count"])
              for r in resp.facet_pivots.collect()}
     assert got_p == want_p and got_p
+
+
+def test_physical_select_highlights(spark, docs, tmp_path):
+    """hl=True on the physical select: snippets from the stored-field
+    table for the page docs only — equal to the logical component."""
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "hlidx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+    )
+    phys = solr_select_physical(idx, docs, Q, rows=10, hl=True)
+    got = {r["doc_id"]: (r["matched_term"], r["match_pos"], r["snippet"])
+           for r in phys.highlights.collect()}
+    want = {r["doc_id"]: (r["matched_term"], r["match_pos"], r["snippet"])
+            for r in highlight_topk(docs, Q, key_col="doc_id", k=10,
+                                    frag_chars=60, chain="simple",
+                                    round_to=4).collect()}
+    assert got == want and got
