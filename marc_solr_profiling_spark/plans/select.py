@@ -89,6 +89,7 @@ def solr_select(
     start: int = 0,
     rows: int = 10,
     min_match: int | str | None = None,
+    sort: str | None = None,
     facet_fields: Sequence[str] = (),
     facet_limit: int = 21,
     facet_mincount: int = 1,
@@ -142,17 +143,37 @@ def solr_select(
 
     # Solr offset paging: bounded top-(start+rows) sort over the match
     # set first (a TakeOrdered physical op — never a full sort), THEN the
-    # rank window runs over that <= start+rows-row frame only
-    page = (
-        matched.orderBy(F.desc("score"), F.asc(key_col))
-        .limit(start + rows)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc(key_col))
-            ),
+    # rank window runs over that <= start+rows-row frame only.
+    # ``sort``: the Solr sort parameter (functions/sort_spec grammar,
+    # sortMissingLast) replaces the default relevance order; non-score
+    # sort fields are joined from the docs table for the MATCH SET only.
+    # Include a unique key in the spec for a deterministic page (Solr's
+    # cursor contract makes the same demand).
+    if sort:
+        from ..functions.sort_spec import parse_sort_spec, sort_columns
+
+        extra = [f for f, _ in parse_sort_spec(sort)
+                 if f not in ("score", key_col)]
+        frame = matched.select(key_col, "score")
+        if extra:
+            frame = frame.join(docs.select(key_col, *extra), key_col)
+        keys = sort_columns(sort)
+        order_w = Window.orderBy(*keys)
+        page = (
+            frame.orderBy(*keys).limit(start + rows)
+            .withColumn("rank", F.row_number().over(order_w))
         )
-    )
+    else:
+        page = (
+            matched.orderBy(F.desc("score"), F.asc(key_col))
+            .limit(start + rows)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("score"), F.asc(key_col))
+                ),
+            )
+        )
     if start:
         page = page.filter(F.col("rank") > start)
 
@@ -246,6 +267,7 @@ def solr_select_physical(
     start: int = 0,
     rows: int = 10,
     min_match: int | str = 1,
+    sort: str | None = None,
     facet_fields: Sequence[str] = (),
     facet_limit: int = 21,
     facet_mincount: int = 1,
@@ -309,20 +331,49 @@ def solr_select_physical(
         ).persist()
         n_found = match.count()
 
-    page = wand_topk(index, q, k=start + rows, with_url=False,
-                     min_match=min_match, filter_queries=fqs)
-    if round_to is not None:
-        page = page.select(
-            "doc_id", F.round("score", round_to).alias("score"))
-    page = page.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"),
-                                           F.asc("doc_id"))),
-    )
+    if sort:
+        # Solr field sorting (sort=... replaces relevance): the page is
+        # the match bitset joined to the metadata table's sort columns
+        # (docvalues analog), bounded-sorted — no scoring at all. A spec
+        # referencing 'score' IS the default path; use sort=None.
+        from ..functions.sort_spec import parse_sort_spec, sort_columns
+
+        fields = parse_sort_spec(sort)
+        if any(f == "score" for f, _ in fields):
+            raise ValueError(
+                "sort specs referencing 'score' are the default "
+                "relevance path — pass sort=None")
+        if meta_docs is None:
+            raise ValueError("field sorting needs meta_docs")
+        extra = [f for f, _ in fields if f != key_col]
+        # the index-only facet path never materialized the id frame;
+        # fetch it here (one postings pass, no scoring)
+        m = (matching_doc_ids(index, q, min_match=min_match,
+                              filter_queries=fqs)
+             if index_only else match)
+        frame = m.withColumnRenamed("doc_id", key_col).join(
+            meta_docs.select(key_col, *extra), key_col)
+        keys = sort_columns(sort)
+        page = (
+            frame.orderBy(*keys).limit(start + rows)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*keys)))
+            .withColumn("score", F.lit(None).cast("double"))
+        )
+    else:
+        page = wand_topk(index, q, k=start + rows, with_url=False,
+                         min_match=min_match, filter_queries=fqs)
+        if round_to is not None:
+            page = page.select(
+                "doc_id", F.round("score", round_to).alias("score"))
+        page = page.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"),
+                                               F.asc("doc_id"))),
+        )
+        if key_col != "doc_id":
+            page = page.withColumnRenamed("doc_id", key_col)
     if start:
         page = page.filter(F.col("rank") > start)
-    if key_col != "doc_id":
-        page = page.withColumnRenamed("doc_id", key_col)
 
     if facet_fields and not index_only:
         domain = meta_docs.join(

@@ -247,3 +247,41 @@ def test_physical_select_highlights(spark, docs, tmp_path):
                                     frag_chars=60, chain="simple",
                                     round_to=4).collect()}
     assert got == want and got
+
+
+def test_sort_parameter_logical_and_physical(spark, docs, tmp_path):
+    """Solr sort= replaces relevance order: the page is the match set
+    ordered by the field spec (sortMissingLast) — logical and physical
+    agree, and both equal a direct sort of the match-set join."""
+    from marc_solr_profiling_spark.functions.sort_spec import sort_columns
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    spec = "lang asc, n_chars desc, doc_id asc"
+    logi = solr_select(docs, Q, sort=spec, rows=10)
+    matched = bm25_topk_sql_plan(
+        docs, Q, key_col="doc_id", chain="simple", round_to=4,
+        return_all_scored=True,
+    )
+    want = [r["doc_id"] for r in
+            matched.join(docs.select("doc_id", "lang", "n_chars"),
+                         "doc_id")
+            .orderBy(*sort_columns(spec)).limit(10).collect()]
+    got = [(r["doc_id"], r["rank"]) for r in logi.docs.collect()]
+    assert [d for d, _ in got] == want
+    assert [rk for _, rk in got] == list(range(1, 11))
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "sortidx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+    )
+    phys = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "n_chars"), Q, sort=spec,
+        rows=10)
+    assert [r["doc_id"] for r in phys.docs.collect()] == want
+    assert phys.num_found == logi.num_found
+    # page 2 consistency under sort
+    p2 = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "n_chars"), Q, sort=spec,
+        start=5, rows=5)
+    assert [r["doc_id"] for r in p2.docs.collect()] == want[5:10]
