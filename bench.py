@@ -108,6 +108,7 @@ HEADLINE = [
     "bm25_explain_phys_topk",
     "result_clusters_phys",
     "cached_page2",
+    "select_sort_request",
 ]
 
 

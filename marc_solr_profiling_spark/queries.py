@@ -2338,6 +2338,32 @@ def q_cached_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_select_sort_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select with the Solr sort parameter through the PHYSICAL index
+    (plans/select.py solr_select_physical(sort=...)): the match bitset
+    from the postings joined to metadata sort columns, bounded field
+    sort replacing relevance — no scoring at all. Twin: the match set
+    re-derived analytically, same ORDER BY."""
+    import hashlib
+
+    from .plans.build import build_index
+    from .plans.select import solr_select_physical
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    resp = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "n_chars"), FLAGSHIP_QUERY,
+        sort="lang asc, n_chars desc, doc_id asc", rows=10,
+    )
+    return resp.docs.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_select_phys_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /select request answered FROM THE PHYSICAL INDEX
     (plans/select.py solr_select_physical — how Solr executes it): match
@@ -4841,6 +4867,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_explain_phys_topk": q_bm25_explain_phys_topk,
     "result_clusters_phys": q_result_clusters_phys,
     "cached_page2": q_cached_page2,
+    "select_sort_request": q_select_sort_request,
     "bm25_qstring_topk": q_bm25_qstring_topk,
     "dsir_select": q_dsir_select,
     "dedup_incremental": q_dedup_incremental,
@@ -5107,4 +5134,15 @@ SELECT doc_id, score FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
   FROM ranked) WHERE rn BETWEEN 11 AND 20
+"""
+
+ORACLE_SQL["select_sort_request"] = f"""
+WITH {_TOK_CTE},
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+SELECT doc_id, rank FROM (
+  SELECT m.doc_id,
+         row_number() OVER (ORDER BY d.lang ASC, d.n_chars DESC,
+                            m.doc_id ASC)::BIGINT AS rank
+  FROM m JOIN documents d USING (doc_id)) WHERE rank <= 10
 """
