@@ -4831,27 +4831,67 @@ FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.key_b
 """
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- rotation note (round 4): the driver's CORRECTNESS gate checks only the
-    # FIRST 50 dict entries.  Entries that have never had (or lost) a
-    # driver-green row are placed FIRST; round-3-green entries follow.  Every
-    # entry keeps passing tools/check_oracle.py regardless of position.
-    # Round-4b: all 47 never-driver-checked entries sit inside the window,
-    # plus three of the five entries that fell out of r02's window
-    # (pub_dates, facet_lang_remap, booklist_enrich); reindex_fields and
-    # lang_id — both r02-driver-green and replica-gate-green at three SFs —
-    # yielded their slots to the new operators and rotate back in round 5.
-    # Round-4c: the 7 new operators (qstring, dsir, incremental dedup,
-    # train shuffle, physical term-boost/wildcard/range) lead; to make
-    # room, pub_dates + facet_lang_remap (r02-driver-green) rotate out
-    # and 5 never-driver-checked r3 entries (pagerank, hash_split,
-    # stratified_sample, temperature_plan, pack_shards — all simple
-    # exact-membership/numpy-twin ops, replica-gate-green at three SFs)
-    # wait just past the window for round 5.
-    # Round-4d audit: every one of the current FIRST-50 entries is
-    # never-driver-green (verified against CORRECTNESS_r01-03 keys), so
-    # the window wastes zero slots; 12 never-green entries sit past it
-    # (bm25_dismax_pf_topk .. pack_shards, all replica-gate-green at
-    # three SFs) — ROUND 5: move those 12 to the front.
+    # --- rotation note (round 5): the driver's CORRECTNESS gate checks only the
+    # FIRST 50 dict entries.  Final rotation: the 23 entries that have never
+    # had a driver-green row (range_facet .. pack_shards, verified against
+    # CORRECTNESS_r01-r04 keys) lead; new round-5 operators are inserted
+    # directly after them; the remaining slots re-confirm the OLDEST
+    # driver-green entries (round-1 window).  After this round every one of
+    # the catalog entries has had a driver CORRECTNESS row.
+    # --- 23 never-driver-green (rounds 1-4) ---
+    "range_facet": q_range_facet,
+    "pivot_facet": q_pivot_facet,
+    "highlight_topk": q_highlight_topk,
+    "format_mixin_facet": q_format_mixin_facet,
+    "decontaminate": q_decontaminate,
+    "clean_funnel": q_clean_funnel,
+    "lm_perplexity": q_lm_perplexity,
+    "bpe_tokens": q_bpe_tokens,
+    "webtext_pass": q_webtext_pass,
+    "callnum_lop": q_callnum_lop,
+    "profile_battery": q_profile_battery,
+    "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
+    "repetition_signals": q_repetition_signals,
+    "dedup_ngram_removal": q_dedup_ngram_removal,
+    "url_dedup": q_url_dedup,
+    "pii_redact": q_pii_redact,
+    "c4_line_filter": q_c4_line_filter,
+    "line_dedup": q_line_dedup,
+    "pagerank": q_pagerank,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "temperature_plan": q_temperature_plan,
+    "pack_shards": q_pack_shards,
+    # --- round-5 additions are inserted here (keep the 23 above in-window) ---
+    # --- oldest driver-green (round-1) re-confirmations fill the window ---
+    "tf_top": q_tf_top,
+    "doc_stats": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "postings_top": q_postings_top,
+    "bm25_topk": q_bm25_topk,
+    "bm25_wand_topk": q_bm25_wand_topk,
+    "bm25_incr_topk": q_bm25_incr_topk,
+    "bm25_and_topk": q_bm25_and_topk,
+    "bm25_mm_topk": q_bm25_mm_topk,
+    "search_facet_lang": q_search_facet_lang,
+    "lsh_candidates": q_lsh_candidates,
+    "knn_ivf": q_knn_ivf,
+    "numfound": q_numfound,
+    "terms_browse": q_terms_browse,
+    "term_vectors": q_term_vectors,
+    "facet_lang": q_facet_lang,
+    "facet_source": q_facet_source,
+    "facet_event_type": q_facet_event_type,
+    "facet_order_priority": q_facet_order_priority,
+    "year_facet": q_year_facet,
+    "doc_fetch": q_doc_fetch,
+    "dedup_exact": q_dedup_exact,
+    "text_profile": q_text_profile,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_sig": q_minhash_sig,
+    "simhash": q_simhash,
+    "knn_cosine": q_knn_cosine,
+    # --- past the 50-entry window: all driver-green in r2-r4 ---
     "bm25_gen_topk": q_bm25_gen_topk,
     "select_request": q_select_request,
     "bm25_fq_phys_topk": q_bm25_fq_phys_topk,
@@ -4902,45 +4942,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_grouped_topk": q_bm25_grouped_topk,
     "mlt_topk": q_mlt_topk,
     "stats_component": q_stats_component,
-    "range_facet": q_range_facet,
-    "pivot_facet": q_pivot_facet,
-    "highlight_topk": q_highlight_topk,
-    "format_mixin_facet": q_format_mixin_facet,
-    "decontaminate": q_decontaminate,
-    "clean_funnel": q_clean_funnel,
-    "lm_perplexity": q_lm_perplexity,
-    "bpe_tokens": q_bpe_tokens,
-    "webtext_pass": q_webtext_pass,
-    "callnum_lop": q_callnum_lop,
-    "profile_battery": q_profile_battery,
-    "bm25_dismax_pf_topk": q_bm25_dismax_pf_topk,
-    "repetition_signals": q_repetition_signals,
-    "dedup_ngram_removal": q_dedup_ngram_removal,
-    "url_dedup": q_url_dedup,
-    "pii_redact": q_pii_redact,
-    "c4_line_filter": q_c4_line_filter,
-    "line_dedup": q_line_dedup,
     "pub_dates": q_pub_dates,
     "facet_lang_remap": q_facet_lang_remap,
-    "pagerank": q_pagerank,
-    "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "temperature_plan": q_temperature_plan,
-    "pack_shards": q_pack_shards,
     "booklist_enrich": q_booklist_enrich,
     "lang_id": q_lang_id,
     "reindex_fields": q_reindex_fields,
-    # --- round-3 driver-green entries (CORRECTNESS_r03.json) below ---
-    "tf_top": q_tf_top,
-    "doc_stats": q_doc_stats,
-    "collection_stats": q_collection_stats,
-    "postings_top": q_postings_top,
-    "bm25_topk": q_bm25_topk,
-    "bm25_wand_topk": q_bm25_wand_topk,
-    "bm25_incr_topk": q_bm25_incr_topk,
-    "bm25_and_topk": q_bm25_and_topk,
     "bm25_and_phys_topk": q_bm25_and_phys_topk,
-    "bm25_mm_topk": q_bm25_mm_topk,
     "bm25_mm_spec_topk": q_bm25_mm_spec_topk,
     "bm25_mm_spec_phys_topk": q_bm25_mm_spec_phys_topk,
     "bm25_stopword_topk": q_bm25_stopword_topk,
@@ -4951,37 +4958,20 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_dismax_topk": q_bm25_dismax_topk,
     "bm25_dismax_phys_topk": q_bm25_dismax_phys_topk,
     "bm25_phrase_slop_phys_topk": q_bm25_phrase_slop_phys_topk,
-    "search_facet_lang": q_search_facet_lang,
-    "lsh_candidates": q_lsh_candidates,
-    "knn_ivf": q_knn_ivf,
     "embed_neardup": q_embed_neardup,
     "lsh_jaccard": q_lsh_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "simhash_neardup": q_simhash_neardup,
-    "numfound": q_numfound,
-    "terms_browse": q_terms_browse,
     "terms_component": q_terms_component,
     "sort_spec_page": q_sort_spec_page,
     "gopher_filter": q_gopher_filter,
-    "term_vectors": q_term_vectors,
-    "facet_lang": q_facet_lang,
-    "facet_source": q_facet_source,
-    "facet_event_type": q_facet_event_type,
-    "facet_order_priority": q_facet_order_priority,
     "facet_multi": q_facet_multi,
     "windowed_counts": q_windowed_counts,
     "realtime_get": q_realtime_get,
-    "year_facet": q_year_facet,
-    "doc_fetch": q_doc_fetch,
-    "dedup_exact": q_dedup_exact,
-    "text_profile": q_text_profile,
-    "ngram_jaccard": q_ngram_jaccard,
-    "minhash_sig": q_minhash_sig,
-    "simhash": q_simhash,
-    "knn_cosine": q_knn_cosine,
     "merge_upsert": q_merge_upsert,
     "format_facet": q_format_facet,
 }
+
 
 # physical dictionary twins: identical request -> identical rows
 ORACLE_SQL["spellcheck_phys"] = ORACLE_SQL["spellcheck"]
