@@ -61,6 +61,46 @@ from .build import (
 from .lineage import IndexStore, config_fingerprint
 
 
+def _guard_out_path(index, out_path: str) -> None:
+    """Refuse an ``out_path`` that is already a store of the target
+    chain. Writing a generation onto a live ancestor would wipe its
+    stage directories (``set_fingerprint`` clears on parent change) and
+    install a self-referential parent — destroying the chain the
+    durability contract promises to preserve. This is exactly the
+    failure mode of an at-least-once ``foreachBatch`` replay
+    (``streaming/ingest.py stream_index_generations``), so it fails
+    loudly here rather than corrupting."""
+    import os
+
+    target = os.path.abspath(out_path)
+    for st in index.stores:
+        if os.path.abspath(st.path) == target:
+            raise ValueError(
+                f"append out_path {out_path!r} is a live store of the "
+                "target index's generation chain — appending onto an "
+                "ancestor would corrupt the chain (replayed micro-batch? "
+                "publish a fresh generation path instead)")
+
+
+def _dedup_delta(delta_docs: DataFrame, key_col: str) -> DataFrame:
+    """One live row per key within a delta batch (the reference merger's
+    one-record-per-id contract, ``MarcMerger.java`` min ⋈ merge loop):
+    two same-key rows in one batch would BOTH get fresh doc ids while
+    only the pre-batch id is tombstoned, breaking upsert-by-key
+    uniqueness until some later append. Latest ``warc_ts`` wins when the
+    column is present (re-crawled page semantics); otherwise an
+    arbitrary-but-single row via dropDuplicates."""
+    if "warc_ts" in delta_docs.columns:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc_nulls_last("warc_ts"))
+        return (delta_docs
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    return delta_docs.dropDuplicates([key_col])
+
+
 def _key_expr(df: DataFrame, key_col: str):
     if key_col not in df.columns:
         raise ValueError(
@@ -90,6 +130,7 @@ def append_delta(
     INHERITED from the base — a generation chain must be
     kernel-compatible (same salt function domain, same analyzer).
     """
+    _guard_out_path(index, out_path)
     meta = index.store.get_meta()
     n_salts = int(meta.get("n_salts", index.n_salts))
     block_size = int(meta.get("block_size", 128))
@@ -114,6 +155,8 @@ def append_delta(
                 F.col(delete_keys.columns[0]).alias(key_col)).distinct()),
             key_col, "left_anti",
         )
+    if delta_docs is not None:
+        delta_docs = _dedup_delta(delta_docs, key_col)
 
     store = IndexStore(out_path)
     store.set_fingerprint(config_fingerprint({
@@ -489,6 +532,7 @@ def append_delta_multifield(
     from ..operators.postings import tokenize_and_count_packed_fields
     from .multifield import FIELD_SEP, MultiFieldIndex
 
+    _guard_out_path(index, out_path)
     meta = index.store.get_meta()
     n_salts = int(meta.get("n_salts", index.n_salts))
     block_size = int(meta.get("block_size", 128))
@@ -507,6 +551,8 @@ def append_delta_multifield(
                 F.col(delete_keys.columns[0]).alias(key_col)).distinct()),
             key_col, "left_anti",
         )
+    if delta_docs is not None:
+        delta_docs = _dedup_delta(delta_docs, key_col)
 
     store = IndexStore(out_path)
     store.set_fingerprint(config_fingerprint({

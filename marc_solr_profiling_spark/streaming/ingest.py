@@ -261,6 +261,19 @@ def stream_index_generations(
         schema or WEB_PAGES_SCHEMA).parquet(source_dir)
 
     def process(batch_df, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between _publish and the
+        # checkpoint commit replays this batch_id. The publish marker IS
+        # the idempotence token — if CURRENT already names this batch's
+        # generation (or its compaction), the batch was fully applied and
+        # the replay must be a no-op (re-appending would route
+        # append_delta at a live store of its own chain, which
+        # plans/generations.py _guard_out_path now refuses loudly).
+        if os.path.exists(current_ptr):
+            with open(current_ptr) as f:
+                head = os.path.basename(f.read().strip().rstrip("/"))
+            if head in (f"gen_{batch_id}", f"gen_{batch_id}_d",
+                        f"compact_{batch_id}"):
+                return
         if batch_df.isEmpty():
             return
         dels = None

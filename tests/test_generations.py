@@ -476,3 +476,63 @@ def test_grouped_phys_over_generation_chain(spark, workdir, docs):
                  r["score"]) for r in rows}
 
     assert res(chain) == res(ref)
+
+
+def test_append_refuses_live_chain_out_path(spark, workdir, docs):
+    """append_delta(out_path=<a live store of the chain>) must fail
+    loudly: set_fingerprint would wipe the ancestor's stages and write a
+    self-referential parent (the at-least-once replay corruption)."""
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = build_index(
+        spark, docs.filter(n < 60), f"{workdir}/guard_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    with pytest.raises(ValueError, match="live store"):
+        append_delta(
+            spark, base, f"{workdir}/guard_base",
+            delta_docs=docs.filter((n >= 60) & (n < 70)), key_col="url",
+        )
+    g1 = append_delta(
+        spark, base, f"{workdir}/guard_g1",
+        delta_docs=docs.filter((n >= 60) & (n < 70)), key_col="url",
+    )
+    for bad in (f"{workdir}/guard_base", f"{workdir}/guard_g1"):
+        with pytest.raises(ValueError, match="live store"):
+            append_delta(
+                spark, g1, bad,
+                delta_docs=docs.filter((n >= 70) & (n < 75)),
+                key_col="url",
+            )
+
+
+def test_append_dedups_same_key_within_delta(spark, workdir, docs):
+    """Two same-key rows in ONE delta batch must collapse to a single
+    live row (one-record-per-id contract): latest warc_ts wins when
+    present, else exactly one row survives."""
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = build_index(
+        spark, docs.filter(n < 50), f"{workdir}/dup_base", key_col="url",
+        chain="text", n_salts=4, block_size=32,
+    )
+    dup_url = docs.filter(n == 3).select("url").collect()[0]["url"]
+    delta = spark.createDataFrame(
+        [(dup_url, "stale body crabapple", "2024-01-01 00:00:00"),
+         (dup_url, "fresh body dragonfruit", "2024-06-01 00:00:00")],
+        "url string, text string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    g1 = append_delta(spark, base, f"{workdir}/dup_g1",
+                      delta_docs=delta, key_col="url")
+    live = g1.docs.filter(F.col("url") == dup_url).collect()
+    assert len(live) == 1, "duplicate-key delta must leave ONE live row"
+    assert g1.n_docs == 50
+    # the later warc_ts row won: its term is searchable, the stale isn't
+    assert wand_topk(g1, "dragonfruit", k=5).count() == 1
+    assert wand_topk(g1, "crabapple", k=5).count() == 0
+    # without warc_ts: still exactly one survivor
+    delta2 = spark.createDataFrame(
+        [(dup_url, "alpha kumquat"), (dup_url, "alpha kumquat")],
+        "url string, text string")
+    g2 = append_delta(spark, g1, f"{workdir}/dup_g2",
+                      delta_docs=delta2, key_col="url")
+    assert g2.docs.filter(F.col("url") == dup_url).count() == 1
+    assert g2.n_docs == 50

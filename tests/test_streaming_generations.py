@@ -123,3 +123,37 @@ def test_stream_generations_end_to_end(spark, workdir, docs):
     _same_results(spark, idx, live_final, workdir, "t4")
     # the CURRENT pointer survives and reopens
     assert os.path.exists(os.path.join(root, "CURRENT"))
+
+
+def test_stream_replay_is_idempotent(spark, workdir, docs):
+    """foreachBatch is at-least-once: a driver crash between _publish and
+    the checkpoint commit re-runs the batch with the SAME batch_id. The
+    replay must be a no-op — before the guard it re-entered append_delta
+    with out_path == the published head itself, wiping the head's stages
+    and writing a self-referential parent (chain destroyed)."""
+    src = f"{workdir}/re_src"
+    root = f"{workdir}/re_idx"
+    ckpt = f"{workdir}/re_ckpt"
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    _drop(docs.filter(n < 80), src, "d1")
+
+    def run(cp):
+        return stream_index_generations(
+            spark, src, root, cp, key_col="url", chain="text",
+            n_salts=4, block_size=32, delete_col="is_delete",
+            max_generations=3, keep=1, schema=SCHEMA,
+        )
+
+    idx = run(ckpt)
+    assert idx is not None and len(idx.stores) == 1
+    before = wand_topk(idx, "voyage", k=10, with_url=True).collect()
+
+    # simulate the lost checkpoint commit: a fresh checkpoint re-delivers
+    # the same files as batch 0 — CURRENT already names gen_0, so the
+    # replayed batch must be skipped, not re-applied
+    idx2 = run(f"{workdir}/re_ckpt2")
+    assert idx2 is not None and len(idx2.stores) == 1
+    after = wand_topk(idx2, "voyage", k=10, with_url=True).collect()
+    assert ([(r["url"], round(r["score"], 9)) for r in before]
+            == [(r["url"], round(r["score"], 9)) for r in after])
+    _same_results(spark, idx2, docs.filter(n < 80), workdir, "replay")
