@@ -40,7 +40,8 @@ from ..functions.analyzer import ANALYZERS
 from ..oracle import bm25_idf
 from .segments import decode_block_positions
 from .varbyte import delta_decode, varbyte_decode
-from .wand import B, K1, _by_salt, _topk_exact
+from .wand import (B, K1, _by_salt, _delete_state, _drop_del_rows,
+                   _salt_dels, _topk_exact, _with_del_rows)
 
 
 def _decode_term(
@@ -131,8 +132,10 @@ def phrase_topk(
     avgdl = index.avgdl
     kk = int(k)
     # generational index (plans/generations.py): tombstoned docs leave
-    # the candidate set before position verification
-    dels = getattr(index, "deleted_array", lambda: None)()
+    # the candidate set before position verification; large delete sets
+    # ride the scan as per-salt DEL_TERM postings instead of a driver
+    # array (wand.py _delete_state)
+    dels, del_tbl = _delete_state(index)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -143,6 +146,10 @@ def phrase_topk(
             return
         id_parts, score_parts = [], []
         for _, salt_pdf in pdf.groupby("salt", sort=False):
+            sdels = _salt_dels(salt_pdf, dels)
+            salt_pdf = _drop_del_rows(salt_pdf)
+            if not len(salt_pdf):
+                continue
             by_term = {
                 t: sub for t, sub in salt_pdf.groupby("term", sort=False)
             }
@@ -166,10 +173,10 @@ def phrase_topk(
                     break
             if cand is None or cand.size == 0:
                 continue
-            if dels is not None:
-                pos_d = np.clip(np.searchsorted(dels, cand), 0,
-                                dels.size - 1)
-                cand = cand[dels[pos_d] != cand]
+            if sdels is not None:
+                pos_d = np.clip(np.searchsorted(sdels, cand), 0,
+                                sdels.size - 1)
+                cand = cand[sdels[pos_d] != cand]
                 if cand.size == 0:
                     continue
             # adjacency verification, vectorized across ALL candidates at
@@ -275,7 +282,8 @@ def phrase_topk(
             {"doc_id": all_ids[sel], "score": all_scores[sel]}
         )
 
-    matched = index.segments.filter(F.col("term").isin(uniq_terms))
+    matched = _with_del_rows(
+        index.segments.filter(F.col("term").isin(uniq_terms)), del_tbl)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )

@@ -372,3 +372,38 @@ def decode_blocks_to_postings(
             varbyte_decode(row.tfs),
             float(row.max_wnorm),
         )
+
+
+# Reserved posting-list term for the index-resident tombstone set
+# (plans/generations.py commits it to the "del_segments" stage; the
+# query kernels decode their salt's delete ids from it in-place). The
+# NUL bytes make collision with real terms impossible: every analyzer
+# chain emits NUL-free tokens and filter-posting terms are
+# "<col>:<value>" over string-cast column values.
+DEL_TERM = "\x00del\x00"
+
+
+def decode_segment_doc_ids(segments: DataFrame) -> DataFrame:
+    """Decode segment blocks back to ``(term, doc_id)`` posting rows —
+    one Arrow batch pass, no per-row Python. Used by the tiered merge to
+    rebuild FILTER postings minus physically-applied tombstones (the
+    facet counters read filter postings directly, so stale rows would
+    be counted; scored postings never need this — the merge re-segments
+    them from the compact tf rows instead)."""
+    from .varbyte import delta_decode
+
+    def explode_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, ids = [], []
+            for row in pdf.itertuples(index=False):
+                d = delta_decode(row.doc_gaps).astype(np.int64)
+                terms.extend([row.term] * d.size)
+                ids.append(d)
+            if ids:
+                yield pd.DataFrame({
+                    "term": terms, "doc_id": np.concatenate(ids)})
+
+    return segments.select("term", "doc_gaps").mapInPandas(
+        explode_ids, schema="term string, doc_id long")

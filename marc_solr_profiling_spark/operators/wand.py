@@ -103,6 +103,48 @@ def _by_salt(matched: DataFrame, index) -> DataFrame:
     return matched.repartition(n_parts, route.alias("_salt_route"))
 
 
+def _delete_state(index):
+    """Tombstone masking inputs for a kernel call: ``(arr, tbl)``.
+
+    ``arr`` — driver-collected sorted id array (small delete sets, the
+    fast path); ``tbl`` — the index-resident ``del_segments`` posting
+    table to UNION into the salted scan (large sets; each kernel decodes
+    only its salt's ids via :func:`_salt_dels`). At most one is non-None;
+    the split point is ``spark.marc.delArrayMaxIds`` (see
+    ``plans/build.py InvertedIndex.delete_masks``). Indexes without the
+    ``delete_masks`` API (plain builds) fall back to the array."""
+    fn = getattr(index, "delete_masks", None)
+    if fn is not None:
+        return fn()
+    return getattr(index, "deleted_array", lambda: None)(), None
+
+
+def _with_del_rows(matched: DataFrame, del_tbl) -> DataFrame:
+    if del_tbl is None:
+        return matched
+    return matched.unionByName(del_tbl, allowMissingColumns=True)
+
+
+def _salt_dels(sub: "pd.DataFrame", arr):
+    """This salt's sorted tombstone ids: the driver array when present,
+    else decoded from the salt's ``DEL_TERM`` posting rows riding the
+    scan (per-segment liveDocs — nothing global, nothing driver-side)."""
+    from .segments import DEL_TERM
+
+    rows = sub[sub["term"] == DEL_TERM]
+    if not len(rows):
+        return arr
+    ids = np.unique(np.concatenate(
+        [delta_decode(g).astype(np.int64) for g in rows["doc_gaps"]]))
+    return ids if arr is None else np.union1d(arr, ids)
+
+
+def _drop_del_rows(sub: "pd.DataFrame") -> "pd.DataFrame":
+    from .segments import DEL_TERM
+
+    return sub[sub["term"] != DEL_TERM]
+
+
 def _analyze_query(query: str, chain: str) -> List[str]:
     out: List[str] = []
     for t in ANALYZERS[chain](query):
@@ -585,8 +627,10 @@ def wand_topk(
     has_mt = bool(prefixes or ranges)
     # generational index (plans/generations.py): tombstoned doc ids ride
     # the MUST_NOT exclusion path — masked before theta/heap, pruning
-    # stays exact
-    dels = getattr(index, "deleted_array", lambda: None)()
+    # stays exact. Large delete sets never reach the driver: they ride
+    # the salted scan as DEL_TERM postings (del_tbl) and each salt
+    # decodes only its own ids.
+    dels, del_tbl = _delete_state(index)
     fq_terms = list(filter_queries or [])
     filters_tbl = None
     if fq_terms:
@@ -615,6 +659,10 @@ def wand_topk(
         id_parts, score_parts = [], []
         n_skipped = 0
         for _, sub in pdf.groupby("salt", sort=False):
+            sdels = _salt_dels(sub, dels)
+            sub = _drop_del_rows(sub)
+            if not len(sub):
+                continue
             excl = None
             if ex_set:
                 ex_rows = sub[sub["term"].isin(ex_set)]
@@ -623,8 +671,8 @@ def wand_topk(
                         [delta_decode(g).astype(np.int64)
                          for g in ex_rows["doc_gaps"]]
                     ))
-            if dels is not None:
-                excl = dels if excl is None else np.union1d(excl, dels)
+            if sdels is not None:
+                excl = sdels if excl is None else np.union1d(excl, sdels)
             incs = None
             if fq_terms:
                 incs = []
@@ -712,6 +760,7 @@ def wand_topk(
         # zero caps — they never score, only gate)
         matched = matched.unionByName(
             filters_tbl.filter(F.col("term").isin(fq_terms)))
+    matched = _with_del_rows(matched, del_tbl)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )
@@ -786,7 +835,7 @@ def dismax_topk(
     mm = parse_mm_spec(min_match, len(qterms))
     n_groups = len(qterms)
     tie_f = float(tie)
-    dels = getattr(index, "deleted_array", lambda: None)()
+    dels, del_tbl = _delete_state(index)
     fq_terms = list(filter_queries or [])
     filters_tbl = None
     if fq_terms:
@@ -808,6 +857,10 @@ def dismax_topk(
         id_parts, score_parts = [], []
         n_skipped = 0
         for _, sub in pdf.groupby("salt", sort=False):
+            sdels = _salt_dels(sub, dels)
+            sub = _drop_del_rows(sub)
+            if not len(sub):
+                continue
             incs = None
             if fq_terms:
                 incs = []
@@ -825,13 +878,15 @@ def dismax_topk(
                 sub, idf_by_term, kk, 0.0, min_match=mm, theta0=theta,
                 group_of=group_of, n_groups=n_groups, tie=tie_f,
                 avgdl_by_term=avgdl_by_term, round_to=round_to,
-                exclude_ids=dels, include_sets=incs,
+                exclude_ids=sdels, include_sets=incs,
             )
             id_parts.append(ids)
             score_parts.append(scores)
             n_skipped += nsk
         if skip_acc is not None:
             skip_acc.add(int(n_skipped))
+        if not id_parts:
+            return
         all_ids = np.concatenate(id_parts)
         all_scores = np.concatenate(score_parts)
         sel = _topk_exact(all_ids, all_scores, kk)
@@ -844,6 +899,7 @@ def dismax_topk(
         matched = matched.unionByName(
             filters_tbl.filter(F.col("term").isin(fq_terms)),
             allowMissingColumns=True)
+    matched = _with_del_rows(matched, del_tbl)
     candidates = _by_salt(matched, index).mapInPandas(
         score, schema="doc_id long, score double"
     )
@@ -917,7 +973,8 @@ def wand_topk_batch(
         qid: [t for t in ts if t in idf_by_term]
         for qid, ts in per_q_terms.items()
     }
-    dels = getattr(index, "deleted_array", lambda: None)()
+    dels, del_tbl = _delete_state(index)
+    del_resident = del_tbl is not None  # closure-safe flag (no DataFrame)
 
     if mode == "auto":
         df_by_term = {r["term"]: int(r["df"]) for r in drows}
@@ -941,16 +998,27 @@ def wand_topk_batch(
         pdf = pd.concat(lst, ignore_index=True)
         if len(pdf) == 0:
             return
+        # index-resident tombstones: a doc's delete posting shares its
+        # salt, so one per-salt sorted array masks every posting row
+        del_by_salt: dict[int, np.ndarray] = {}
+        if del_resident:
+            for s, sub in pdf.groupby("salt", sort=False):
+                sd = _salt_dels(sub, dels)
+                if sd is not None:
+                    del_by_salt[s] = sd
+            pdf = _drop_del_rows(pdf)
         # decode each block once, bucket postings by term
         by_term: dict[str, list] = {}
         for row in pdf.itertuples(index=False):
             ids = delta_decode(row.doc_gaps).astype(np.int64)
             tfs = varbyte_decode(row.tfs).astype(np.float64)
             dls = varbyte_decode(row.dls).astype(np.float64)
-            if dels is not None and ids.size:
+            rdels = del_by_salt.get(row.salt) if del_resident else dels
+            if rdels is not None and ids.size:
                 # generational index: drop tombstoned postings at decode
-                pos = np.clip(np.searchsorted(dels, ids), 0, dels.size - 1)
-                keep = dels[pos] != ids
+                pos = np.clip(np.searchsorted(rdels, ids), 0,
+                              rdels.size - 1)
+                keep = rdels[pos] != ids
                 if not keep.all():
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 if ids.size == 0:
@@ -1029,6 +1097,10 @@ def wand_topk_batch(
             # the decode cache lives per salt: block identity is
             # (term, first_doc), unique only within one salt's disjoint
             # ascending ranges
+            sdels = _salt_dels(sub, dels)
+            sub = _drop_del_rows(sub)
+            if not len(sub):
+                continue
             cache: dict = {}
             present = set(pd.unique(sub["term"]))
             for qid, terms in qid_terms.items():
@@ -1039,7 +1111,7 @@ def wand_topk_batch(
                 ids, scores, nsk, thetas[qid] = _score_blocks_bmw(
                     qsub, idf_by_term, kk, avgdl,
                     theta0=thetas[qid], decode_cache=cache,
-                    exclude_ids=dels,
+                    exclude_ids=sdels,
                 )
                 n_skipped += nsk
                 id_parts[qid].append(ids)
@@ -1071,7 +1143,8 @@ def wand_topk_batch(
     )
     # no persist needed: _by_salt's computed placement has no sampler, so
     # the segment scan + broadcast join execute exactly once per batch
-    matched = index.segments.join(F.broadcast(hit_df), "term")
+    matched = _with_del_rows(
+        index.segments.join(F.broadcast(hit_df), "term"), del_tbl)
     kernel = score_sparse if mode == "sparse" else score
     candidates = _by_salt(matched, index).mapInPandas(
         kernel, schema="qid int, doc_id long, score double"
@@ -1163,9 +1236,10 @@ def wand_query_string_topk(
 
 def matching_doc_ids(
     index,
-    query: str,
+    query: "str | None",
     min_match: int | str = 1,
     filter_queries: "Sequence[str] | None" = None,
+    term_groups: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """The MATCH SET of a query — every live doc id matching at least
     ``min_match`` distinct query terms (∩ every ``fq`` filter set) — as a
@@ -1174,13 +1248,34 @@ def matching_doc_ids(
     domain are computed from. One salted scan; per salt the kernel is a
     concat + np.unique over the matched terms' id arrays (blocks of a
     term are disjoint within a salt, so distinct-term counts are exact),
-    an include-set intersection for fq, and the tombstone mask."""
+    an include-set intersection for fq, and the tombstone mask.
+
+    ``query=None`` / ``"*:*"`` is MatchAllDocsQuery: with no fq the
+    match set is every live doc (metadata-only ``docs`` stage read);
+    with fq the kernel intersects the fq filter postings alone — the
+    reference's match-all + filter profiling request.
+
+    ``term_groups``: optional INDEX-TERM → group mapping for multi-field
+    (edismax qf) indexes: field-scoped keys of the same base query term
+    share a group, and ``min_match`` counts DISTINCT GROUPS (a term
+    matched only in the title still counts once — the dismax mm
+    contract). When given, the keys of ``term_groups`` are used as the
+    scan terms and ``query`` is not re-analyzed."""
     spark = index.spark
-    qterms = _analyze_query(query, index.chain)
-    if not qterms:
+    match_all = query is None or query.strip() == "*:*"
+    if term_groups is not None:
+        qterms = list(term_groups)
+        n_groups = len(set(term_groups.values()))
+    elif match_all:
+        qterms = []
+        n_groups = 0
+    else:
+        qterms = _analyze_query(query, index.chain)
+        n_groups = len(qterms)
+    if not qterms and not match_all:
         return spark.createDataFrame([], "doc_id long")
-    mm = parse_mm_spec(min_match, len(qterms))
-    dels = getattr(index, "deleted_array", lambda: None)()
+    mm = 0 if match_all else parse_mm_spec(min_match, n_groups)
+    dels, del_tbl = _delete_state(index)
     fq_terms = list(filter_queries or [])
     filters_tbl = None
     if fq_terms:
@@ -1189,7 +1284,11 @@ def matching_doc_ids(
             raise ValueError(
                 "filter_queries need an index built with filter_cols "
                 "(no 'filters' stage present)")
+    if match_all and not fq_terms:
+        # every live doc matches — the docs stage IS the bitset
+        return index.docs.select("doc_id")
     qset = set(qterms)
+    group_of = dict(term_groups) if term_groups is not None else None
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lst = list(batches)
@@ -1200,45 +1299,69 @@ def matching_doc_ids(
             return
         out = []
         for _, sub in pdf.groupby("salt", sort=False):
-            parts = []
-            for t, rows in sub.groupby("term", sort=False):
-                if t not in qset:
+            sdels = _salt_dels(sub, dels)
+            uniq = None
+            if not match_all:
+                if group_of is None:
+                    parts = []
+                    for t, rows in sub.groupby("term", sort=False):
+                        if t not in qset:
+                            continue
+                        parts.append(np.concatenate(
+                            [delta_decode(g).astype(np.int64)
+                             for g in rows["doc_gaps"]]))
+                else:
+                    # multi-field: dedupe WITHIN each base-term group
+                    # first (title+body hits of one term count once)
+                    by_group: dict[int, list] = {}
+                    for t, rows in sub.groupby("term", sort=False):
+                        g = group_of.get(t)
+                        if g is None:
+                            continue
+                        by_group.setdefault(g, []).append(np.concatenate(
+                            [delta_decode(x).astype(np.int64)
+                             for x in rows["doc_gaps"]]))
+                    parts = [np.unique(np.concatenate(arrs))
+                             for arrs in by_group.values()]
+                if not parts:
                     continue
-                parts.append(np.concatenate(
-                    [delta_decode(g).astype(np.int64)
-                     for g in rows["doc_gaps"]]))
-            if not parts:
-                continue
-            uniq, counts = np.unique(np.concatenate(parts),
-                                     return_counts=True)
-            keep = counts >= mm
-            uniq = uniq[keep]
+                uniq, counts = np.unique(np.concatenate(parts),
+                                         return_counts=True)
+                keep = counts >= mm
+                uniq = uniq[keep]
             for ft in fq_terms:
-                if uniq.size == 0:
+                if uniq is not None and uniq.size == 0:
                     break
                 frows = sub[sub["term"] == ft]
                 if not len(frows):
-                    uniq = uniq[:0]
+                    uniq = np.empty(0, dtype=np.int64)
                     break
                 inc = np.unique(np.concatenate(
                     [delta_decode(g).astype(np.int64)
                      for g in frows["doc_gaps"]]))
+                if uniq is None:  # match-all: first fq set IS the match
+                    uniq = inc
+                    continue
                 pos = np.clip(np.searchsorted(inc, uniq), 0, inc.size - 1)
                 uniq = uniq[inc[pos] == uniq]
-            if dels is not None and uniq.size:
-                pos = np.clip(np.searchsorted(dels, uniq), 0,
-                              dels.size - 1)
-                uniq = uniq[dels[pos] != uniq]
+            if uniq is None:
+                continue
+            if sdels is not None and uniq.size:
+                pos = np.clip(np.searchsorted(sdels, uniq), 0,
+                              sdels.size - 1)
+                uniq = uniq[sdels[pos] != uniq]
             if uniq.size:
                 out.append(uniq)
         if out:
             yield pd.DataFrame({"doc_id": np.concatenate(out)})
 
-    matched = index.segments.filter(F.col("term").isin(qterms))
+    matched = (index.segments.filter(F.col("term").isin(qterms))
+               if qterms else None)
     if fq_terms:
-        matched = matched.unionByName(
-            filters_tbl.filter(F.col("term").isin(fq_terms)),
-            allowMissingColumns=True)
+        fpart = filters_tbl.filter(F.col("term").isin(fq_terms))
+        matched = (fpart if matched is None else matched.unionByName(
+            fpart, allowMissingColumns=True))
+    matched = _with_del_rows(matched, del_tbl)
     return _by_salt(matched, index).mapInPandas(emit, schema="doc_id long")
 
 
@@ -1304,6 +1427,7 @@ def facet_match_counts(
     facet_fields: "Sequence[str]" = (),
     filter_queries: "Sequence[str] | None" = None,
     min_match: int | str = 1,
+    term_groups: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """FacetComponent executed entirely FROM THE INDEX: one salted kernel
     pass emits, per salt, the q∩fq match-set size AND the per-value
@@ -1324,11 +1448,20 @@ def facet_match_counts(
             "facet_match_counts needs an index built with filter_cols")
     prefixes = [f + ":" for f in facet_fields]
     fq_terms = list(filter_queries or [])
-    dels = getattr(index, "deleted_array", lambda: None)()
+    dels, del_tbl = _delete_state(index)
     match_all = query is None or query.strip() == "*:*"
-    qterms = [] if match_all else _analyze_query(query, index.chain)
-    mm = 0 if match_all else parse_mm_spec(min_match, len(qterms))
+    # term_groups: multi-field (edismax qf) indexes — field-scoped keys
+    # of one base term share a group; mm counts DISTINCT GROUPS (see
+    # matching_doc_ids)
+    if term_groups is not None and not match_all:
+        qterms = list(term_groups)
+        mm = parse_mm_spec(min_match, len(set(term_groups.values())))
+    else:
+        qterms = [] if match_all else _analyze_query(query, index.chain)
+        mm = 0 if match_all else parse_mm_spec(min_match, len(qterms))
     qset = set(qterms)
+    group_of = (dict(term_groups)
+                if term_groups is not None and not match_all else None)
     fq_set = set(fq_terms)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1340,15 +1473,31 @@ def facet_match_counts(
             return
         out_t, out_c = [], []
         for _, sub in pdf.groupby("salt", sort=False):
+            sdels = _salt_dels(sub, dels)
+            sub = _drop_del_rows(sub)
+            if not len(sub):
+                continue
             # the salt's match set
             match = None
             if not match_all:
-                parts = [
-                    np.concatenate([delta_decode(g).astype(np.int64)
-                                    for g in rows["doc_gaps"]])
-                    for t, rows in sub.groupby("term", sort=False)
-                    if t in qset
-                ]
+                if group_of is None:
+                    parts = [
+                        np.concatenate([delta_decode(g).astype(np.int64)
+                                        for g in rows["doc_gaps"]])
+                        for t, rows in sub.groupby("term", sort=False)
+                        if t in qset
+                    ]
+                else:
+                    by_group: dict[int, list] = {}
+                    for t, rows in sub.groupby("term", sort=False):
+                        g = group_of.get(t)
+                        if g is None:
+                            continue
+                        by_group.setdefault(g, []).append(np.concatenate(
+                            [delta_decode(x).astype(np.int64)
+                             for x in rows["doc_gaps"]]))
+                    parts = [np.unique(np.concatenate(arrs))
+                             for arrs in by_group.values()]
                 if not parts:
                     continue
                 uniq, counts = np.unique(np.concatenate(parts),
@@ -1367,10 +1516,10 @@ def facet_match_counts(
                                   max(inc.size - 1, 0))
                     match = (match[inc[pos] == match] if inc.size
                              else match[:0])
-            if dels is not None and match is not None and match.size:
-                pos = np.clip(np.searchsorted(dels, match), 0,
-                              dels.size - 1)
-                match = match[dels[pos] != match]
+            if sdels is not None and match is not None and match.size:
+                pos = np.clip(np.searchsorted(sdels, match), 0,
+                              sdels.size - 1)
+                match = match[sdels[pos] != match]
             if match is not None:
                 out_t.append("__num_found__")
                 out_c.append(int(match.size))
@@ -1395,10 +1544,10 @@ def facet_match_counts(
                     pos = np.clip(np.searchsorted(match, ids), 0,
                                   match.size - 1)
                     n = int((match[pos] == ids).sum())
-                elif dels is not None:
-                    pos = np.clip(np.searchsorted(dels, ids), 0,
-                                  dels.size - 1)
-                    n = int((dels[pos] != ids).sum())
+                elif sdels is not None:
+                    pos = np.clip(np.searchsorted(sdels, ids), 0,
+                                  sdels.size - 1)
+                    n = int((sdels[pos] != ids).sum())
                 else:
                     n = int(ids.size)
                 if n:
@@ -1420,6 +1569,7 @@ def facet_match_counts(
         matched = index.segments.filter(
             F.col("term").isin(qterms)
         ).unionByName(matched, allowMissingColumns=True)
+    matched = _with_del_rows(matched, del_tbl)
     per_salt = _by_salt(matched, index).mapInPandas(
         emit, schema="fterm string, count long")
     agg = per_salt.groupBy("fterm").agg(F.sum("count").alias("count"))
@@ -1483,7 +1633,7 @@ def grouped_topk_phys(
                    for r in drows}
     avgdl = index.avgdl
     mm = parse_mm_spec(min_match, len(qterms))
-    dels = getattr(index, "deleted_array", lambda: None)()
+    dels, del_tbl = _delete_state(index)
     prefix = group_field + ":"
     kpg = int(k_per_group)
     qset = set(idf_by_term)
@@ -1497,6 +1647,10 @@ def grouped_topk_phys(
             return
         g_out, d_out, s_out, c_out = [], [], [], []
         for _, sub in pdf.groupby("salt", sort=False):
+            sdels = _salt_dels(sub, dels)
+            sub = _drop_del_rows(sub)
+            if not len(sub):
+                continue
             id_parts, w_parts = [], []
             for t, rows in sub.groupby("term", sort=False):
                 if t not in qset:
@@ -1523,10 +1677,10 @@ def grouped_topk_phys(
             counts = np.bincount(inv, minlength=uniq.size)
             keep = counts >= mm
             uniq, totals = uniq[keep], totals[keep]
-            if dels is not None and uniq.size:
-                pos = np.clip(np.searchsorted(dels, uniq), 0,
-                              dels.size - 1)
-                m = dels[pos] != uniq
+            if sdels is not None and uniq.size:
+                pos = np.clip(np.searchsorted(sdels, uniq), 0,
+                              sdels.size - 1)
+                m = sdels[pos] != uniq
                 uniq, totals = uniq[m], totals[m]
             if uniq.size == 0:
                 continue
@@ -1567,6 +1721,7 @@ def grouped_topk_phys(
     ).unionByName(
         filters_tbl.filter(F.col("term").startswith(prefix)),
         allowMissingColumns=True)
+    matched = _with_del_rows(matched, del_tbl)
     raw = _by_salt(matched, index).mapInPandas(
         emit, schema="gval string, doc_id long, score double, n long")
     raw = raw.persist()

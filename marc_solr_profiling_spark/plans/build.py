@@ -257,6 +257,47 @@ class InvertedIndex:
             self._del_arr = arr if arr.size else None
         return self._del_arr
 
+    def del_postings(self) -> DataFrame | None:
+        """Tombstoned doc ids as PER-SALT segment-block postings (one
+        synthetic ``DEL_TERM`` posting list, same salt layout and block
+        schema as the scored postings; ``plans/generations.py
+        append_delta`` commits the stage cumulatively like ``deletes``).
+        None for older stores that predate the stage."""
+        if self.store.stage_complete("del_segments"):
+            return self.store.read_stage(self.spark, "del_segments")
+        return None
+
+    def n_deletes(self) -> int:
+        """Tombstone count from the newest store's manifest (no job)."""
+        if not self.store.stage_complete("deletes"):
+            return 0
+        try:
+            return int(self.store.lineage()["stages"]["deletes"]["rows"])
+        except (KeyError, TypeError, ValueError):
+            return int(self.deletes_df().count())
+
+    def delete_masks(self):
+        """Kernel-side tombstone masking strategy: ``(array, postings)``
+        with at most one non-None.
+
+        Small delete sets (< ``spark.marc.delArrayMaxIds``, default
+        262144 ids ≈ 2 MB serialized) ship as a driver-collected sorted
+        array in the task closures — the cheap path between merges.
+        Larger sets stay INDEX-RESIDENT: the ``del_segments`` stage rides
+        the same salted scan as the query postings and each kernel
+        decodes ONLY its salt's delete ids (Lucene's per-segment liveDocs
+        model — nothing global ever reaches the driver, so the mask is
+        bounded by merge cadence per salt, not per cluster)."""
+        dels = self.deletes_df()
+        if dels is None:
+            return None, None
+        cap = int(self.spark.conf.get("spark.marc.delArrayMaxIds",
+                                      "262144"))
+        tbl = self.del_postings()
+        if tbl is not None and self.n_deletes() > cap:
+            return None, tbl
+        return self.deleted_array(), None
+
     @property
     def dictionary(self) -> DataFrame:
         return self.store.read_stage(self.spark, "dictionary")

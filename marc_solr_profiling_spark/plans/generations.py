@@ -82,6 +82,53 @@ def _guard_out_path(index, out_path: str) -> None:
                 "publish a fresh generation path instead)")
 
 
+def _dels_packed(dels_df: DataFrame) -> DataFrame:
+    """Synthetic packed-tf rows for the tombstone posting list: every
+    deleted doc id posts once under the reserved ``DEL_TERM`` — fed to
+    the ordinary segment builder so the delete set shares the salt
+    layout, block format and scan path of the scored postings. Kernels
+    then decode ONLY their salt's delete ids (per-segment liveDocs; no
+    driver-side collect at any delete-set size)."""
+    from ..operators.segments import DEL_TERM
+
+    return dels_df.select(
+        F.col("doc_id"),
+        F.lit(1).alias("doc_len"),
+        F.array(F.lit(DEL_TERM)).alias("terms"),
+        F.array(F.lit(1)).alias("tfs"),
+    )
+
+
+def _commit_del_segments(store, dels_df, n_salts: int,
+                         block_size: int) -> None:
+    if not store.stage_complete("del_segments"):
+        store.commit_stage("del_segments", build_segments_packed(
+            _dels_packed(dels_df), avgdl=1.0, n_salts=n_salts,
+            block_size=block_size))
+
+
+def _rebuild_filters_minus(fout: DataFrame, applied: DataFrame,
+                           n_salts: int, block_size: int) -> DataFrame:
+    """Filter postings minus physically-applied tombstones: decode →
+    anti-join → re-segment (O(filter postings), the shape of the merge
+    itself). Needed because facet counters (``wand.py
+    facet_match_counts``) COUNT filter postings directly — once a merge
+    drops applied ids from the carried delete set, stale filter rows
+    would silently inflate match-all facet counts and fq numFound."""
+    from ..operators.segments import decode_segment_doc_ids
+
+    live = decode_segment_doc_ids(fout).join(
+        F.broadcast(applied.select("doc_id")), "doc_id", "left_anti")
+    packed = (
+        live.groupBy("doc_id")
+        .agg(F.collect_list("term").alias("terms"))
+        .select("doc_id", F.lit(1).alias("doc_len"), "terms",
+                F.transform("terms", lambda x: F.lit(1)).alias("tfs"))
+    )
+    return build_segments_packed(
+        packed, avgdl=1.0, n_salts=n_salts, block_size=block_size)
+
+
 def _dedup_delta(delta_docs: DataFrame, key_col: str) -> DataFrame:
     """One live row per key within a delta batch (the reference merger's
     one-record-per-id contract, ``MarcMerger.java`` min ⋈ merge loop):
@@ -207,6 +254,12 @@ def append_delta(
         new_dels = old_dels.select("doc_id")
     if new_dels is not None and not store.stage_complete("deletes"):
         store.commit_stage("deletes", new_dels, partition_sort=["doc_id"])
+    if new_dels is not None:
+        # index-resident tombstone postings (per-salt liveDocs): the
+        # large-delete-set query path reads these in the salted scan
+        # instead of a driver-collected array (delete_masks threshold)
+        _commit_del_segments(
+            store, store.read_stage(spark, "deletes"), n_salts, block_size)
 
     # ---- delta ingest: fresh ids ABOVE every ancestor's max -------------
     # every stage commit below is manifest-gated (stage_complete), so a
@@ -409,20 +462,27 @@ def merge_generations(
 
     dels = index.deletes_df()
     carried = None
+    applied = None
     if dels is not None:
         # split tombstones: ids living in a MERGED generation get applied
         # physically here; ids in a KEPT ancestor stay in the delete set
         merged_ids = merged_docs.select("doc_id")
-        applied = dels.join(merged_ids, "doc_id", "left_semi")
+        applied = dels.join(merged_ids, "doc_id", "left_semi").persist()
         carried = dels.join(merged_ids, "doc_id", "left_anti")
-        merged_tf = merged_tf.join(
-            F.broadcast(applied), "doc_id", "left_anti")
-        merged_docs = merged_docs.join(
-            F.broadcast(applied), "doc_id", "left_anti")
+        if applied.limit(1).count() == 0:
+            applied.unpersist()
+            applied = None
+        else:
+            merged_tf = merged_tf.join(
+                F.broadcast(applied), "doc_id", "left_anti")
+            merged_docs = merged_docs.join(
+                F.broadcast(applied), "doc_id", "left_anti")
         if carried.limit(1).count() == 0:
             carried = None
     if carried is not None:
         store.commit_stage("deletes", carried, partition_sort=["doc_id"])
+        _commit_del_segments(
+            store, store.read_stage(spark, "deletes"), n_salts, bs)
 
     store.commit_stage("tf", merged_tf)
     store.commit_stage("docs", merged_docs, partition_sort=["doc_id"])
@@ -432,14 +492,21 @@ def merge_generations(
     store.commit_stage("dictionary", index.dictionary,
                        partition_sort=["term"])
     if all(st.stage_complete("filters") for st in merged_stores):
-        # fq bitsets of the merged tiers travel as-is (block re-layout is
-        # unnecessary: includes decode wholesale; rows of tombstoned docs
-        # are inert — filter terms gate, they never emit docs)
+        # fq bitsets of the merged tiers: block re-layout is unnecessary
+        # for the fq gate (includes decode wholesale), but the facet
+        # counters COUNT these postings directly — so once tombstones are
+        # applied physically above, rows of the applied docs must leave
+        # the filter postings too (decode → anti-join → re-segment,
+        # O(merged filter postings))
         fparts = [st.read_stage(spark, "filters") for st in merged_stores]
         fout = fparts[0]
         for p in fparts[1:]:
             fout = fout.unionByName(p, allowMissingColumns=True)
+        if applied is not None:
+            fout = _rebuild_filters_minus(fout, applied, n_salts, bs)
         store.commit_stage("filters", fout)
+    if applied is not None:
+        applied.unpersist()
 
     tf = store.read_stage(spark, "tf")
     n_rows = int(store.lineage()["stages"]["tf"]["rows"])
@@ -485,8 +552,15 @@ def force_merge(
     fcols = list(meta.get("filter_cols", []) or [])
     filt = index.filters if fcols else None
     if filt is not None and not out.store.stage_complete("filters"):
-        # fq bitsets survive optimize; rows of now-gone docs are inert
-        # (filter terms gate, they never emit docs)
+        dels = index.deletes_df()
+        if dels is not None and dels.limit(1).count():
+            # optimize applies EVERY tombstone physically — the facet
+            # counters read filter postings directly, so the applied docs
+            # must leave them too (decode → anti-join → re-segment)
+            filt = _rebuild_filters_minus(
+                filt, dels,
+                int(meta.get("n_salts", index.n_salts)),
+                int(block_size or meta.get("block_size", 128)))
         out.store.commit_stage("filters", filt)
         out.store.set_meta({"filter_cols": fcols})
         out = InvertedIndex(out.store, spark, out.chain)
@@ -589,6 +663,9 @@ def append_delta_multifield(
         new_dels = old_dels.select("doc_id")
     if new_dels is not None and not store.stage_complete("deletes"):
         store.commit_stage("deletes", new_dels, partition_sort=["doc_id"])
+    if new_dels is not None:
+        _commit_del_segments(
+            store, store.read_stage(spark, "deletes"), n_salts, block_size)
 
     # removed per-field contributions need the tombstoned docs' tf rows
     removed_tf = None
@@ -766,27 +843,45 @@ def merge_generations_multifield(
 
     dels = index.deletes_df()
     carried = None
+    applied = None
     if dels is not None:
         merged_ids = merged_docs.select("doc_id")
-        applied = dels.join(merged_ids, "doc_id", "left_semi")
+        applied = dels.join(merged_ids, "doc_id", "left_semi").persist()
         carried = dels.join(merged_ids, "doc_id", "left_anti")
-        merged_tf = merged_tf.join(
-            F.broadcast(applied), "doc_id", "left_anti")
-        merged_docs = merged_docs.join(
-            F.broadcast(applied), "doc_id", "left_anti")
+        if applied.limit(1).count() == 0:
+            applied.unpersist()
+            applied = None
+        else:
+            merged_tf = merged_tf.join(
+                F.broadcast(applied), "doc_id", "left_anti")
+            merged_docs = merged_docs.join(
+                F.broadcast(applied), "doc_id", "left_anti")
         if keep == 0 or carried.limit(1).count() == 0:
             carried = None
     if carried is not None:
         store.commit_stage("deletes", carried, partition_sort=["doc_id"])
+        _commit_del_segments(
+            store, store.read_stage(spark, "deletes"), n_salts, bs)
 
     store.commit_stage("tf", merged_tf)
     store.commit_stage("docs", merged_docs, partition_sort=["doc_id"])
     store.commit_stage("stats", index.store.read_stage(spark, "stats"))
     store.commit_stage("dictionary", index.dictionary,
                        partition_sort=["term"])
-    filt = index.filters
-    if filt is not None:
+    if all(st.stage_complete("filters") for st in merged_stores):
+        # only the MERGED tiers' filter rows move into this store (the
+        # kept ancestor keeps its own stage — the chain union would
+        # double-count its rows otherwise), minus applied tombstones
+        # (facet counters count filter postings directly)
+        fparts = [st.read_stage(spark, "filters") for st in merged_stores]
+        filt = fparts[0]
+        for p in fparts[1:]:
+            filt = filt.unionByName(p, allowMissingColumns=True)
+        if applied is not None:
+            filt = _rebuild_filters_minus(filt, applied, n_salts, bs)
         store.commit_stage("filters", filt)
+    if applied is not None:
+        applied.unpersist()
 
     favg_map = {f: a for f, (_, a) in index.field_stats.items()}
     favg = spark.createDataFrame(

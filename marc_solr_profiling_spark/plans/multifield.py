@@ -156,6 +156,35 @@ class MultiFieldIndex:
             self._del_arr = arr if arr.size else None
         return self._del_arr
 
+    def del_postings(self) -> DataFrame | None:
+        """Index-resident tombstone postings (see plans/build.py
+        InvertedIndex.del_postings)."""
+        if self.store.stage_complete("del_segments"):
+            return self.store.read_stage(self.spark, "del_segments")
+        return None
+
+    def n_deletes(self) -> int:
+        if not self.store.stage_complete("deletes"):
+            return 0
+        try:
+            return int(self.store.lineage()["stages"]["deletes"]["rows"])
+        except (KeyError, TypeError, ValueError):
+            return int(self.deletes_df().count())
+
+    def delete_masks(self):
+        """(array, postings) with at most one non-None — small sets ship
+        as a driver array, large sets stay index-resident per salt (see
+        plans/build.py InvertedIndex.delete_masks)."""
+        dels = self.deletes_df()
+        if dels is None:
+            return None, None
+        cap = int(self.spark.conf.get("spark.marc.delArrayMaxIds",
+                                      "262144"))
+        tbl = self.del_postings()
+        if tbl is not None and self.n_deletes() > cap:
+            return None, tbl
+        return self.deleted_array(), None
+
     @property
     def filters(self) -> DataFrame | None:
         """Unscored fq filter postings (``filter_cols`` build option) —

@@ -303,6 +303,10 @@ def solr_select_physical(
     fqs = list(fq) or None
     fcols = set(index.store.get_meta().get("filter_cols", []) or [])
     index_only = bool(facet_fields) and set(facet_fields) <= fcols
+    # MatchAllDocsQuery (q=None / '*:*'): every fq-surviving live doc at
+    # Lucene's constant score 1.0, keyed order — the reference's
+    # profiling request shape, same contract as the logical solr_select
+    match_all = q is None or q.strip() == "*:*"
 
     facets = None
     if index_only:
@@ -330,8 +334,39 @@ def solr_select_physical(
             index, q, min_match=min_match, filter_queries=fqs
         ).persist()
         n_found = match.count()
+    if match_all:
+        # constant-score page over the match bitset (no scoring kernel —
+        # wand_topk analyzes '*:*' to zero terms): keyed order by
+        # default, field order under sort= (docvalues join, like the
+        # sort path below), score 1.0 either way (Lucene's constant)
+        m = (matching_doc_ids(index, q, filter_queries=fqs)
+             if index_only else match)
+        frame = m.withColumnRenamed("doc_id", key_col).withColumn(
+            "score", F.lit(1.0))
+        if sort:
+            from ..functions.sort_spec import parse_sort_spec, sort_columns
 
-    if sort:
+            if meta_docs is None:
+                raise ValueError("field sorting needs meta_docs")
+            extra = [f for f, _ in parse_sort_spec(sort)
+                     if f not in (key_col, "score")]
+            if extra:
+                frame = frame.join(
+                    meta_docs.select(key_col, *extra), key_col)
+            keys = sort_columns(sort)
+        else:
+            keys = [F.asc(key_col)]
+        page = (
+            frame.orderBy(*keys).limit(start + rows)
+            .withColumn("rank",
+                        F.row_number().over(Window.orderBy(*keys)))
+        )
+        if start:
+            page = page.filter(F.col("rank") > start)
+
+    if match_all:
+        pass  # page built above (incl. sort= handling)
+    elif sort:
         # Solr field sorting (sort=... replaces relevance): the page is
         # the match bitset joined to the metadata table's sort columns
         # (docvalues analog), bounded-sorted — no scoring at all. A spec
@@ -384,7 +419,7 @@ def solr_select_physical(
             facets = facets.filter(F.col("count") >= facet_mincount)
 
     highlights = None
-    if hl:
+    if hl and not match_all:
         # highlighting needs the STORED text — Solr reads stored fields
         # for the page docs only; here that is the meta_docs table joined
         # on the page keys (page-sized join, pure string expressions)

@@ -285,3 +285,58 @@ def test_sort_parameter_logical_and_physical(spark, docs, tmp_path):
         idx, docs.select("doc_id", "lang", "n_chars"), Q, sort=spec,
         start=5, rows=5)
     assert [r["doc_id"] for r in p2.docs.collect()] == want[5:10]
+
+
+def test_physical_select_match_all(spark, docs, tmp_path):
+    """ADVICE regression: q='*:*' through solr_select_physical must
+    equal the logical match-all response (constant-score keyed page,
+    fq restriction, facet battery) instead of silently returning an
+    empty page — both index-only and metadata-join facet paths."""
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "ma_idx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+        filter_cols=["lang", "source"],
+    )
+    for q, fqs, pred in (
+        ("*:*", None, None),
+        (None, ["lang:en"], F.col("lang") == "en"),
+    ):
+        phys = solr_select_physical(
+            idx, docs.select("doc_id", "lang", "source"), q,
+            fq=fqs or (), rows=7, facet_fields=["lang", "source"])
+        logi = solr_select(
+            docs, q, fq=pred, rows=7, facet_fields=["lang", "source"])
+        assert phys.num_found == logi.num_found > 0, (q, fqs)
+        assert ([(r["doc_id"], r["score"], r["rank"])
+                 for r in phys.docs.collect()]
+                == [(r["doc_id"], r["score"], r["rank"])
+                    for r in logi.docs.collect()]), (q, fqs)
+        gf = {(r["facet_field"], r["facet_value"]): r["count"]
+              for r in phys.facets.collect()}
+        wf = {(r["facet_field"], r["facet_value"]): r["count"]
+              for r in logi.facets.collect()}
+        assert gf == wf, (q, fqs)
+    # metadata-join facet path (facet field outside filter_cols set):
+    idx2 = build_index(
+        spark, docs, str(tmp_path / "ma_idx2"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+        filter_cols=["lang"],
+    )
+    phys = solr_select_physical(
+        idx2, docs.select("doc_id", "lang", "source"), None,
+        fq=["lang:en"], rows=5, facet_fields=["source"])
+    logi = solr_select(docs, None, fq=F.col("lang") == "en", rows=5,
+                       facet_fields=["source"])
+    assert phys.num_found == logi.num_found > 0
+    assert ([(r["doc_id"], r["score"]) for r in phys.docs.collect()]
+            == [(r["doc_id"], r["score"]) for r in logi.docs.collect()])
+    # match-all + field sort composes too
+    srt = solr_select_physical(
+        idx2, docs.select("doc_id", "lang", "source"), None,
+        rows=5, sort="lang asc, doc_id desc")
+    lsrt = solr_select(docs, None, rows=5, sort="lang asc, doc_id desc")
+    assert ([r["doc_id"] for r in srt.docs.collect()]
+            == [r["doc_id"] for r in lsrt.docs.collect()])
