@@ -188,6 +188,8 @@ def bm25_dismax_topk_plan(
     tie: float = 0.1,
     round_to: int = 4,
     min_match: int | str | None = None,
+    return_all_scored: bool = False,
+    filter_query=None,
 ) -> DataFrame:
     """Edismax dismax scoring over multiple fields — the reference's actual
     query handler (``solrconfig.xml:64-83``: edismax with ``qf`` per-field
@@ -226,6 +228,18 @@ def bm25_dismax_topk_plan(
         scored = scored.filter(
             F.col("_n_matched") >= parse_mm_spec(min_match, len(qterms))
         )
+    if filter_query is not None:
+        # Solr cached-filter fq: restricts the match set WITHOUT touching
+        # scores (stats stay collection-wide) — a semi-join against the
+        # fq-surviving keys
+        pred = (F.expr(filter_query) if isinstance(filter_query, str)
+                else filter_query)
+        scored = scored.join(
+            docs.filter(pred).select(key_col), key_col, "left_semi")
+    if return_all_scored:
+        # the /select composition shares ONE scored match set between
+        # numFound, the page and the facet domain (plans/select.py)
+        return scored.select(key_col, "score")
     return (
         scored.select(key_col, "score")
         .orderBy(F.desc("score"), F.asc(key_col))

@@ -98,8 +98,19 @@ def solr_select(
     hl: bool = False,
     hl_frag_chars: int = 60,
     round_to: int = 4,
+    qf_fields: "Sequence[tuple] | None" = None,
+    tie: float = 0.1,
 ) -> SelectResponse:
     """Run one /select request over a docs table.
+
+    ``qf_fields``: edismax multi-field mode — the reference's DEFAULT
+    handler (``solrconfig.xml:67-83``: edismax ``qf`` with per-field
+    boosts + ``tie``). A sequence of ``(tokens_col_or_expr, boost)``
+    exactly as ``bm25_dismax_topk_plan`` takes; ``q`` then scores as the
+    DisjunctionMaxQuery sum (per-field df/avgdl, ``max + tie*rest``) and
+    everything downstream (fq semi-join, paging, facet battery over the
+    match set, highlighting) composes unchanged — one request, one
+    scored match set.
 
     ``q=None`` (or ``"*:*"``) is MatchAllDocsQuery: every fq-surviving
     doc matches at score 1.0 (Lucene's constant), ordered by key — the
@@ -127,6 +138,14 @@ def solr_select(
             base = base.filter(pred)
         matched = base.select(
             key_col, F.lit(1.0).alias("score")
+        )
+    elif qf_fields is not None:
+        from ..operators.bm25 import bm25_dismax_topk_plan
+
+        matched = bm25_dismax_topk_plan(
+            docs, q, fields=list(qf_fields), key_col=key_col, chain=chain,
+            tie=tie, round_to=round_to, min_match=min_match,
+            filter_query=fq, return_all_scored=True,
         )
     else:
         matched = bm25_topk_sql_plan(
@@ -275,6 +294,8 @@ def solr_select_physical(
     text_col: str = "text",
     hl_frag_chars: int = 60,
     round_to: int | None = 4,
+    qf: "dict[str, float] | None" = None,
+    tie: float = 0.1,
 ) -> SelectResponse:
     """The /select request answered FROM THE PHYSICAL INDEX — how Solr
     actually executes it: the QueryComponent's match bitset comes from
@@ -295,10 +316,25 @@ def solr_select_physical(
     from pyspark.sql import Window
 
     from ..operators.wand import (
+        dismax_topk,
         facet_match_counts,
         matching_doc_ids,
         wand_topk,
     )
+
+    # edismax qf mode (the reference's DEFAULT handler,
+    # solrconfig.xml:67-83): ``index`` is a MULTI-FIELD index
+    # (plans/multifield.py), the page comes from the dismax block-max
+    # kernel, and the match bitset / facet battery run over the same
+    # field-scoped postings with mm counting distinct BASE terms (the
+    # term_groups contract of matching_doc_ids/facet_match_counts)
+    term_groups = None
+    if qf is not None:
+        sep = getattr(index, "sep", "\x1f")
+        base_terms = ([] if q is None or q.strip() == "*:*" else [
+            t for t in dict.fromkeys(ANALYZERS[index.chain](q))])
+        term_groups = {f + sep + t: gi
+                       for f in qf for gi, t in enumerate(base_terms)}
 
     fqs = list(fq) or None
     fcols = set(index.store.get_meta().get("filter_cols", []) or [])
@@ -315,6 +351,7 @@ def solr_select_physical(
         fm = facet_match_counts(
             index, q, facet_fields=list(facet_fields),
             filter_queries=fqs, min_match=min_match,
+            term_groups=term_groups,
         ).persist()
         n_found = int(
             fm.filter(F.col("facet_field") == "__num_found__")
@@ -331,7 +368,8 @@ def solr_select_physical(
         )
     else:
         match = matching_doc_ids(
-            index, q, min_match=min_match, filter_queries=fqs
+            index, q, min_match=min_match, filter_queries=fqs,
+            term_groups=term_groups,
         ).persist()
         n_found = match.count()
     if match_all:
@@ -339,7 +377,8 @@ def solr_select_physical(
         # wand_topk analyzes '*:*' to zero terms): keyed order by
         # default, field order under sort= (docvalues join, like the
         # sort path below), score 1.0 either way (Lucene's constant)
-        m = (matching_doc_ids(index, q, filter_queries=fqs)
+        m = (matching_doc_ids(index, q, filter_queries=fqs,
+                              term_groups=term_groups)
              if index_only else match)
         frame = m.withColumnRenamed("doc_id", key_col).withColumn(
             "score", F.lit(1.0))
@@ -384,7 +423,8 @@ def solr_select_physical(
         # the index-only facet path never materialized the id frame;
         # fetch it here (one postings pass, no scoring)
         m = (matching_doc_ids(index, q, min_match=min_match,
-                              filter_queries=fqs)
+                              filter_queries=fqs,
+                              term_groups=term_groups)
              if index_only else match)
         frame = m.withColumnRenamed("doc_id", key_col).join(
             meta_docs.select(key_col, *extra), key_col)
@@ -394,6 +434,17 @@ def solr_select_physical(
             .withColumn("rank", F.row_number().over(Window.orderBy(*keys)))
             .withColumn("score", F.lit(None).cast("double"))
         )
+    elif qf is not None:
+        page = dismax_topk(index, q, qf=qf, tie=tie, k=start + rows,
+                           min_match=min_match, filter_queries=fqs,
+                           round_to=round_to)
+        page = page.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"),
+                                               F.asc("doc_id"))),
+        )
+        if key_col != "doc_id":
+            page = page.withColumnRenamed("doc_id", key_col)
     else:
         page = wand_topk(index, q, k=start + rows, with_url=False,
                          min_match=min_match, filter_queries=fqs)
@@ -427,7 +478,6 @@ def solr_select_physical(
             raise ValueError(
                 f"hl=True needs meta_docs with a {text_col!r} column "
                 "(the stored-field table)")
-        from ..functions.analyzer import ANALYZERS
 
         qterms: list[str] = []
         for t in ANALYZERS[index.chain](q):

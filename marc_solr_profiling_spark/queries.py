@@ -2486,6 +2486,58 @@ def q_select_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resp.response_frame(key_col="doc_id")
 
 
+def q_select_dismax_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL default request (solrconfig.xml:67-83):
+    edismax q over qf fields (title^2 + body, tie=0.1) + cached-filter
+    fq (lang='en') + rows=10 page + facet battery (lang, source) — ONE
+    /select request, one scored match set feeding every section
+    (plans/select.py solr_select(qf_fields=...)). The DuckDB twin
+    re-derives the dismax per-field scoring, the fq semi-join, the page
+    window and the facet ranks independently."""
+    from .functions.textstats import tokens_simple
+    from .plans.select import solr_select
+
+    docs = _load(spark, sf_dir, "documents")
+    resp = solr_select(
+        docs, FLAGSHIP_QUERY, key_col="doc_id", chain="simple",
+        qf_fields=[(F.slice(tokens_simple("text"), 1, 8), 2.0),
+                   (tokens_simple("text"), 1.0)],
+        tie=0.1, fq=F.col("lang") == "en", rows=10,
+        facet_fields=["lang", "source"], round_to=4,
+    )
+    return resp.response_frame(key_col="doc_id")
+
+
+def q_select_dismax_phys_request(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The same edismax-qf /select request answered FROM THE MULTI-FIELD
+    PHYSICAL INDEX (plans/multifield.py + solr_select_physical(qf=...)):
+    dismax block-max kernel page, match bitset with mm over BASE terms
+    (field-scoped postings share a term group), indexed fq, index-only
+    facet battery. Twin: identical SQL to the logical request."""
+    import hashlib
+
+    from .plans.multifield import build_multifield_index
+    from .plans.select import solr_select_physical
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_multifield_index(
+        spark, docs, _scratch(f"msps_dmsel_{tag}"),
+        fields=[("title", 8), ("body", None)],
+        key_col="doc_id", id_col="doc_id", text_col="text",
+        chain="simple", n_salts=8, block_size=64,
+        filter_cols=["lang", "source"],
+    )
+    resp = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "source"), FLAGSHIP_QUERY,
+        key_col="doc_id", qf={"title": 2.0, "body": 1.0}, tie=0.1,
+        fq=["lang:en"], rows=10, facet_fields=["lang", "source"],
+        round_to=4,
+    )
+    return resp.response_frame(key_col="doc_id")
+
+
 def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cursorMark deep paging (Solr CursorMarkParams): the page of 10
     docs strictly after cursor ('en', 300, 0) in the total order
@@ -2887,6 +2939,64 @@ scored AS (
        JOIN dl USING (doc_id) CROSS JOIN cs
   GROUP BY doc_id
 ),
+m AS (SELECT s.doc_id, s.score FROM scored s
+      JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+page AS (
+  SELECT * FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM m) WHERE rnk <= 10
+),
+fraw AS (
+  SELECT 'lang' AS ff, d.lang AS fv, count(*) AS cnt
+  FROM m JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'source', d.source, count(*)
+  FROM m JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL GROUP BY 2
+),
+fc AS (
+  SELECT * FROM (
+    SELECT ff, fv, cnt,
+           row_number() OVER (PARTITION BY ff
+                              ORDER BY cnt DESC, fv ASC) AS rnk
+    FROM fraw WHERE cnt >= 1) WHERE rnk <= 21
+)
+SELECT 'meta' AS section, 'num_found' AS k, NULL AS v,
+       (SELECT count(*) FROM m)::DOUBLE AS num, 0 AS ord
+UNION ALL
+SELECT 'doc', cast(doc_id AS varchar), NULL, score, rnk FROM page
+UNION ALL
+SELECT 'facet', ff, fv, cnt::DOUBLE, rnk FROM fc
+""",
+    "select_dismax_request": f"""
+WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+fdl AS (
+  SELECT doc_id, 'title' AS fld, 2.0 AS boost,
+         list_slice(tk, 1, 8) AS ftk, len(list_slice(tk, 1, 8)) AS dl
+  FROM tks
+  UNION ALL
+  SELECT doc_id, 'body', 1.0, tk, len(tk) FROM tks
+),
+fstats AS (SELECT fld, count(*) AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+tok AS (SELECT doc_id, fld, boost, unnest(ftk) AS term FROM fdl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+tf AS (SELECT doc_id, fld, boost, term, count(*) AS tf
+       FROM tok JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+dfq AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY 1, 2),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         boost * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+  FROM tf
+  JOIN dfq USING (fld, term)
+  JOIN (SELECT doc_id, fld, dl FROM fdl) d USING (doc_id, fld)
+  JOIN fstats USING (fld)
+),
+dt AS (SELECT doc_id, term, max(s) + 0.1 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2),
+scored AS (SELECT doc_id, round(sum(ds), 4) AS score FROM dt GROUP BY 1),
 m AS (SELECT s.doc_id, s.score FROM scored s
       JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
 page AS (
@@ -4160,6 +4270,7 @@ ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 
 # identical request through the physical index -> identical response
 ORACLE_SQL["select_phys_request"] = ORACLE_SQL["select_request"]
+ORACLE_SQL["select_dismax_phys_request"] = ORACLE_SQL["select_dismax_request"]
 
 
 
@@ -4863,6 +4974,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_plan": q_temperature_plan,
     "pack_shards": q_pack_shards,
     # --- round-5 additions are inserted here (keep the 23 above in-window) ---
+    "select_dismax_request": q_select_dismax_request,
+    "select_dismax_phys_request": q_select_dismax_phys_request,
     # --- oldest driver-green (round-1) re-confirmations fill the window ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,

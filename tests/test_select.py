@@ -340,3 +340,59 @@ def test_physical_select_match_all(spark, docs, tmp_path):
     lsrt = solr_select(docs, None, rows=5, sort="lang asc, doc_id desc")
     assert ([r["doc_id"] for r in srt.docs.collect()]
             == [r["doc_id"] for r in lsrt.docs.collect()])
+
+
+def test_select_dismax_physical_matches_logical(spark, docs, tmp_path):
+    """The reference's ACTUAL default request (solrconfig.xml:67-83):
+    edismax q over qf fields + tie + fq + facet battery + paging in ONE
+    /select — answered from the multi-field physical index vs the
+    logical dismax plan. Identical response, all sections."""
+    from marc_solr_profiling_spark.functions.textstats import tokens_simple
+    from marc_solr_profiling_spark.plans.multifield import (
+        build_multifield_index,
+    )
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    idx = build_multifield_index(
+        spark, docs, str(tmp_path / "dm_idx"),
+        fields=[("title", 8), ("body", None)],
+        key_col="doc_id", id_col="doc_id", chain="simple",
+        n_salts=4, block_size=32, filter_cols=["lang", "source"],
+    )
+    for fqs, pred in ((None, None), (["lang:en"], F.col("lang") == "en")):
+        phys = solr_select_physical(
+            idx, docs.select("doc_id", "lang", "source"), Q,
+            qf={"title": 2.0, "body": 1.0}, tie=0.1,
+            fq=fqs or (), rows=10, facet_fields=["lang", "source"],
+            round_to=4)
+        logi = solr_select(
+            docs, Q, chain="simple",
+            qf_fields=[
+                (F.slice(tokens_simple("text"), 1, 8), 2.0),
+                (tokens_simple("text"), 1.0),
+            ],
+            tie=0.1, fq=pred, rows=10,
+            facet_fields=["lang", "source"], round_to=4)
+        assert phys.num_found == logi.num_found > 0, fqs
+        assert ([(r["doc_id"], r["score"], r["rank"])
+                 for r in phys.docs.collect()]
+                == [(r["doc_id"], r["score"], r["rank"])
+                    for r in logi.docs.collect()]), fqs
+        gf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+              for r in phys.facets.collect()}
+        wf = {(r["facet_field"], r["facet_value"]): (r["count"], r["rank"])
+              for r in logi.facets.collect()}
+        assert gf == wf, fqs
+    # mm over BASE terms gates both paths identically
+    p2 = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "source"), Q,
+        qf={"title": 2.0, "body": 1.0}, min_match=3, rows=10,
+        facet_fields=["lang"], round_to=4)
+    l2 = solr_select(
+        docs, Q, chain="simple", min_match=3,
+        qf_fields=[(F.slice(tokens_simple("text"), 1, 8), 2.0),
+                   (tokens_simple("text"), 1.0)],
+        rows=10, facet_fields=["lang"], round_to=4)
+    assert p2.num_found == l2.num_found > 0
+    assert ([(r["doc_id"], r["score"]) for r in p2.docs.collect()]
+            == [(r["doc_id"], r["score"]) for r in l2.docs.collect()])
