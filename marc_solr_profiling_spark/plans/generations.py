@@ -618,6 +618,14 @@ def append_delta_multifield(
     names = list(meta.get("fields", []))
     limits = meta.get("field_limits") or {}
     field_list = [(n, limits.get(n)) for n in names]
+    filter_cols = list(meta.get("filter_cols", []) or [])
+    if filter_cols and delta_docs is not None:
+        missing = [c for c in filter_cols if c not in delta_docs.columns]
+        if missing:
+            raise ValueError(
+                f"base index carries filter postings for {filter_cols}; "
+                f"delta_docs lacks column(s) {missing} — fq over the "
+                "chain would silently miss the new generation")
 
     if delta_docs is not None and delete_keys is not None:
         delta_docs = delta_docs.join(
@@ -685,7 +693,8 @@ def append_delta_multifield(
         next_id = int(
             all_docs.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
         with_ids = assign_doc_ids(
-            delta_docs.select(*dict.fromkeys([key_col, text_col])),
+            delta_docs.select(
+                *dict.fromkeys([key_col, text_col] + filter_cols)),
             key_col=key_col,
         ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
         if not store.stage_complete("tf"):
@@ -708,6 +717,21 @@ def append_delta_multifield(
             store.commit_stage(
                 "docs", index.store.read_stage(spark, "docs").limit(0))
         tf_stage = store.read_stage(spark, "tf")
+
+    if filter_cols and not store.stage_complete("filters"):
+        # fq bitsets for the delta generation — chain fq unions every
+        # generation's stage (a pure-delete gen commits an empty one),
+        # same contract as the single-field append
+        from .build import _filter_packed
+
+        if delta_docs is not None:
+            fsegs = build_segments_packed(
+                _filter_packed(with_ids, filter_cols), avgdl=1.0,
+                n_salts=n_salts, block_size=block_size,
+            )
+        else:
+            fsegs = index.store.read_stage(spark, "filters").limit(0)
+        store.commit_stage("filters", fsegs)
 
     # ---- per-field stats adjustment -------------------------------------
     if not store.stage_complete("stats"):
@@ -787,6 +811,7 @@ def append_delta_multifield(
         "parent": index.store.path, "n_salts": n_salts, "chain": chain,
         "block_size": block_size, "fields": names, "field_sep": sep,
         "field_limits": limits, "multifield": True, "key_col": key_col,
+        "filter_cols": filter_cols,
         "built_field_avgdl": new_favg,
         "generation": len(index.stores),
     })
@@ -903,6 +928,7 @@ def merge_generations_multifield(
         "n_salts": n_salts, "chain": index.chain, "block_size": bs,
         "fields": names, "field_sep": sep,
         "field_limits": meta.get("field_limits") or {},
+        "filter_cols": list(meta.get("filter_cols", []) or []),
         "multifield": True, "key_col": meta.get("key_col"),
         "built_field_avgdl": favg_map,
         "generation": keep,

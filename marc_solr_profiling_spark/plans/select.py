@@ -48,6 +48,7 @@ class SelectResponse:
     highlights: DataFrame | None = None  # (key, matched_term, match_pos, snippet)
     facet_ranges: DataFrame | None = None  # (facet_field, bucket_start, count)
     facet_pivots: DataFrame | None = None  # (pivot, outer_value, outer_count, inner_value, count)
+    next_cursor_mark: "tuple | None" = None  # cursorMark paging: last page row's sort-key values
     params: dict = field(default_factory=dict)
 
     def response_frame(self, key_col: str = "doc_id") -> DataFrame:
@@ -100,8 +101,20 @@ def solr_select(
     round_to: int = 4,
     qf_fields: "Sequence[tuple] | None" = None,
     tie: float = 0.1,
+    cursor_mark: "tuple | list | str | None" = None,
 ) -> SelectResponse:
     """Run one /select request over a docs table.
+
+    ``cursor_mark``: Solr cursorMark deep paging (CursorMarkParams —
+    the ``start=N`` replacement). Requires ``sort`` ending on a unique
+    key (Solr's own contract). Pass ``"*"`` for the first page, then
+    the previous response's ``next_cursor_mark`` tuple; the page is the
+    first ``rows`` rows strictly AFTER the cursor in the sort's total
+    order (keyset predicate BEFORE the top-k —
+    ``functions/sort_spec.cursor_page`` — so deep pages never pay a
+    top-(start+rows) sort), and ``next_cursor_mark`` carries the last
+    row's sort-key values. ``start`` must be 0 with a cursor (Solr
+    rejects the combination too).
 
     ``qf_fields``: edismax multi-field mode — the reference's DEFAULT
     handler (``solrconfig.xml:67-83``: edismax ``qf`` with per-field
@@ -168,7 +181,36 @@ def solr_select(
     # sort fields are joined from the docs table for the MATCH SET only.
     # Include a unique key in the spec for a deterministic page (Solr's
     # cursor contract makes the same demand).
-    if sort:
+    next_cursor = None
+    if cursor_mark is not None:
+        from ..functions.sort_spec import (
+            cursor_page,
+            parse_sort_spec,
+            sort_columns,
+        )
+
+        if not sort:
+            raise ValueError(
+                "cursorMark needs a sort spec ending on a unique key "
+                "(Solr CursorMarkParams contract)")
+        if start:
+            raise ValueError("cursorMark cannot be combined with start="
+                             " (Solr rejects this too)")
+        fields = [f for f, _ in parse_sort_spec(sort)]
+        extra = [f for f in fields if f not in ("score", key_col)]
+        frame = matched.select(key_col, "score")
+        if extra:
+            frame = frame.join(docs.select(key_col, *extra), key_col)
+        cur = None if (cursor_mark == "*" or cursor_mark is None) \
+            else tuple(cursor_mark)
+        page = cursor_page(frame, sort, cur, page_size=rows)
+        page = page.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*sort_columns(sort))))
+        last = page.orderBy(F.desc("rank")).limit(1).collect()
+        next_cursor = (tuple(last[0][f] for f in fields) if last
+                       else (cur if cur is not None else None))
+        page = page.select(key_col, "score", "rank")
+    elif sort:
         from ..functions.sort_spec import parse_sort_spec, sort_columns
 
         extra = [f for f, _ in parse_sort_spec(sort)
@@ -272,6 +314,7 @@ def solr_select(
         highlights=highlights,
         facet_ranges=ranges_out,
         facet_pivots=pivots_out,
+        next_cursor_mark=next_cursor,
         params={"q": q, "start": start, "rows": rows,
                 "facet_fields": list(facet_fields)},
     )
@@ -296,6 +339,7 @@ def solr_select_physical(
     round_to: int | None = 4,
     qf: "dict[str, float] | None" = None,
     tie: float = 0.1,
+    cursor_mark: "tuple | list | str | None" = None,
 ) -> SelectResponse:
     """The /select request answered FROM THE PHYSICAL INDEX — how Solr
     actually executes it: the QueryComponent's match bitset comes from
@@ -403,6 +447,7 @@ def solr_select_physical(
         if start:
             page = page.filter(F.col("rank") > start)
 
+    next_cursor = None
     if match_all:
         pass  # page built above (incl. sort= handling)
     elif sort:
@@ -410,7 +455,13 @@ def solr_select_physical(
         # the match bitset joined to the metadata table's sort columns
         # (docvalues analog), bounded-sorted — no scoring at all. A spec
         # referencing 'score' IS the default path; use sort=None.
-        from ..functions.sort_spec import parse_sort_spec, sort_columns
+        # ``cursor_mark``: keyset deep paging over the same frame (the
+        # cursor predicate filters the match bitset BEFORE the top-k).
+        from ..functions.sort_spec import (
+            cursor_after_expr,
+            parse_sort_spec,
+            sort_columns,
+        )
 
         fields = parse_sort_spec(sort)
         if any(f == "score" for f, _ in fields):
@@ -419,6 +470,9 @@ def solr_select_physical(
                 "relevance path — pass sort=None")
         if meta_docs is None:
             raise ValueError("field sorting needs meta_docs")
+        if cursor_mark is not None and start:
+            raise ValueError("cursorMark cannot be combined with start="
+                             " (Solr rejects this too)")
         extra = [f for f, _ in fields if f != key_col]
         # the index-only facet path never materialized the id frame;
         # fetch it here (one postings pass, no scoring)
@@ -428,12 +482,22 @@ def solr_select_physical(
              if index_only else match)
         frame = m.withColumnRenamed("doc_id", key_col).join(
             meta_docs.select(key_col, *extra), key_col)
+        if cursor_mark is not None and cursor_mark != "*":
+            frame = frame.filter(
+                cursor_after_expr(sort, tuple(cursor_mark)))
         keys = sort_columns(sort)
+        limit_n = rows if cursor_mark is not None else start + rows
         page = (
-            frame.orderBy(*keys).limit(start + rows)
+            frame.orderBy(*keys).limit(limit_n)
             .withColumn("rank", F.row_number().over(Window.orderBy(*keys)))
             .withColumn("score", F.lit(None).cast("double"))
         )
+        if cursor_mark is not None:
+            fnames = [f for f, _ in fields]
+            last = page.orderBy(F.desc("rank")).limit(1).collect()
+            next_cursor = (tuple(last[0][f] for f in fnames) if last
+                           else (tuple(cursor_mark)
+                                 if cursor_mark != "*" else None))
     elif qf is not None:
         page = dismax_topk(index, q, qf=qf, tie=tie, k=start + rows,
                            min_match=min_match, filter_queries=fqs,
@@ -512,6 +576,7 @@ def solr_select_physical(
         docs=page.select(key_col, "score", "rank"),
         facets=facets,
         highlights=highlights,
+        next_cursor_mark=next_cursor,
         params={"q": q, "fq": list(fq), "start": start, "rows": rows,
                 "facet_fields": list(facet_fields), "physical": True},
     )

@@ -2486,6 +2486,113 @@ def q_select_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resp.response_frame(key_col="doc_id")
 
 
+def q_bm25_dismax_gen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edismax dismax over a THREE-GENERATION MULTI-FIELD index chain
+    (plans/generations.py append_delta_multifield): base build on
+    doc_id<300, then two O(|delta|) appends — half the remaining docs
+    plus text UPSERTS of every (doc_id%50==7) base doc, then the other
+    half plus DELETES of every (doc_id%50==13) base doc. Per-FIELD
+    stats/df exactly adjusted at append time, tombstones masked inside
+    the dismax kernel, per-field cap rescaling under avgdl drift. The
+    oracle re-derives dismax BM25 over the LIVE corpus — the chain is
+    value-identical to a from-scratch rebuild (the multifield twin of
+    bm25_gen_topk)."""
+    import hashlib
+
+    from .operators.wand import dismax_topk
+    from .plans.generations import append_delta_multifield
+    from .plans.multifield import build_multifield_index
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "url", F.format_string("d%05d", F.col("doc_id")))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = docs.filter("doc_id < 300").select("url", "text")
+    mods = (
+        docs.filter("doc_id < 300 AND doc_id % 50 = 7")
+        .withColumn("text",
+                    F.concat(F.lit("refreshed segment data "),
+                             F.col("text")))
+        .select("url", "text")
+    )
+    new1 = docs.filter("doc_id >= 300 AND doc_id % 2 = 0").select(
+        "url", "text")
+    new2 = docs.filter("doc_id >= 300 AND doc_id % 2 = 1").select(
+        "url", "text")
+    dels = docs.filter("doc_id < 300 AND doc_id % 50 = 13").select("url")
+
+    idx = build_multifield_index(
+        spark, base, _scratch(f"msps_dmgen_{tag}"),
+        fields=[("title", 8), ("body", None)], key_col="url",
+        text_col="text", chain="simple", n_salts=8, block_size=64,
+    )
+    idx = append_delta_multifield(
+        spark, idx, _scratch(f"msps_dmgen1_{tag}"),
+        delta_docs=new1.unionByName(mods), key_col="url",
+    )
+    idx = append_delta_multifield(
+        spark, idx, _scratch(f"msps_dmgen2_{tag}"),
+        delta_docs=new2, delete_keys=dels, key_col="url",
+    )
+    out = dismax_topk(idx, FLAGSHIP_QUERY, qf={"title": 2.0, "body": 1.0},
+                      tie=0.1, k=10, round_to=4)
+    return out.join(idx.docs.select("doc_id", "url"), "doc_id").select(
+        "url", "score").orderBy(F.desc("score"), F.asc("url"))
+
+
+def q_select_cursor_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cursorMark THROUGH the /select orchestrator (Solr
+    CursorMarkParams + sort interaction): page 1 with cursorMark=*,
+    then page 2 with the returned nextCursorMark — keyset predicate
+    before the top-k both times (plans/select.py
+    solr_select(cursor_mark=...)). Returns both pages tagged; the twin
+    re-derives the first 20 rows of the total order and splits them."""
+    from .plans.select import solr_select
+
+    docs = _load(spark, sf_dir, "documents")
+    sort = "n_chars desc, doc_id asc"
+    r1 = solr_select(docs, FLAGSHIP_QUERY, key_col="doc_id",
+                     chain="simple", rows=10, sort=sort, cursor_mark="*",
+                     round_to=4)
+    r2 = solr_select(docs, FLAGSHIP_QUERY, key_col="doc_id",
+                     chain="simple", rows=10, sort=sort,
+                     cursor_mark=r1.next_cursor_mark, round_to=4)
+    p1 = r1.docs.select("doc_id", "rank", F.lit(1).alias("page"))
+    p2 = r2.docs.select("doc_id", "rank", F.lit(2).alias("page"))
+    return p1.unionByName(p2)
+
+
+def q_select_cursor_phys_request(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The same two cursorMark pages answered FROM THE PHYSICAL INDEX:
+    match bitset from the postings, sort columns from the metadata
+    table (docvalues analog), keyset predicate on the match frame —
+    deep pages never pay a top-(start+rows) sort. Twin: identical SQL
+    to the logical cursor request."""
+    import hashlib
+
+    from .plans.build import build_index
+    from .plans.select import solr_select_physical
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    sort = "n_chars desc, doc_id asc"
+    meta = docs.select("doc_id", "n_chars")
+    r1 = solr_select_physical(idx, meta, FLAGSHIP_QUERY,
+                              key_col="doc_id", rows=10, sort=sort,
+                              cursor_mark="*")
+    r2 = solr_select_physical(idx, meta, FLAGSHIP_QUERY,
+                              key_col="doc_id", rows=10, sort=sort,
+                              cursor_mark=r1.next_cursor_mark)
+    p1 = r1.docs.select("doc_id", "rank", F.lit(1).alias("page"))
+    p2 = r2.docs.select("doc_id", "rank", F.lit(2).alias("page"))
+    return p1.unionByName(p2)
+
+
 def q_select_dismax_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL default request (solrconfig.xml:67-83):
     edismax q over qf fields (title^2 + body, tie=0.1) + cached-filter
@@ -3025,6 +3132,60 @@ UNION ALL
 SELECT 'doc', cast(doc_id AS varchar), NULL, score, rnk FROM page
 UNION ALL
 SELECT 'facet', ff, fv, cnt::DOUBLE, rnk FROM fc
+""",
+    "bm25_dismax_gen_topk": f"""
+WITH live AS (
+  SELECT printf('d%05d', doc_id) AS url,
+         CASE WHEN doc_id < 300 AND doc_id % 50 = 7
+              THEN 'refreshed segment data ' || text ELSE text END AS text
+  FROM documents
+  WHERE NOT (doc_id < 300 AND doc_id % 50 = 13)
+),
+tks AS (SELECT url, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM live),
+fdl AS (
+  SELECT url, 'title' AS fld, 2.0 AS boost,
+         list_slice(tk, 1, 8) AS ftk, len(list_slice(tk, 1, 8)) AS dl
+  FROM tks
+  UNION ALL
+  SELECT url, 'body', 1.0, tk, len(tk) FROM tks
+),
+fstats AS (SELECT fld, count(*) AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+tok AS (SELECT url, fld, boost, unnest(ftk) AS term FROM fdl),
+q AS (SELECT unnest({_QTERMS!r}) AS term),
+tf AS (SELECT url, fld, boost, term, count(*) AS tf
+       FROM tok JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+dfq AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY 1, 2),
+sc AS (
+  SELECT tf.url, tf.term,
+         boost * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+  FROM tf
+  JOIN dfq USING (fld, term)
+  JOIN (SELECT url, fld, dl FROM fdl) d USING (url, fld)
+  JOIN fstats USING (fld)
+),
+dt AS (SELECT url, term, max(s) + 0.1 * (sum(s) - max(s)) AS ds
+       FROM sc GROUP BY 1, 2)
+SELECT url, round(sum(ds), 4) AS score
+FROM dt GROUP BY 1
+ORDER BY score DESC, url ASC
+LIMIT 10
+""",
+    "select_cursor_request": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ('spark', 'merge', 'window', 'stream')),
+ordered AS (
+  SELECT d.doc_id,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT doc_id,
+       ((rn - 1) % 10 + 1)::INT AS rank,
+       ((rn - 1) // 10 + 1)::INT AS page
+FROM ordered WHERE rn <= 20
 """,
     "tf_top": f"""
 WITH {_TOK_CTE}
@@ -4271,6 +4432,7 @@ ORACLE_SQL["bm25_fq_phys_topk"] = _bm25_sql(fq_pred="lang = 'en'")
 # identical request through the physical index -> identical response
 ORACLE_SQL["select_phys_request"] = ORACLE_SQL["select_request"]
 ORACLE_SQL["select_dismax_phys_request"] = ORACLE_SQL["select_dismax_request"]
+ORACLE_SQL["select_cursor_phys_request"] = ORACLE_SQL["select_cursor_request"]
 
 
 
@@ -4976,6 +5138,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions are inserted here (keep the 23 above in-window) ---
     "select_dismax_request": q_select_dismax_request,
     "select_dismax_phys_request": q_select_dismax_phys_request,
+    "bm25_dismax_gen_topk": q_bm25_dismax_gen_topk,
+    "select_cursor_request": q_select_cursor_request,
+    "select_cursor_phys_request": q_select_cursor_phys_request,
     # --- oldest driver-green (round-1) re-confirmations fill the window ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,

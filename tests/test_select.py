@@ -396,3 +396,37 @@ def test_select_dismax_physical_matches_logical(spark, docs, tmp_path):
     assert p2.num_found == l2.num_found > 0
     assert ([(r["doc_id"], r["score"]) for r in p2.docs.collect()]
             == [(r["doc_id"], r["score"]) for r in l2.docs.collect()])
+
+
+def test_cursor_mark_through_select(spark, docs, tmp_path):
+    """cursorMark deep paging through /select: three cursor pages tile
+    the offset-paged order exactly, logical == physical, and the
+    contract violations (no sort / cursor+start) fail loudly."""
+    from marc_solr_profiling_spark.plans.build import build_index
+    from marc_solr_profiling_spark.plans.select import solr_select_physical
+
+    sort = "n_chars desc, doc_id asc"
+    want = solr_select(docs, Q, rows=30, sort=sort).docs.collect()
+    got, cur = [], "*"
+    for _ in range(3):
+        r = solr_select(docs, Q, rows=10, sort=sort, cursor_mark=cur)
+        got.extend(r.docs.collect())
+        cur = r.next_cursor_mark
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    with pytest.raises(ValueError, match="sort"):
+        solr_select(docs, Q, rows=10, cursor_mark="*")
+    with pytest.raises(ValueError, match="start"):
+        solr_select(docs, Q, rows=10, sort=sort, start=5, cursor_mark="*")
+
+    idx = build_index(
+        spark, docs, str(tmp_path / "cur_idx"), key_col="doc_id",
+        id_col="doc_id", chain="simple", n_salts=4, block_size=32,
+    )
+    meta = docs.select("doc_id", "n_chars")
+    gp, cur = [], "*"
+    for _ in range(3):
+        r = solr_select_physical(idx, meta, Q, rows=10, sort=sort,
+                                 cursor_mark=cur)
+        gp.extend(r.docs.collect())
+        cur = r.next_cursor_mark
+    assert [r["doc_id"] for r in gp] == [r["doc_id"] for r in want]
