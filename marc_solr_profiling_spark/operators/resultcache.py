@@ -90,3 +90,41 @@ class CachedSearcher:
                         min_match=(int(mm) if mm.isdigit() else mm),
                         filter_queries=list(fqs) if fqs else None)
         return self
+
+
+class SearcherManager:
+    """Lucene's SearcherManager + Solr's commit hook: holds the LIVE
+    :class:`CachedSearcher` and, on each generational commit
+    (``plans/generations.py append_delta`` / ``maybe_compact``), opens a
+    fresh searcher over the new chain head and AUTOWARMS it from the
+    retiring searcher's most-recently-used request signatures BEFORE the
+    swap (``solrconfig.xml:38-43`` ``autowarmCount``) — so the first
+    page requests after a commit hit the warmed window instead of
+    re-running the kernel.
+
+    The warm cost is bounded: ``autowarm_count`` kernel runs of
+    ``window`` rows each, exactly Solr's regeneration bill. The swap is
+    atomic from the caller's perspective (``searcher`` returns the old
+    fully-serving instance until ``commit`` finishes warming)."""
+
+    def __init__(self, index, size: int = 512, window: int = 80,
+                 autowarm_count: int = 16):
+        self.size = int(size)
+        self.window = int(window)
+        self.autowarm_count = int(autowarm_count)
+        self._current = CachedSearcher(index, size=size, window=window)
+
+    @property
+    def searcher(self) -> CachedSearcher:
+        return self._current
+
+    def search(self, *args, **kwargs):
+        return self._current.search(*args, **kwargs)
+
+    def commit(self, new_index) -> CachedSearcher:
+        """New generation published: open + autowarm + swap."""
+        fresh = CachedSearcher(new_index, size=self.size,
+                               window=self.window)
+        fresh.warm(self._current, top_n=self.autowarm_count)
+        self._current = fresh
+        return fresh

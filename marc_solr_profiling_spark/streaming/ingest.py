@@ -214,6 +214,7 @@ def stream_index_generations(
     max_generations: int = 4,
     keep: int = 1,
     schema=None,
+    searcher_manager=None,
 ):
     """The Solr autoCommit loop as Structured Streaming: each micro-batch
     of pages becomes ONE index GENERATION (``plans/generations.py
@@ -232,6 +233,11 @@ def stream_index_generations(
     snapshot, so the base is never corrupted). ``delete_col``: name of a
     boolean column marking tombstone rows (deletes win over same-batch
     upserts, matching the reference's post-import .del application).
+
+    ``searcher_manager``: optional
+    :class:`..operators.resultcache.SearcherManager` — each published
+    batch triggers its ``commit`` (new searcher + autowarm), the Solr
+    newSearcher/autowarmCount lifecycle.
 
     Blocks until the AvailableNow drain completes; returns the final
     :class:`~..plans.build.InvertedIndex` handle (or None if nothing was
@@ -304,6 +310,11 @@ def stream_index_generations(
             max_generations=max_generations, keep=keep,
         )
         _publish(idx.store.path)
+        if searcher_manager is not None:
+            # Solr's commit hook: open a new searcher over the published
+            # head and autowarm it from the retiring searcher's MRU keys
+            # (operators/resultcache.py SearcherManager)
+            searcher_manager.commit(idx)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -113,3 +113,86 @@ def test_autowarm_new_searcher(spark, idx, monkeypatch):
     assert new.stats.misses == 2
     new.search(Q, 0, 5)
     assert new.stats.hits == 1
+
+
+def test_searcher_manager_commit_autowarms(spark, idx, tmp_path):
+    """Generational commit drives the autowarm (VERDICT r4 item 9): a
+    SearcherManager committed with the appended chain serves the first
+    post-commit page from the warmed window (hit, no kernel run) and the
+    page reflects the NEW generation's content."""
+    from marc_solr_profiling_spark.plans.generations import append_delta
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url", F.format_string("d%05d", F.col("doc_id")))
+    base = build_index(
+        spark, docs.filter("doc_id < 300").select("url", "text"),
+        str(tmp_path / "smbase"), key_col="url", chain="simple",
+        n_salts=4, block_size=32,
+    )
+    sm = rc.SearcherManager(base, size=8, window=10, autowarm_count=4)
+    sm.search(Q, 0, 5)
+    sm.search("voyage", 0, 5)
+    assert sm.searcher.stats.misses == 2
+
+    g1 = append_delta(
+        spark, base, str(tmp_path / "smg1"),
+        delta_docs=docs.filter("doc_id >= 300").select("url", "text"),
+        key_col="url",
+    )
+    retired = sm.searcher
+    fresh = sm.commit(g1)
+    assert fresh is sm.searcher and fresh is not retired
+    # warmed during commit: the first post-commit request is a pure hit
+    assert fresh.stats.misses == 2  # the two warm re-executions
+    page = sm.search(Q, 0, 5)
+    assert fresh.stats.hits == 1 and fresh.stats.misses == 2
+    # and it serves the NEW snapshot, not the retired one's results
+    want = [(r["doc_id"], r["score"])
+            for r in wand_topk(g1, Q, k=5).collect()]
+    assert page == want
+
+
+def test_streaming_commit_drives_searcher_manager(spark, tmp_path):
+    """stream_index_generations(searcher_manager=...) commits the
+    manager on every published batch — the Solr newSearcher hook."""
+    import glob
+    import os
+    import shutil
+
+    from marc_solr_profiling_spark.corpus import generate_web_pages
+    from marc_solr_profiling_spark.streaming.ingest import (
+        stream_index_generations,
+    )
+
+    docs = generate_web_pages(spark, 120, seed=31, partitions=2).select(
+        "url", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+
+    def land(df, name):
+        tmp = str(tmp_path / f"_t_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    land(docs.filter(n < 80), "d1")
+    idx = stream_index_generations(
+        spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"),
+        key_col="url", chain="text", n_salts=4, block_size=32,
+        schema="url string, text string",
+    )
+    sm = rc.SearcherManager(idx, size=8, window=10, autowarm_count=4)
+    sm.search("voyage", 0, 5)
+    land(docs.filter(n >= 80), "d2")
+    idx2 = stream_index_generations(
+        spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"),
+        key_col="url", chain="text", n_salts=4, block_size=32,
+        schema="url string, text string", searcher_manager=sm,
+    )
+    # the manager was committed by the drain: new searcher over the new
+    # head, already warmed for the MRU key
+    assert sm.searcher.index.store.path == idx2.store.path
+    assert sm.searcher.stats.misses == 1
+    sm.search("voyage", 0, 5)
+    assert sm.searcher.stats.hits == 1
