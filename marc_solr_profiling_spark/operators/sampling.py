@@ -339,3 +339,84 @@ def global_shuffle(docs: DataFrame, seed: str = "shuffle",
         (F.coalesce(omap[F.col("pid")], F.lit(0))
          + F.col("local_rank")).cast("long").alias("shuffle_rank"),
     )
+
+
+def temperature_rebalance_weighted(docs: DataFrame, alpha: float = 0.3,
+                                   stratum_col: str = "lang",
+                                   weight_col: str | None = None,
+                                   round_to: int = 6) -> DataFrame:
+    """:func:`temperature_rebalance_plan` with shares denominated in a
+    WEIGHT column instead of document counts — the form the mT5/CC100
+    recipes actually use (p_l = token share of language l, not doc
+    share). ``weight_col=None`` falls back to doc counting. Same output
+    schema; ``n_docs`` still reports the stratum's document count and
+    the plan quantities (share, mix_weight, keep_prob) use the weight."""
+    if weight_col is None:
+        return temperature_rebalance_plan(
+            docs, alpha=alpha, stratum_col=stratum_col, round_to=round_to)
+    by = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight_col).cast("double").alias("w"))
+    tot = by.agg(F.sum("w").alias("total"))
+    p = by.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("w") / F.col("total"))
+    q = p.withColumn("q_raw", F.pow("share", F.lit(alpha)))
+    qsum = q.agg(F.sum("q_raw").alias("q_sum"))
+    r = q.crossJoin(F.broadcast(qsum)).withColumn(
+        "mix_weight", F.col("q_raw") / F.col("q_sum")).withColumn(
+        "ratio", F.col("mix_weight") / F.col("share"))
+    rmax = r.agg(F.max("ratio").alias("ratio_max"))
+    return r.crossJoin(F.broadcast(rmax)).select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("share", round_to).alias("share"),
+        F.round("mix_weight", round_to).alias("mix_weight"),
+        F.round(F.col("ratio") / F.col("ratio_max"), round_to)
+        .alias("keep_prob"),
+    )
+
+
+def pack_shards_bpe(docs: DataFrame, tokens_per_shard: int,
+                    tokenizer=None, key_col: str = "doc_id",
+                    text_col: str = "text",
+                    partitions: int | None = None) -> DataFrame:
+    """:func:`pack_shards` with the budget denominated in LEARNED BPE
+    tokens (``functions/bpe.py`` — train with ``tokenizer_from_corpus``
+    or load GPT-2-format files): the shard sizes a trainer sees are the
+    model's actual token counts, not a whitespace proxy. The count runs
+    as one Arrow kernel over the text (zero shuffle) before the
+    two-phase prefix-sum packing. ``tokenizer=None`` keeps the
+    whitespace-piece proxy fallback (``functions/textstats.token_count``)
+    so callers can defer training. Returns
+    ``(key, bpe_tokens, shard_id)``."""
+    if tokenizer is None:
+        from ..functions.textstats import token_count
+
+        weighted = docs.select(
+            key_col, token_count(text_col).alias("bpe_tokens"))
+    else:
+        from ..functions.bpe import with_bpe_token_count
+
+        weighted = with_bpe_token_count(
+            docs.select(key_col, text_col), tokenizer,
+            text_col=text_col).select(key_col, "bpe_tokens")
+    return pack_shards(weighted, tokens_per_shard, key_col=key_col,
+                       weight_col="bpe_tokens", partitions=partitions)
+
+
+def temperature_plan_bpe(docs: DataFrame, alpha: float = 0.3,
+                         stratum_col: str = "lang", tokenizer=None,
+                         text_col: str = "text",
+                         round_to: int = 6) -> DataFrame:
+    """:func:`temperature_rebalance_weighted` with BPE-token weights
+    from a trained tokenizer (mT5 §3.1's p_l IS a token share);
+    ``tokenizer=None`` falls back to doc-count shares."""
+    if tokenizer is None:
+        return temperature_rebalance_plan(
+            docs, alpha=alpha, stratum_col=stratum_col, round_to=round_to)
+    from ..functions.bpe import with_bpe_token_count
+
+    weighted = with_bpe_token_count(docs, tokenizer, text_col=text_col)
+    return temperature_rebalance_weighted(
+        weighted, alpha=alpha, stratum_col=stratum_col,
+        weight_col="bpe_tokens", round_to=round_to)

@@ -2593,6 +2593,36 @@ def q_select_cursor_phys_request(spark: SparkSession,
     return p1.unionByName(p2)
 
 
+def q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing denominated in TRAINED-BPE tokens
+    (sampling.py:pack_shards_bpe over the pinned tiny merges of
+    functions/bpe.py): the Arrow count kernel feeds the two-phase
+    prefix-sum packing, so shard budgets are the model's actual token
+    counts. The twin re-derives the counts with the rank-ordered
+    replace-chain SQL and packs with a serial window cumsum."""
+    from .functions.bpe import tiny_tokenizer
+    from .operators.sampling import pack_shards_bpe
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_shards_bpe(docs, 5_000, tokenizer=tiny_tokenizer(),
+                           partitions=8)
+
+
+def q_temperature_bpe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalance (mT5 §3.1) with language shares denominated
+    in TRAINED-BPE tokens — p_l as token share, the form the recipe
+    actually uses (sampling.py:temperature_plan_bpe, pinned tiny
+    merges). Twin: per-lang token sums via the replace-chain SQL, then
+    the same q_l / keep_prob algebra."""
+    from .functions.bpe import tiny_tokenizer
+    from .operators.sampling import temperature_plan_bpe
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    return temperature_plan_bpe(docs, alpha=0.3, stratum_col="lang",
+                                tokenizer=tiny_tokenizer())
+
+
 def q_select_dismax_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL default request (solrconfig.xml:67-83):
     edismax q over qf fields (title^2 + body, tie=0.1) + cached-filter
@@ -3878,6 +3908,32 @@ ORACLE_SQL["bpe_tokens"] = (
     + " AS bpe_tokens FROM documents"
 )
 
+ORACLE_SQL["pack_shards_bpe"] = (
+    "WITH w AS (SELECT doc_id, " + _bpe_oracle_expr("text")
+    + """ AS bpe_tokens FROM documents)
+SELECT doc_id, bpe_tokens,
+       ((sum(bpe_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - bpe_tokens)
+        // 5000)::BIGINT AS shard_id
+FROM w
+""")
+
+ORACLE_SQL["temperature_bpe_plan"] = (
+    "WITH w AS (SELECT doc_id, lang, " + _bpe_oracle_expr("text")
+    + """ AS tks FROM documents),
+by_l AS (SELECT lang AS stratum, count(*) AS n_docs,
+                sum(tks)::DOUBLE AS w FROM w GROUP BY 1),
+p AS (SELECT *, w / (SELECT sum(w) FROM by_l) AS share FROM by_l),
+q AS (SELECT *, pow(share, 0.3) AS q_raw FROM p),
+r AS (SELECT *, q_raw / (SELECT sum(q_raw) FROM q) AS mix_weight FROM q),
+r2 AS (SELECT *, mix_weight / share AS ratio FROM r)
+SELECT stratum, n_docs::BIGINT AS n_docs,
+       round(share, 6) AS share,
+       round(mix_weight, 6) AS mix_weight,
+       round(ratio / (SELECT max(ratio) FROM r2), 6) AS keep_prob
+FROM r2
+""")
+
 ORACLE_SQL["bm25_dismax_pf_topk"] = """
 WITH tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents),
@@ -5141,6 +5197,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_dismax_gen_topk": q_bm25_dismax_gen_topk,
     "select_cursor_request": q_select_cursor_request,
     "select_cursor_phys_request": q_select_cursor_phys_request,
+    "pack_shards_bpe": q_pack_shards_bpe,
+    "temperature_bpe_plan": q_temperature_bpe_plan,
     # --- oldest driver-green (round-1) re-confirmations fill the window ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,

@@ -205,3 +205,59 @@ def test_pack_sequences_partition_invariant(spark):
         got = sorted(tuple(r) for r in
                      pack_sequences(docs, 256, partitions=parts).collect())
         assert got == base
+
+
+# --- BPE-denominated budgets (trained tokenizer through packing) ---------
+
+def test_pack_shards_bpe_differential(spark):
+    """pack_shards_bpe with a CORPUS-TRAINED tokenizer
+    (bpe.py:tokenizer_from_corpus) equals a serial reference: encode
+    every doc with the same tokenizer driver-side, prefix-sum, bin."""
+    from marc_solr_profiling_spark.functions.bpe import (
+        tokenizer_from_corpus,
+    )
+    from marc_solr_profiling_spark.operators.sampling import (
+        pack_shards_bpe,
+    )
+
+    rows = [(i, f"the quick brown fox {i} jumps over the lazy dog "
+                * (1 + i % 5)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = tokenizer_from_corpus(docs, n_merges=12, byte_level=True)
+    got = {r.doc_id: (r.bpe_tokens, r.shard_id) for r in
+           pack_shards_bpe(docs, 400, tokenizer=tok,
+                           partitions=4).collect()}
+    # serial reference with the SAME trained tokenizer
+    counts = [tok.count(t) for _, t in rows]
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for i in range(120):
+        assert got[i] == (counts[i], start[i] // 400), i
+    # fallback proxy path still packs (budget in whitespace pieces)
+    fb = pack_shards_bpe(docs, 400, tokenizer=None, partitions=4)
+    assert fb.count() == 120
+
+
+def test_temperature_plan_bpe_weights_by_tokens(spark):
+    """temperature_plan_bpe shares are TOKEN shares, not doc shares: a
+    stratum with few huge docs must out-share one with many tiny docs."""
+    from marc_solr_profiling_spark.functions.bpe import tiny_tokenizer
+    from marc_solr_profiling_spark.operators.sampling import (
+        temperature_plan_bpe,
+    )
+
+    rows = ([(i, "big", "alpha beta gamma delta " * 50)
+             for i in range(5)]
+            + [(100 + i, "small", "x y") for i in range(50)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = {r.stratum: r for r in temperature_plan_bpe(
+        docs, alpha=0.3, stratum_col="lang",
+        tokenizer=tiny_tokenizer()).collect()}
+    assert plan["big"].n_docs == 5 and plan["small"].n_docs == 50
+    assert plan["big"].share > plan["small"].share  # token-weighted
+    # doc-count fallback flips it
+    from marc_solr_profiling_spark.operators.sampling import (
+        temperature_rebalance_plan,
+    )
+    dc = {r.stratum: r for r in temperature_rebalance_plan(
+        docs, alpha=0.3, stratum_col="lang").collect()}
+    assert dc["small"].share > dc["big"].share
