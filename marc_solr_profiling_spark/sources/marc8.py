@@ -128,10 +128,24 @@ _ESC = 0x1B
 NORMALIZE_MODES = {"C": "NFC", "D": "NFD", "KC": "NFKC", "KD": "NFKD"}
 
 #: EACC 3-byte code (b1<<16 | b2<<8 | b3, 7-bit bytes) -> Unicode char.
-#: Empty by default: the real table is ~16k entries of LOC codetable data
-#: (marc4j's EastAsianCodes); bundle-free here — load with
-#: :func:`load_eacc_table`.  The decode MECHANICS work either way.
+#: Populated lazily from the BUNDLED LOC code table data
+#: (``sources/eacc_data.py``, 15,738 entries — the published MARC-8
+#: East-Asian table, see that module's provenance note); 880 vernacular
+#: fields in real MARC-8 dumps decode to text instead of quarantining.
+#: :func:`load_eacc_table` still overrides/extends for custom tables.
 _EACC_CHARS: dict[int, str] = {}
+_EACC_LOADED = False
+
+
+def _ensure_eacc() -> None:
+    global _EACC_LOADED
+    if not _EACC_LOADED:
+        from .eacc_data import eacc_table
+
+        base = eacc_table()
+        base.update(_EACC_CHARS)  # explicit loads win over the bundle
+        _EACC_CHARS.update(base)
+        _EACC_LOADED = True
 
 
 def load_eacc_table(text: str) -> int:
@@ -166,6 +180,7 @@ def marc8_decode(data: bytes) -> tuple[str, str | None]:
     truncated multibyte codes / unknown escapes — the readers surface it
     as a quarantine annotation instead of letting U+FFFD text flow
     silently."""
+    _ensure_eacc()
     out: list[str] = []
     pending: list[str] = []  # buffered combining marks awaiting a base
     alt: dict | None = None  # active alternate single-byte set

@@ -100,8 +100,8 @@ def test_eacc_loaded_table_round_trip():
         marc8_decode,
     )
 
-    # mechanics under a pinned test table (the real ~16k-entry LOC table
-    # is runtime-loaded, never bundled): 0x212321 -> one CJK char
+    # mechanics under a pinned test table (overrides the bundled LOC
+    # table for these codes): 0x212321 -> one CJK char
     n = load_eacc_table("# comment\n212321 4E2D\n214E5C 6587\n")
     try:
         assert n == 2
@@ -113,7 +113,10 @@ def test_eacc_loaded_table_round_trip():
         assert text_g1 == "\u4e2d"
         assert err_g1 is None
     finally:
+        import marc_solr_profiling_spark.sources.marc8 as _m8
+
         _EACC_CHARS.clear()
+        _m8._EACC_LOADED = False  # let the bundle reload for later tests
 
 
 def test_eacc_space_and_separators_pass_through():
@@ -130,7 +133,10 @@ def test_eacc_space_and_separators_pass_through():
         assert text == "\u4e2d \u4e2d "
         assert err is None
     finally:
+        import marc_solr_profiling_spark.sources.marc8 as _m8
+
         _EACC_CHARS.clear()
+        _m8._EACC_LOADED = False  # let the bundle reload for later tests
 
 
 def test_eacc_truncated_triple_does_not_desync():
@@ -190,8 +196,10 @@ def test_decode_record_marc8_auto_skips_utf8_records():
 def test_read_marc_binary_eacc_soft_quarantine(spark):
     # a MARC-8 record with unmapped EACC content: the record still flows
     # (decoded fields present) but parse_error carries the charset note,
-    # so `parse_error IS NULL` keeps selecting clean records
-    raw = _record_bytes(b"\x1b$1!#!\x1b(B ok", coding=b" ")
+    # so `parse_error IS NULL` keeps selecting clean records.
+    # 0x212322 (!#") is absent from the bundled LOC table; 0x212321 used
+    # to be the probe here but the bundle now maps it (U+3000).
+    raw = _record_bytes(b'\x1b$1!#"\x1b(B ok', coding=b" ")
     clean = _record_bytes(b"caf\xe2e", coding=b" ")
     df = spark.createDataFrame(
         [("f1", bytearray(raw + clean))], "path string, content binary")
@@ -250,3 +258,36 @@ def test_roundtrip_after_conversion(spark):
     enc = encode_record(leader, control, data)
     _, _, data2 = decode_record(enc)
     assert data2[0][3][0][1] == data[0][3][0][1] == "Müller"
+
+
+def test_eacc_bundled_table_decodes_cjk():
+    """The bundled LOC EACC table (sources/eacc_data.py, 15,738 entries)
+    decodes real EACC escape sequences to CJK text — well-known code
+    points checked against the published table: 0x213034 = 中 (U+4E2D),
+    0x212F30 = 〇 (U+3007), 0x212321 = ideographic space (U+3000)."""
+    from marc_solr_profiling_spark.sources.eacc_data import eacc_table
+    from marc_solr_profiling_spark.sources.marc8 import marc8_decode
+
+    t = eacc_table()
+    assert len(t) == 15738
+    assert t[0x213034] == "中"
+    assert t[0x212F30] == "〇"
+    # ESC $ 1 <triple 中><triple 〇> ESC ( B back to Latin
+    text, err = marc8_decode(b"\x1b$1!04!/0\x1b(B ok")
+    assert err is None
+    assert text == "中〇 ok"
+
+
+def test_eacc_round_trip_through_reader(spark):
+    """An 880 vernacular field's EACC payload decodes to CJK through the
+    binary reader with NO quarantine note (the pre-bundle behavior was
+    counted U+FFFD + parse_error)."""
+    from tests.test_marc8 import _record_bytes  # self-import for clarity
+
+    raw = _record_bytes(b"\x1b$1!04!/0\x1b(B shan", coding=b" ")
+    df = spark.createDataFrame(
+        [("f1", bytearray(raw))], "path string, content binary")
+    rows = read_marc_binary(df, marc8="auto").collect()
+    assert rows[0]["parse_error"] is None
+    val = rows[0]["datafields"][0]["subfields"][0]["value"]
+    assert val.startswith("中〇")
