@@ -109,6 +109,13 @@ HEADLINE = [
     "result_clusters_phys",
     "cached_page2",
     "select_sort_request",
+    "select_dismax_request",
+    "select_dismax_phys_request",
+    "bm25_dismax_gen_topk",
+    "select_cursor_request",
+    "select_cursor_phys_request",
+    "pack_shards_bpe",
+    "temperature_bpe_plan",
 ]
 
 
