@@ -934,3 +934,20 @@ def merge_generations_multifield(
         "generation": keep,
     })
     return MultiFieldIndex(store, spark, index.chain)
+
+
+def maybe_compact_multifield(
+    spark: SparkSession,
+    index,
+    out_path: str,
+    max_generations: int = 4,
+    keep: int = 1,
+):
+    """Auto merge policy for the MULTI-FIELD chain (the multifield twin
+    of :func:`maybe_compact`): when the chain exceeds
+    ``max_generations``, merge the delta tiers back into one, keeping
+    the ``keep`` oldest untouched. Returns the (possibly unchanged)
+    index handle."""
+    if len(index.stores) <= max_generations:
+        return index
+    return merge_generations_multifield(spark, index, out_path, keep=keep)

@@ -214,3 +214,67 @@ def test_postings_mode_after_merge(spark, workdir, docs, chain):
     finally:
         spark.conf.unset(CAP_KEY)
     assert arr_mode == post_mode
+
+
+def test_multifield_postings_mode_matches_array(spark, workdir, docs):
+    """The index-resident tombstone path through the DISMAX kernel
+    (multi-field chain): postings mode == array mode for dismax top-k
+    and the term-group match bitset."""
+    from marc_solr_profiling_spark.operators.wand import (
+        dismax_topk,
+        matching_doc_ids,
+    )
+    from marc_solr_profiling_spark.plans.generations import (
+        append_delta_multifield,
+        maybe_compact_multifield,
+    )
+    from marc_solr_profiling_spark.plans.multifield import (
+        MultiFieldIndex,
+        build_multifield_index,
+    )
+
+    d = docs.withColumn("url", F.format_string("d%05d", F.col("doc_id")))
+    base = build_multifield_index(
+        spark, d.filter("doc_id < 300").select("url", "text"),
+        f"{workdir}/mfdp_base", fields=[("title", 8), ("body", None)],
+        key_col="url", chain="simple", n_salts=4, block_size=32,
+    )
+    g1 = append_delta_multifield(
+        spark, base, f"{workdir}/mfdp_g1",
+        delta_docs=d.filter("doc_id >= 300").select("url", "text"),
+        delete_keys=d.filter("doc_id % 7 = 2 AND doc_id < 300")
+        .select("url"),
+        key_col="url",
+    )
+    assert g1.store.stage_complete("del_segments")
+    qf = {"title": 2.0, "body": 1.0}
+    sep = g1.sep
+    qt = Q.split()
+    groups = {f + sep + t: i for f in qf for i, t in enumerate(qt)}
+
+    def snap(ix):
+        top = [(r["doc_id"], round(r["score"], 9)) for r in
+               dismax_topk(ix, Q, qf=qf, tie=0.1, k=12).collect()]
+        match = sorted(r["doc_id"] for r in matching_doc_ids(
+            ix, Q, min_match=2, term_groups=groups).collect())
+        return top, match
+
+    arr_mode = snap(MultiFieldIndex(g1.store, spark, g1.chain))
+    spark.conf.set(CAP_KEY, "0")
+    try:
+        h = MultiFieldIndex(g1.store, spark, g1.chain)
+        assert h.delete_masks()[1] is not None
+        post_mode = snap(h)
+    finally:
+        spark.conf.unset(CAP_KEY)
+    assert arr_mode == post_mode
+
+    # the compaction policy bounds the multifield chain too
+    g2 = append_delta_multifield(
+        spark, g1, f"{workdir}/mfdp_g2",
+        delete_keys=d.filter("doc_id % 19 = 1").select("url"),
+        key_col="url")
+    compacted = maybe_compact_multifield(
+        spark, g2, f"{workdir}/mfdp_c", max_generations=2, keep=1)
+    assert len(compacted.stores) <= 2
+    assert snap(compacted)[0] == snap(g2)[0]
