@@ -116,6 +116,7 @@ HEADLINE = [
     "select_cursor_phys_request",
     "pack_shards_bpe",
     "temperature_bpe_plan",
+    "select_matchall_phys_request",
 ]
 
 

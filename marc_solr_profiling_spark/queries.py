@@ -2623,6 +2623,34 @@ def q_temperature_bpe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 tokenizer=tiny_tokenizer())
 
 
+def q_select_matchall_phys_request(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The reference's PROFILING request shape — MatchAllDocsQuery +
+    cached-filter fq + the facet battery — answered FROM THE PHYSICAL
+    INDEX (ADVICE round-4: the physical path used to silently return an
+    empty page for q=*:*): match bitset = fq filter postings intersected
+    kernel-side over live docs, constant-score keyed page, index-only
+    facet counts. Twin: plain SQL over the metadata."""
+    import hashlib
+
+    from .plans.build import build_index
+    from .plans.select import solr_select_physical
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_index(
+        spark, docs, _scratch(f"msps_fqidx_{tag}"), key_col="doc_id",
+        id_col="doc_id", text_col="text", chain="simple",
+        n_salts=8, block_size=64, filter_cols=["lang", "source"],
+    )
+    resp = solr_select_physical(
+        idx, docs.select("doc_id", "lang", "source"), "*:*",
+        key_col="doc_id", fq=["lang:en"], rows=10,
+        facet_fields=["lang", "source"],
+    )
+    return resp.response_frame(key_col="doc_id")
+
+
 def q_select_dismax_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL default request (solrconfig.xml:67-83):
     edismax q over qf fields (title^2 + body, tie=0.1) + cached-filter
@@ -3216,6 +3244,35 @@ SELECT doc_id,
        ((rn - 1) % 10 + 1)::INT AS rank,
        ((rn - 1) // 10 + 1)::INT AS page
 FROM ordered WHERE rn <= 20
+""",
+    "select_matchall_phys_request": """
+WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+page AS (
+  SELECT * FROM (
+    SELECT doc_id, 1.0 AS score,
+           row_number() OVER (ORDER BY doc_id ASC) AS rnk
+    FROM m) WHERE rnk <= 10
+),
+fraw AS (
+  SELECT 'lang' AS ff, d.lang AS fv, count(*) AS cnt
+  FROM m JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'source', d.source, count(*)
+  FROM m JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL GROUP BY 2
+),
+fc AS (
+  SELECT * FROM (
+    SELECT ff, fv, cnt,
+           row_number() OVER (PARTITION BY ff
+                              ORDER BY cnt DESC, fv ASC) AS rnk
+    FROM fraw WHERE cnt >= 1) WHERE rnk <= 21
+)
+SELECT 'meta' AS section, 'num_found' AS k, NULL AS v,
+       (SELECT count(*) FROM m)::DOUBLE AS num, 0 AS ord
+UNION ALL
+SELECT 'doc', cast(doc_id AS varchar), NULL, score, rnk FROM page
+UNION ALL
+SELECT 'facet', ff, fv, cnt::DOUBLE, rnk FROM fc
 """,
     "tf_top": f"""
 WITH {_TOK_CTE}
@@ -5199,6 +5256,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_cursor_phys_request": q_select_cursor_phys_request,
     "pack_shards_bpe": q_pack_shards_bpe,
     "temperature_bpe_plan": q_temperature_bpe_plan,
+    "select_matchall_phys_request": q_select_matchall_phys_request,
     # --- oldest driver-green (round-1) re-confirmations fill the window ---
     "tf_top": q_tf_top,
     "doc_stats": q_doc_stats,
