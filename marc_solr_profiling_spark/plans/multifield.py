@@ -364,3 +364,13 @@ def build_multifield_index(
         })
 
     return MultiFieldIndex(store, spark, chain)
+
+
+def open_multifield_index(spark: SparkSession, path: str) -> MultiFieldIndex:
+    """Re-open a committed multi-field index (or generation-chain head)
+    from its store directory — fields, separator and build parameters
+    come from the manifest (the multifield twin of
+    ``plans/build.py open_index``)."""
+    store = IndexStore(path)
+    chain = store.get_meta().get("chain", "text")
+    return MultiFieldIndex(store, spark, chain)

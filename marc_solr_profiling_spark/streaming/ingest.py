@@ -324,3 +324,115 @@ def stream_index_generations(
     )
     q.awaitTermination()
     return _current()
+
+
+def stream_index_generations_multifield(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    fields,
+    key_col: str = "url",
+    text_col: str = "text",
+    chain: str = "simple",
+    n_salts: int = 16,
+    block_size: int = 128,
+    delete_col: str | None = None,
+    max_generations: int = 4,
+    keep: int = 1,
+    schema=None,
+    searcher_manager=None,
+):
+    """:func:`stream_index_generations` for the MULTI-FIELD (edismax)
+    index — the reference's DEFAULT handler index gets the same
+    autoCommit lifecycle: each micro-batch becomes one generation
+    (``plans/generations.py append_delta_multifield``), the chain is
+    bounded by ``maybe_compact_multifield``, the head publishes via the
+    same atomic CURRENT pointer with the same replay-idempotence guard,
+    and an optional ``searcher_manager`` is committed per publish.
+
+    ``fields``: the ``build_multifield_index`` field list
+    ``[(name, token_limit), ...]`` — used only for the FIRST batch's
+    base build; later generations inherit from the base manifest.
+
+    Blocks until the AvailableNow drain completes; returns the final
+    :class:`~..plans.multifield.MultiFieldIndex` (or None)."""
+    import os
+
+    from ..plans.generations import (
+        append_delta_multifield,
+        maybe_compact_multifield,
+    )
+    from ..plans.multifield import (
+        build_multifield_index,
+        open_multifield_index,
+    )
+
+    current_ptr = os.path.join(index_root, "CURRENT")
+    os.makedirs(index_root, exist_ok=True)
+
+    def _publish(path: str) -> None:
+        tmp = current_ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(path)
+        os.replace(tmp, current_ptr)
+
+    def _current():
+        if os.path.exists(current_ptr):
+            with open(current_ptr) as f:
+                return open_multifield_index(spark, f.read().strip())
+        return None
+
+    stream = spark.readStream.schema(
+        schema or WEB_PAGES_SCHEMA).parquet(source_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        # at-least-once replay guard: CURRENT naming this batch's
+        # generation (or its compaction) means the batch fully applied
+        if os.path.exists(current_ptr):
+            with open(current_ptr) as f:
+                head = os.path.basename(f.read().strip().rstrip("/"))
+            if head in (f"gen_{batch_id}", f"gen_{batch_id}_d",
+                        f"compact_{batch_id}"):
+                return
+        if batch_df.isEmpty():
+            return
+        dels = None
+        if delete_col and delete_col in batch_df.columns:
+            dels = batch_df.filter(F.col(delete_col)).select(key_col)
+            batch_df = batch_df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False)))
+        docs = batch_df.select(key_col, text_col)
+        idx = _current()
+        if idx is None:
+            idx = build_multifield_index(
+                spark, docs, os.path.join(index_root, f"gen_{batch_id}"),
+                fields=fields, key_col=key_col, text_col=text_col,
+                chain=chain, n_salts=n_salts, block_size=block_size,
+            )
+            if dels is not None and dels.limit(1).count():
+                idx = append_delta_multifield(
+                    spark, idx,
+                    os.path.join(index_root, f"gen_{batch_id}_d"),
+                    delete_keys=dels, key_col=key_col)
+        else:
+            idx = append_delta_multifield(
+                spark, idx, os.path.join(index_root, f"gen_{batch_id}"),
+                delta_docs=docs, delete_keys=dels, key_col=key_col,
+            )
+        idx = maybe_compact_multifield(
+            spark, idx, os.path.join(index_root, f"compact_{batch_id}"),
+            max_generations=max_generations, keep=keep,
+        )
+        _publish(idx.store.path)
+        if searcher_manager is not None:
+            searcher_manager.commit(idx)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _current()

@@ -157,3 +157,83 @@ def test_stream_replay_is_idempotent(spark, workdir, docs):
     assert ([(r["url"], round(r["score"], 9)) for r in before]
             == [(r["url"], round(r["score"], 9)) for r in after])
     _same_results(spark, idx2, docs.filter(n < 80), workdir, "replay")
+
+
+def test_stream_generations_multifield(spark, workdir, docs):
+    """The multifield (edismax) autoCommit loop: drops become
+    generations, dismax results equal a from-scratch rebuild of the
+    live set, compaction bounds the chain, replay is a no-op."""
+    from marc_solr_profiling_spark.operators.wand import dismax_topk
+    from marc_solr_profiling_spark.plans.multifield import (
+        build_multifield_index,
+    )
+    from marc_solr_profiling_spark.streaming.ingest import (
+        stream_index_generations_multifield,
+    )
+
+    src = f"{workdir}/mf_src"
+    root = f"{workdir}/mf_idx"
+    ckpt = f"{workdir}/mf_ckpt"
+    n = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    fields = [("title", 8), ("body", None)]
+    qf = {"title": 2.0, "body": 1.0}
+
+    def run(cp=ckpt):
+        return stream_index_generations_multifield(
+            spark, src, root, cp, fields=fields, key_col="url",
+            chain="text", n_salts=4, block_size=32,
+            delete_col="is_delete", max_generations=3, keep=1,
+            schema=SCHEMA,
+        )
+
+    def same(idx, live, tag):
+        ref = build_multifield_index(
+            spark, live, f"{workdir}/mf_ref_{tag}", fields=fields,
+            key_col="url", chain="text", n_salts=4, block_size=32)
+        for q in QUERIES:
+            def res(ix):
+                rows = dismax_topk(ix, q, qf=qf, tie=0.1, k=10,
+                                   round_to=6).join(
+                    ix.docs.select("doc_id", "url"), "doc_id").collect()
+                return ({(r["url"], r["score"]) for r in rows},
+                        sorted((r["score"] for r in rows), reverse=True))
+            g, gs = res(idx)
+            w, ws = res(ref)
+            assert gs == ws, (tag, q)
+            assert g == w, (tag, q)
+
+    _drop(docs.filter(n < 100), src, "m1")
+    idx = run()
+    assert idx is not None and len(idx.stores) == 1
+    same(idx, docs.filter(n < 100), "t1")
+
+    # at-least-once replay: a fresh checkpoint re-delivers m1 as the
+    # same batch 0 whose generation CURRENT already names -> no-op
+    idx_r = run(f"{workdir}/mf_ckpt2")
+    assert len(idx_r.stores) == 1
+    same(idx_r, docs.filter(n < 100), "replay")
+
+    mods = docs.filter(n.isin(5, 23, 41)).withColumn(
+        "text", F.concat(F.lit("revised vernacular heading "),
+                         F.col("text")))
+    adds = docs.filter((n >= 100) & (n < 150)).unionByName(mods)\
+        .withColumn("is_delete", F.lit(False))
+    dels = docs.filter(n.isin(9, 27)).select("url", "text")\
+        .withColumn("is_delete", F.lit(True))
+    _land(adds.unionByName(dels), src, "m2")
+    idx = run()
+    assert len(idx.stores) == 2
+    dead = {r["url"] for r in docs.filter(n.isin(9, 27)).collect()}
+    live = (
+        docs.filter(n < 150).filter(~F.col("url").isin(list(dead)))
+        .join(mods.select("url"), "url", "left_anti")
+        .unionByName(mods.filter(~F.col("url").isin(list(dead))))
+    )
+    same(idx, live, "t2")
+
+    # chain stays bounded under more drops
+    _drop(docs.filter((n >= 150) & (n < 170)), src, "m3")
+    run()
+    _drop(docs.filter(n >= 170), src, "m4")
+    idx = run()
+    assert len(idx.stores) <= 3
